@@ -1,0 +1,283 @@
+"""The iterative micro-batch crawl loop (SURVEY.md §2.9, §3).
+
+Replaces the reference's Scrapy engine (callback graph + scheduler +
+dupefilter) with a driver loop of pure DataFrame jobs:
+
+    while pending:  read frontier → politeness top-K → fetch → parse
+                    → links: canonicalize → skip-filter → Bloom/exact dedup
+                    → docs:  clean spans → date/keyword filters
+                    → atomic multi-table snapshot commit
+
+Determinism: scheduling order is (priority DESC, url ASC) per host per
+batch; all other stages are set-semantics — so the final frontier, seen
+set, progress (crawl order at batch granularity) and documents tables are
+identical at any parallelism (local[8] ≡ local[32] ≡ N ≡ 4N executors),
+which the pytest oracle comparison asserts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawlspark import rules, schemas, synthetic
+from crawlspark.functions import urls as U
+from crawlspark.operators import scheduler
+from crawlspark.operators.bloom import BloomState
+from crawlspark.operators.docs import docs_stage
+from crawlspark.operators.fetch import fetch_stage
+from crawlspark.operators.parse import parse_stage
+from crawlspark.operators.urlseen import bloom_delta, probe_unseen
+from crawlspark.tables import SnapshotCatalog
+
+
+@dataclass
+class CrawlConfig:
+    warehouse: str
+    spec: synthetic.WebSpec = field(default_factory=synthetic.WebSpec)
+    max_batches: int = 64
+    max_depth: int = 64
+    bloom_buckets: int = 32
+    bloom_bits: int = 1 << 20
+    compact_every: int = 8
+    budget_override: int | None = None  # tests: force small per-host budgets
+
+
+def _hosts_df(spark: SparkSession, hosts_state: dict, budget_override: int | None) -> DataFrame:
+    rows = [
+        (
+            h,
+            float(s["crawl_delay_s"]),
+            int(budget_override or s["budget_per_batch"]),
+            list(s["disallow"]),
+        )
+        for h, s in sorted(hosts_state.items())
+    ]
+    return spark.createDataFrame(rows, schemas.HOSTS)
+
+
+def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
+    """Seed the frontier (reference start_requests :560-699) and commit
+    snapshot 0."""
+    catalog = SnapshotCatalog(spark, cfg.warehouse)
+    seeds = []
+    for u in synthetic.seed_urls(cfg.spec):
+        cu = U.fix_url_py(u)
+        if U.should_skip_py(cu):
+            continue
+        host = U.host_of_py(cu)
+        seeds.append(
+            (cu, 0, host, 0, scheduler.priority_py(0, "listing", cu), 0, 0, 0, "listing", None)
+        )
+    seeds_df = spark.createDataFrame(seeds, schemas.FRONTIER).withColumn(
+        "url_hash", F.xxhash64("url")
+    )
+    bloom = BloomState(cfg.bloom_buckets, cfg.bloom_bits)
+    bloom.add([s[0] for s in seeds])
+    seen_df = seeds_df.select("url", "url_hash", F.lit(0).alias("added_batch"))
+    hosts_state = {U.host_of_py(s[0]): synthetic.robots_for_host(U.host_of_py(s[0])) for s in seeds}
+    return catalog.commit(
+        0,
+        appends={"frontier": seeds_df, "urlseen": seen_df},
+        bloom=bloom,
+        state={"hosts": hosts_state},
+    )
+
+
+def _pending(catalog: SnapshotCatalog, manifest: dict) -> DataFrame:
+    frontier = catalog.read("frontier", manifest)
+    progress = catalog.read("progress", manifest)
+    # MERGE-style: a frontier row is pending until a progress row exists
+    # for the same (url, attempt).  Both sides hash-partition on url.
+    return frontier.join(
+        progress.select("url", F.col("attempt").alias("retry_count")).distinct(),
+        on=["url", "retry_count"],
+        how="left_anti",
+    )
+
+
+def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, manifest: dict) -> dict | None:
+    """One micro-batch; returns the new manifest, or None when finished."""
+    batch_id = manifest["batch_id"] + 1
+    hosts_state = dict(manifest["state"]["hosts"])
+    bloom = catalog.load_bloom(manifest)
+
+    pending = _pending(catalog, manifest)
+    hosts_df = _hosts_df(spark, hosts_state, cfg.budget_override)
+    scheduled = scheduler.schedule(pending, hosts_df, batch_id).persist()
+    n_sched = scheduled.count()
+    if n_sched == 0:
+        scheduled.unpersist()
+        # nothing eligible now; if anything is backoff-gated, skip forward
+        n_future = pending.filter(F.col("not_before_batch") > batch_id).count()
+        if n_future == 0:
+            return None
+        return catalog.commit(batch_id, appends={}, state={"hosts": hosts_state})
+
+    fetched = fetch_stage(scheduled, cfg.spec).persist()
+    outcome = (
+        F.when(F.col("status") == 200, F.lit("done"))
+        .when(F.col("status").isin(rules.SKIP_STATUSES), F.lit("skipped"))
+        .when(
+            F.col("status").isin(rules.RETRYABLE_STATUSES)
+            & (F.col("retry_count") < rules.MAX_RETRIES),
+            F.lit("retry"),
+        )
+        .otherwise(F.lit("failed"))
+    )
+    fetched_o = fetched.withColumn("outcome", outcome)
+    progress_new = fetched_o.select(
+        "url", "url_hash", F.lit(batch_id).alias("batch_id"), "status", "outcome",
+        F.col("retry_count").alias("attempt"),
+    )
+    # retry re-entry with exponential backoff (reference :543-555, :636)
+    retries = fetched_o.filter(F.col("outcome") == "retry").select(
+        "url", "url_hash", "host", "depth", "priority",
+        F.lit(batch_id).alias("discovered_batch"),
+        (F.col("retry_count") + 1).alias("retry_count"),
+        (F.lit(batch_id) + F.pow(F.lit(2.0), F.col("retry_count") + 1).cast("int")).alias("not_before_batch"),
+        "page_kind", "meta",
+    )
+
+    parsed = parse_stage(fetched_o.filter(F.col("outcome") == "done")).persist()
+
+    # ---- links path ----
+    links = parsed.filter(F.col("rec") == "link").withColumnRenamed("url", "src_url")
+    lhost = U.host_expr(F.col("link"))
+    ldomain = U.domain_expr(lhost)
+    links = links.withColumn("link_host", lhost).withColumn("link_domain", ldomain)
+    links = links.filter(
+        ~U.skip_filter_expr(F.col("link"), F.col("link_host"), F.col("link_domain"))
+    ).filter(F.col("depth") + 1 <= cfg.max_depth)
+    # in-batch dedup with deterministic meta winner (min source url)
+    cand = links.groupBy(F.col("link").alias("url")).agg(
+        F.min_by(F.struct("link_host", "depth", "link_kind", "meta"), F.struct("src_url", "link")).alias("w")
+    ).select(
+        "url",
+        F.col("w.link_host").alias("host"),
+        (F.col("w.depth") + 1).alias("depth"),
+        F.col("w.link_kind").alias("page_kind"),
+        F.col("w.meta").alias("meta"),
+    )
+    urlseen_all = catalog.read("urlseen", manifest)
+    new_links = probe_unseen(spark, cand, urlseen_all, bloom)
+    new_frontier = new_links.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        "host",
+        "depth",
+        scheduler.priority_expr(F.col("depth"), F.col("page_kind"), F.col("url")).alias("priority"),
+        F.lit(batch_id).alias("discovered_batch"),
+        F.lit(0).alias("retry_count"),
+        F.lit(batch_id + 1).alias("not_before_batch"),
+        "page_kind",
+        "meta",
+    ).persist()
+
+    # ---- docs path ----
+    docs_new = docs_stage(parsed.filter(F.col("rec") == "doc"), batch_id)
+    existing_docs = catalog.read("documents", manifest)
+    docs_new = docs_new.join(existing_docs.select("doc_id"), on="doc_id", how="left_anti")
+
+    # ---- metrics (per batch × host lineage; SURVEY §2.4 A2) ----
+    parsed_counts = parsed.groupBy("host").agg(
+        F.sum(F.when(F.col("rec") == "link", 1).otherwise(0)).alias("n_links_out"),
+        F.sum(F.when(F.col("rec") == "doc", 1).otherwise(0)).alias("n_docs_out"),
+    )
+    metrics = (
+        fetched_o.groupBy("host")
+        .agg(
+            F.count("*").alias("n_scheduled"),
+            F.sum((F.col("outcome") == "done").cast("long")).alias("n_ok"),
+            F.sum((F.col("outcome") == "retry").cast("long")).alias("n_retry"),
+            F.sum((F.col("outcome") == "failed").cast("long")).alias("n_failed"),
+            F.sum((F.col("outcome") == "skipped").cast("long")).alias("n_skipped"),
+            F.sum("elapsed_ms").alias("sum_elapsed_ms"),
+        )
+        .join(parsed_counts, on="host", how="left")
+        .select(
+            F.lit(batch_id).alias("batch_id"), "host", "n_scheduled", "n_ok",
+            "n_retry", "n_failed", "n_skipped",
+            F.coalesce("n_links_out", F.lit(0)).alias("n_links_out"),
+            F.coalesce("n_docs_out", F.lit(0)).alias("n_docs_out"),
+            "sum_elapsed_ms",
+        )
+    )
+
+    # ---- state updates (tiny driver-side collects: hosts + bloom blobs) --
+    delta = bloom_delta(spark, new_frontier, bloom)
+    bloom.merge(delta)
+    for (h,) in new_frontier.select("host").distinct().collect():
+        if h not in hosts_state:
+            hosts_state[h] = synthetic.robots_for_host(h)
+
+    frontier_append = retries.unionByName(new_frontier)
+    new_seen = new_frontier.select("url", "url_hash", F.lit(batch_id).alias("added_batch"))
+    appends = {
+        "frontier": frontier_append,
+        "urlseen": new_seen,
+        "progress": progress_new,
+        "documents": docs_new,
+        "metrics": metrics,
+    }
+    if cfg.compact_every and batch_id % cfg.compact_every == 0:
+        # compaction: rewrite pending-after-this-batch as the new frontier
+        # base so the per-batch frontier read stays flat as the crawl
+        # grows.  progress and urlseen stay append-only: urlseen IS the
+        # exact dedup set (its anti-join probe side is only Bloom
+        # positives) and progress is the crawl-order/lineage audit — the
+        # pending anti-join reads just its (url, attempt) columns, which
+        # parquet column pruning keeps cheap.
+        frontier_all = catalog.read("frontier", manifest)
+        full_frontier = frontier_all.unionByName(frontier_append)
+        full_progress = catalog.read("progress", manifest).unionByName(progress_new)
+        pending_after = full_frontier.join(
+            full_progress.select("url", F.col("attempt").alias("retry_count")).distinct(),
+            on=["url", "retry_count"],
+            how="left_anti",
+        )
+        new_manifest = catalog.commit(
+            batch_id,
+            appends={
+                "documents": docs_new,
+                "metrics": metrics,
+                "urlseen": new_seen,
+                "progress": progress_new,
+            },
+            replace={"frontier": pending_after},
+            bloom=bloom,
+            state={"hosts": hosts_state},
+        )
+    else:
+        new_manifest = catalog.commit(
+            batch_id, appends=appends, bloom=bloom, state={"hosts": hosts_state}
+        )
+    for df in (scheduled, fetched, parsed, new_frontier):
+        df.unpersist()
+    return new_manifest
+
+
+def run_crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> dict:
+    """Run to completion (or max_batches); returns a summary dict."""
+    catalog = SnapshotCatalog(spark, cfg.warehouse)
+    manifest = catalog.latest() if resume else None
+    if manifest is None:
+        manifest = init_crawl(spark, cfg)
+    while manifest["batch_id"] < cfg.max_batches:
+        nxt = run_batch(spark, catalog, cfg, manifest)
+        if nxt is None:
+            break
+        manifest = nxt
+    docs = catalog.read("documents", manifest)
+    progress = catalog.read("progress", manifest)
+    frontier = catalog.read("frontier", manifest)
+    return {
+        "batches": manifest["batch_id"],
+        "n_documents": docs.count(),
+        "n_fetched": progress.filter(F.col("outcome") == "done").count(),
+        "n_progress": progress.count(),
+        "n_frontier": frontier.count(),
+        "manifest": manifest,
+    }

@@ -1,0 +1,161 @@
+"""URL canonicalization, host extraction and the skip-filter predicate.
+
+Behavioral spec: reference ``fix_url`` (covid_news_spider.py:832-878 — a
+chain of protocol/typo repairs + urljoin for relative URLs + strip),
+``extract_domain_name`` (:702-725) and the 5×-repeated skip predicate
+(:735-745, :896-905, :956-965, :1577-1586, :2048-2057).
+
+Two twins of each function:
+  * a plain-Python form (used by the single-threaded oracle AND inside the
+    Arrow-batched pandas UDFs — never registered as a per-row Python UDF);
+  * a Spark Column form built from pure built-ins (regexp_replace / rlike /
+    isin) for everything that needs no urljoin, so the hot filter stays
+    inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from crawlspark import rules
+
+# (pattern, replacement) pairs — same repair semantics as reference
+# fix_url :832-878, generalized (protocol stutter, scheme typos, www typos)
+_REPAIRS: list[tuple[str, str]] = [
+    (r"^https?://https?://", "https://"),
+    (r"^https?://\(https?:?//?", "https://"),
+    (r"^https?https?://", "https://"),
+    (r"^htt?ps?://", "https://"),  # htps:// / htp://
+    (r"^t?t?ps?://", "https://"),  # ttps:// tps:// ps:// s://
+    (r"^https://ww\.", "https://www."),
+    (r"^https?://www\.\.", "https://www."),
+    (r"^https?://wwww", "https://www"),
+]
+_COMPILED_REPAIRS = [(re.compile(p), r) for p, r in _REPAIRS]
+
+
+def fix_url_py(url: str, base_url: str = "https://www.example.com/") -> str:
+    """Canonicalize one URL (Python twin; oracle + inside pandas UDFs)."""
+    u = (url or "").strip()
+    for rx, repl in _COMPILED_REPAIRS:
+        u = rx.sub(repl, u)
+    if not u.startswith("http") and not _is_non_fetch_scheme(u):
+        u = urljoin(base_url, u)
+    u = u.strip()
+    # canonical form: drop fragment, drop trailing slash on path
+    u = u.split("#", 1)[0]
+    if u.endswith("/") and u.count("/") > 3:
+        u = u.rstrip("/")
+    return u
+
+
+def _is_non_fetch_scheme(u: str) -> bool:
+    lu = u.lower()
+    return lu.startswith(("javascript:", "mailto:", "whatsapp://", "tel:"))
+
+
+def host_of_py(url: str) -> str:
+    try:
+        return (urlsplit(url).netloc or "").lower()
+    except ValueError:
+        return ""
+
+
+_MULTI_SUFFIXES = ("com.my", "com.ph", "com.sg", "co.uk", "com.kh")
+
+
+def domain_of_py(host: str) -> str:
+    """Registrable domain (tldextract replacement; reference :702-725)."""
+    parts = (host or "").lower().split(".")
+    if len(parts) >= 3 and ".".join(parts[-2:]) in _MULTI_SUFFIXES:
+        return ".".join(parts[-3:])
+    if len(parts) >= 2:
+        return ".".join(parts[-2:])
+    return host or ""
+
+
+def canonicalize_series(urls: pd.Series, bases: pd.Series) -> pd.Series:
+    """Vectorized canonicalization over an Arrow batch (pandas UDF body)."""
+    return pd.Series(
+        [fix_url_py(u, b) for u, b in zip(urls.tolist(), bases.tolist())],
+        dtype=object,
+    )
+
+
+# ---------- Spark Column forms (pure built-ins, codegen'd) ----------
+
+def fix_url_expr(url: Column) -> Column:
+    """The regexp-repair subset of fix_url as a Column chain (no urljoin).
+
+    Used for absolute URLs (the common case at scale) and for the DuckDB
+    oracle cross-check; relative URLs go through the pandas UDF path.
+    """
+    c = F.trim(url)
+    for pat, repl in _REPAIRS:
+        c = F.regexp_replace(c, pat, repl)
+    c = F.regexp_replace(c, r"#.*$", "")
+    return c
+
+
+def host_expr(url: Column) -> Column:
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def domain_expr(host: Column) -> Column:
+    """Registrable domain from host via regexp (suffix-list aware)."""
+    multi = "|".join(s.replace(".", r"\.") for s in _MULTI_SUFFIXES)
+    m3 = F.regexp_extract(host, rf"([^.]+\.(?:{multi}))$", 1)
+    m2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(m3 != "", m3).otherwise(m2)
+
+
+def _substr_alternation(patterns: list[str]) -> str:
+    return "|".join(re.escape(p) for p in patterns)
+
+
+def skip_filter_expr(url: Column, host: Column, domain: Column) -> Column:
+    """TRUE when the URL must be dropped (reference :735-745 predicate).
+
+    All pieces are built-ins: rlike alternations compiled once (the
+    idiomatic Spark form of 'any(substring in url)'), isin for exact
+    blocklist, domain allowlist as isin (small list; at larger allowlists
+    this becomes a broadcast LEFT SEMI join — see operators/filters.py).
+    """
+    lurl = F.lower(url)
+    bad_sub = lurl.rlike(_substr_alternation(rules.SKIP_SUBSTRINGS))
+    bad_ext = lurl.rlike(_substr_alternation(rules.EXCLUDED_FILE_EXTENSIONS))
+    bad_subdomain = lurl.rlike(
+        _substr_alternation(
+            rules.IRRELEVANT_SUBDOMAIN_PATTERNS + rules.INACCESSIBLE_SUBDOMAIN_PATTERNS
+        )
+    )
+    incomplete = url.isin(rules.INCOMPLETE_ARTICLES)
+    not_allowed = ~domain.isin(rules.ALLOWED_DOMAINS)
+    empty = url.isNull() | (F.length(F.trim(url)) == 0)
+    return empty | bad_sub | bad_ext | bad_subdomain | incomplete | not_allowed
+
+
+def should_skip_py(url: str) -> bool:
+    """Python twin of skip_filter_expr (oracle)."""
+    if not url or not url.strip():
+        return True
+    lu = url.lower()
+    if any(s in lu for s in rules.SKIP_SUBSTRINGS):
+        return True
+    if any(e in lu for e in rules.EXCLUDED_FILE_EXTENSIONS):
+        return True
+    if any(
+        s in lu
+        for s in rules.IRRELEVANT_SUBDOMAIN_PATTERNS + rules.INACCESSIBLE_SUBDOMAIN_PATTERNS
+    ):
+        return True
+    if url in rules.INCOMPLETE_ARTICLES:
+        return True
+    if domain_of_py(host_of_py(url)) not in rules.ALLOWED_DOMAINS:
+        return True
+    return False

@@ -1,0 +1,221 @@
+"""Minimal DOM + per-domain extraction (stdlib html.parser; no lxml in env).
+
+HTML here plays the role JSON plays in an analytics engine: semi-structured
+extraction into typed columns (SURVEY.md §2.8).  The extractors mirror the
+reference's per-domain selector semantics:
+  * link extraction  — reference get_next_pages covid_news_spider.py:728-829;
+  * listing cards    — parse_articles :989-1341 (title/date/link per card);
+  * body spans       — get_article_content :2060-2377: ordered text spans
+    with figure/caption/photo nodes excluded *structurally* (e.g.
+    not(ancestor::figcaption) :2061, articlePhoto div exclusion :2283)
+    and emitted as interleaved media spans instead of dropped;
+  * <strong>/<b> decompose for the inquirer-analog host (:2113-2134);
+  * <li> punctuation stitching (:2139-2152, :2197-2211);
+  * empty-body redirect discovery (:2389-2432).
+
+Pure Python, called ONLY inside Arrow-batched mapInPandas stages and the
+single-threaded oracle — never registered as a row-at-a-time UDF.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict, parent: "Node | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # Node or str
+        self.parent = parent
+
+    def classes(self) -> set[str]:
+        return set((self.attrs.get("class") or "").split())
+
+    def text(self) -> str:
+        out: list[str] = []
+        stack: list = [self]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, str):
+                out.append(n)
+            else:
+                stack.extend(reversed(n.children))
+        return "".join(out)
+
+    def iter(self):
+        stack: list = [self]
+        while stack:
+            n = stack.pop()
+            yield n
+            if isinstance(n, Node):
+                stack.extend(reversed(n.children))
+
+    def find_all(self, tag: str | None = None, cls: str | None = None):
+        for n in self.iter():
+            if isinstance(n, Node) and (tag is None or n.tag == tag):
+                if cls is None or cls in n.classes():
+                    yield n
+
+    def has_ancestor(self, pred) -> bool:
+        p = self.parent
+        while p is not None:
+            if pred(p):
+                return True
+            p = p.parent
+        return False
+
+
+_VOID = {"img", "br", "hr", "meta", "link", "input", "source"}
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("root", {}, None)
+        self.cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs), self.cur)
+        self.cur.children.append(node)
+        if tag not in _VOID:
+            self.cur = node
+
+    def handle_endtag(self, tag):
+        n = self.cur
+        while n is not self.root and n.tag != tag:
+            n = n.parent
+        if n is not self.root:
+            self.cur = n.parent
+
+    def handle_data(self, data):
+        if data:
+            self.cur.children.append(data)
+
+
+def parse_html(html: str) -> Node:
+    tb = _TreeBuilder()
+    tb.feed(html or "")
+    return tb.root
+
+
+# ---------------- extraction ----------------
+
+def extract_links(html: str) -> list[str]:
+    """All a@href on the page (frontier expansion; reference :747-760:
+    the entire-site branch is a::attr(href) getall for every domain)."""
+    root = parse_html(html)
+    return [a.attrs.get("href", "") for a in root.find_all("a") if a.attrs.get("href")]
+
+
+def extract_listing_cards(html: str) -> list[dict]:
+    """Listing-card (title, date, link) triples (reference parse_articles /
+    parse_article :989-1613: per-card selector chains with fallbacks)."""
+    root = parse_html(html)
+    cards = []
+    for card in root.find_all("div", cls="card"):
+        a = next(card.find_all("a"), None)
+        if a is None or not a.attrs.get("href"):
+            continue
+        date_el = next(card.find_all("span", cls="date"), None)
+        cards.append(
+            {
+                "link": a.attrs["href"],
+                "title": a.text().strip() or None,
+                "date": date_el.text().strip() if date_el is not None else None,
+            }
+        )
+    return cards
+
+
+_EXCLUDED_DIV_CLASSES = {"ad", "related", "articlePhoto", "promo"}
+
+
+def _excluded(node: Node, host: str) -> bool:
+    """Structural exclusions (ads/related everywhere; photo-wrapper divs —
+    reference bangkokpost branch :2283, article-photo :2270)."""
+    def bad(p):
+        return isinstance(p, Node) and p.tag == "div" and (p.classes() & _EXCLUDED_DIV_CLASSES)
+    return node.has_ancestor(bad) or bad(node)
+
+
+def extract_article(html: str, host: str) -> dict:
+    """Article page → title, raw date, ordered interleaved spans,
+    redirect_url (for empty-body pages, reference :2389-2432).
+
+    Span semantics: walk the body container in document order; <p> text →
+    kind='text'; <figure>/<img> → kind='media' with media_ref=src and the
+    figcaption text as the span text; <ul>/<ol> items → text spans with
+    the reference's punctuation stitching (',' between items, '.' last);
+    <strong>/<b> content dropped for the inquirer-analog host (:2113-2134).
+    """
+    root = parse_html(html)
+    title_el = next(root.find_all("h1"), None)
+    title = title_el.text().strip() if title_el is not None else None
+    date_el = next(root.find_all("span", cls="pubdate"), None)
+    date_raw = date_el.text().strip() if date_el is not None else None
+
+    body = next(root.find_all("div", cls="article-body"), None)
+    if body is None:
+        body = next(root.find_all("div", cls="article-content"), None)  # ktimes alt branch
+    spans: list[tuple[str, str | None, str | None]] = []
+    redirect_url = None
+
+    if body is not None:
+        drop_strong = "inq.example" in host
+        for node in body.iter():
+            if not isinstance(node, Node) or _excluded(node, host):
+                continue
+            if node.tag == "p":
+                txt = _para_text(node, drop_strong).strip()
+                if txt:
+                    spans.append(("text", txt, None))
+            elif node.tag == "figure":
+                img = next(node.find_all("img"), None)
+                cap = next(node.find_all("figcaption"), None)
+                spans.append(
+                    (
+                        "media",
+                        cap.text().strip() if cap is not None else None,
+                        img.attrs.get("src") if img is not None else None,
+                    )
+                )
+            elif node.tag == "img" and not node.has_ancestor(
+                lambda p: isinstance(p, Node) and p.tag == "figure"
+            ):
+                spans.append(("media", None, node.attrs.get("src")))
+            elif node.tag in ("ul", "ol"):
+                items = [li.text().strip() for li in node.find_all("li")]
+                items = [t for t in items if t]
+                for i, t in enumerate(items):
+                    suffix = "." if i == len(items) - 1 else ","
+                    spans.append(("text", t + suffix, None))
+
+    if not any(k == "text" and (t or "").strip() for k, t, _ in spans):
+        # empty body: look for the redirect anchor (reference :2389-2402)
+        for a in root.find_all("a"):
+            if "click here for article" in a.text().lower():
+                redirect_url = a.attrs.get("href")
+                break
+
+    return {"title": title, "date_raw": date_raw, "spans": spans, "redirect_url": redirect_url}
+
+
+def _para_text(p: Node, drop_strong: bool) -> str:
+    out: list[str] = []
+
+    def walk(n):
+        for c in n.children:
+            if isinstance(c, str):
+                out.append(c)
+            elif c.tag in ("ul", "ol", "figure"):
+                continue  # handled as their own spans
+            elif drop_strong and c.tag in ("strong", "b"):
+                continue  # decompose (reference :2113-2134)
+            else:
+                walk(c)
+
+    walk(p)
+    return "".join(out)

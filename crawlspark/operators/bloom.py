@@ -1,0 +1,108 @@
+"""Partitioned Bloom filter for the URL-seen set (SURVEY.md §2.3 J1).
+
+Replaces the reference's request-fingerprint dupefilter
+(settings.py:92,107) with an explicit, persistable structure:
+
+  * keys are canonical URLs; each key owns two independent 64-bit values
+    derived from its md5 (double hashing: pos_i = (h1 + i*h2) mod m);
+  * the bit space is split into ``n_buckets`` independent filters keyed by
+    ``bucket = h1 mod n_buckets``, so (a) each bucket's blob stays small
+    enough for one executor even at 10^10 keys (~1.2 GB per 10^9 keys at
+    1% FPR, split across buckets), and (b) probe/update parallelize per
+    bucket with zero cross-bucket coordination;
+  * probes are vectorized numpy over Arrow batches (mapInPandas with the
+    blobs broadcast — zero shuffle — for state that fits in memory;
+    groupBy(bucket).applyInPandas co-partitioned probing is the >memory
+    path at full scale);
+  * Bloom positives are verified with an exact LEFT ANTI join against the
+    frontier (the seen set's exact form), so false positives never drop a
+    URL — false-negative-free by construction, and the exact join input
+    is only the tiny positive subset.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def key_hashes(urls: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 per key from md5 (stable across engines)."""
+    h1 = np.empty(len(urls), dtype=np.uint64)
+    h2 = np.empty(len(urls), dtype=np.uint64)
+    for i, u in enumerate(urls):
+        d = hashlib.md5(u.encode("utf-8", "surrogatepass")).digest()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:16], "big") | 1  # odd → full cycle
+    return h1, h2
+
+
+class BloomState:
+    """n_buckets independent bit arrays + per-bucket key counts."""
+
+    def __init__(self, n_buckets: int = 32, bits_per_bucket: int = 1 << 20, k: int = 7):
+        self.n_buckets = n_buckets
+        self.m = bits_per_bucket
+        self.k = k
+        self.blobs = np.zeros((n_buckets, bits_per_bucket // 8), dtype=np.uint8)
+        self.n_items = np.zeros(n_buckets, dtype=np.int64)
+
+    # -- serialization (persisted per snapshot; see tables.SnapshotCatalog)
+    def to_npz(self, path: str) -> None:
+        np.savez_compressed(
+            path, blobs=self.blobs, n_items=self.n_items,
+            meta=np.array([self.n_buckets, self.m, self.k], dtype=np.int64),
+        )
+
+    @classmethod
+    def from_npz(cls, path: str) -> "BloomState":
+        z = np.load(path)
+        nb, m, k = (int(x) for x in z["meta"])
+        st = cls(nb, m, k)
+        st.blobs = z["blobs"]
+        st.n_items = z["n_items"]
+        return st
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        buckets = (h1 % np.uint64(self.n_buckets)).astype(np.int64)
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        pos = (h1[:, None] + i * h2[:, None]) % np.uint64(self.m)
+        return buckets, pos.astype(np.int64)
+
+    def probe(self, urls: list[str]) -> np.ndarray:
+        """Vectorized membership test → bool array (True = maybe seen)."""
+        if not urls:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = key_hashes(urls)
+        buckets, pos = self._positions(h1, h2)
+        byte_idx, bit = pos >> 3, (pos & 7).astype(np.uint8)
+        bits = (self.blobs[buckets[:, None], byte_idx] >> bit) & 1
+        return bits.all(axis=1)
+
+    def add(self, urls: list[str]) -> None:
+        if not urls:
+            return
+        h1, h2 = key_hashes(urls)
+        buckets, pos = self._positions(h1, h2)
+        byte_idx, bit = pos >> 3, (pos & 7).astype(np.uint8)
+        np.bitwise_or.at(
+            self.blobs, (buckets[:, None].repeat(self.k, 1), byte_idx), np.uint8(1) << bit
+        )
+        np.add.at(self.n_items, buckets, 1)
+
+    def delta_bits(self, urls: list[str]) -> "BloomState":
+        """Bits for new keys only, as a fresh state (OR-mergeable)."""
+        d = BloomState(self.n_buckets, self.m, self.k)
+        d.add(urls)
+        return d
+
+    def merge(self, other: "BloomState") -> None:
+        assert (self.n_buckets, self.m, self.k) == (other.n_buckets, other.m, other.k)
+        np.bitwise_or(self.blobs, other.blobs, out=self.blobs)
+        self.n_items += other.n_items
+
+    def fpr_estimate(self) -> float:
+        """Worst-bucket theoretical FPR (1-e^{-kn/m})^k."""
+        n = int(self.n_items.max()) if self.n_items.size else 0
+        return float((1.0 - np.exp(-self.k * n / self.m)) ** self.k)

@@ -1,0 +1,104 @@
+"""Document path: clean spans → date/keyword/empty filters → DOCUMENTS rows.
+
+Reference analog: ``write_to_local_data`` (covid_news_spider.py:2474-2567):
+date parse + per-source COVID window (:2480-2526), media-credit and
+footnote cleaning (:1616-1645, :1648-2014), keyword filter (:2543-2546),
+empty-body drop (:2530-2531), filename → doc_id derivation (:2547-2557).
+
+One Arrow-batched mapInPandas does the Python-only work (span cleaning +
+messy-date parsing); every filter after it is a pure built-in Column so
+Catalyst can reorder/push them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawlspark import rules, schemas
+from crawlspark.functions.dates import parse_date_py
+from crawlspark.functions.textclean import clean_spans
+from crawlspark.functions.urls import domain_expr, host_expr
+
+_CLEANED = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("published_date", T.DateType()),
+        T.StructField("spans", T.ArrayType(schemas.SPAN)),
+    ]
+)
+
+
+def doc_id_py(url: str) -> str:
+    return hashlib.sha1(url.encode("utf-8", "surrogatepass")).hexdigest()
+
+
+def docs_stage(parsed_docs: DataFrame, batch_id: int) -> DataFrame:
+    """parsed rec='doc' rows → DOCUMENTS rows (filtered, cleaned, keyed)."""
+
+    def clean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw = r.spans if r.spans is not None else []
+                spans_in = [(s["kind"], s["text"], s["media_ref"]) for s in raw]
+                cleaned = clean_spans(spans_in)
+                rows.append(
+                    {
+                        "url": r.url,
+                        "host": r.host,
+                        "title": r.title,
+                        "published_date": parse_date_py(r.date_raw),
+                        "spans": cleaned,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    cleaned = parsed_docs.select("url", "host", "title", "date_raw", "spans").mapInPandas(
+        clean, schema=_CLEANED
+    )
+
+    domain = domain_expr(host_expr(F.col("url")))
+    # per-source date window as a CASE chain (small dim; reference :2495-2526)
+    lo = F.lit(rules.DEFAULT_DATE_WINDOW[0])
+    hi = F.lit(rules.DEFAULT_DATE_WINDOW[1])
+    for d, (a, b) in rules.DATE_WINDOWS.items():
+        lo = F.when(domain == d, F.lit(a)).otherwise(lo)
+        hi = F.when(domain == d, F.lit(b)).otherwise(hi)
+
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))
+    body_text = F.concat_ws(
+        "\n", F.transform(text_spans, lambda s: s["text"])
+    )
+    kw_rx = "|".join(rules.SEARCH_KEYWORDS).replace("-", r"\-")
+    keyword_ok = F.lower(F.concat_ws(" ", F.coalesce(F.col("title"), F.lit("")), body_text)).rlike(kw_rx)
+
+    src = F.lit(None).cast("string")
+    for d, code in rules.SOURCE_CODES.items():
+        src = F.when(domain == d, F.lit(code)).otherwise(src)
+
+    out = (
+        cleaned.filter(F.size(text_spans) > 0)  # F5 empty-body drop
+        .filter(F.col("published_date").isNotNull())
+        .filter(F.year("published_date").between(lo, hi))  # F4 date window
+        .filter(keyword_ok)  # F3 keyword relevance
+        .select(
+            F.sha1(F.encode(F.col("url"), "UTF-8")).alias("doc_id"),  # C6
+            "url",
+            "title",
+            "published_date",
+            src.alias("source"),  # F7
+            F.lit(batch_id).alias("batch_id"),
+            "spans",
+        )
+        .dropDuplicates(["doc_id"])
+    )
+    return out

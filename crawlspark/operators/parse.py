@@ -1,0 +1,89 @@
+"""Parse stage: fetched pages → link rows + document rows (one pass).
+
+Reference analog: ``parse`` / ``parse_articles`` / ``get_next_pages`` /
+``get_article_content`` (covid_news_spider.py:881-2471).  One Arrow-batched
+mapInPandas emits a union of 'link' and 'doc' records (schemas.PARSED);
+downstream filters split the two paths — the page body is parsed exactly
+once per fetch, like the reference's single callback per response.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from crawlspark import html_parse, schemas, synthetic
+from crawlspark.functions import urls as U
+
+
+def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, body: str, meta):
+    out = []
+
+    def rec(**kw):
+        base = {
+            "rec": None, "url": url, "host": host, "depth": depth,
+            "page_kind": page_kind, "status": status, "link": None,
+            "link_kind": None, "meta": None, "title": None,
+            "date_raw": None, "spans": None,
+        }
+        base.update(kw)
+        return base
+
+    if status != 200 or not body:
+        return out
+    if page_kind == "listing":
+        cards = html_parse.extract_listing_cards(body)
+        card_links = set()
+        for c in cards:
+            canon = U.fix_url_py(c["link"], url)
+            card_links.add(canon)
+            out.append(
+                rec(rec="link", link=canon, link_kind="article",
+                    meta={"title": c["title"], "date": c["date"], "article_url": canon})
+            )
+        for href in html_parse.extract_links(body):
+            canon = U.fix_url_py(href, url)
+            if canon in card_links:
+                continue  # already emitted with meta
+            kind, _, _ = synthetic.classify_url(canon)
+            out.append(rec(rec="link", link=canon,
+                           link_kind="listing" if kind == "listing" else "article"))
+    else:  # article
+        art = html_parse.extract_article(body, host)
+        if art["redirect_url"]:
+            canon = U.fix_url_py(art["redirect_url"], url)
+            out.append(
+                rec(rec="link", link=canon, link_kind="article",
+                    meta={"title": art["title"], "date": art["date_raw"], "article_url": canon})
+            )
+        else:
+            title = art["title"] or (meta or {}).get("title")
+            date_raw = art["date_raw"] or (meta or {}).get("date")
+            out.append(
+                rec(rec="doc", title=title, date_raw=date_raw,
+                    spans=[
+                        {"kind": k, "text": t, "media_ref": m, "offset": i}
+                        for i, (k, t, m) in enumerate(art["spans"])
+                    ])
+            )
+    return out
+
+
+def parse_stage(fetched: DataFrame) -> DataFrame:
+    """FETCHED (status==200 rows) → PARSED union rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schemas.PARSED.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for r in pdf.itertuples(index=False):
+                meta = r.meta if isinstance(r.meta, dict) else None
+                rows.extend(
+                    _parse_row(r.final_url or r.url, r.host, r.depth, r.page_kind, r.status, r.body, meta)
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return fetched.mapInPandas(run, schema=schemas.PARSED)

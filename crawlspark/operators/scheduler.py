@@ -1,0 +1,97 @@
+"""Politeness scheduler + priority frontier queue (SURVEY §2.4 A1, §2.5 W1).
+
+Reference analog: Scrapy's per-domain concurrency/delay knobs
+(settings.py:23-31, DOWNLOAD_DELAY covid_news_spider.py:427-428,
+ROBOTSTXT_OBEY settings.py:20) and its disk-backed priority queue
+(queuelib).  Here the schedule is an explicit DataFrame computation:
+
+  * each micro-batch represents a fixed virtual time window
+    (rules.BATCH_PERIOD_S); a host's budget per batch is
+    floor(period / crawl_delay) — the politeness invariant;
+  * robots.txt Disallow prefixes filter URLs before scheduling;
+  * per-host top-K is the canonical window top-k, made skew-proof with a
+    two-phase rank: phase 1 ranks within (host, salt) sub-groups so a hot
+    host's millions of pending rows never land in one window partition;
+    phase 2 ranks the ≤ S·K phase-1 survivors per host.  Ordering is the
+    engine's deterministic crawl order: (priority DESC, url ASC) — the
+    same at any parallelism, which is what makes local[8] ≡ local[32]
+    (and N ≡ 4N executors) bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark import rules
+
+SALT_BUCKETS = 16  # phase-1 sub-groups per host (hot-host skew mitigation)
+
+
+def priority_expr(depth, page_kind, url):
+    """Deterministic priority: listings first (keep the frontier fed),
+    keyword-bearing URLs boosted (reference 'higher priority' note :218),
+    deeper pages later."""
+    kw = "|".join(rules.SEARCH_KEYWORDS)
+    return (
+        F.when(page_kind == "listing", F.lit(10.0)).otherwise(F.lit(0.0))
+        + F.when(F.lower(url).rlike(kw), F.lit(2.0)).otherwise(F.lit(0.0))
+        - depth.cast("double") * 0.1
+    )
+
+
+def priority_py(depth: int, page_kind: str, url: str) -> float:
+    p = 10.0 if page_kind == "listing" else 0.0
+    lu = url.lower()
+    if any(k in lu for k in rules.SEARCH_KEYWORDS):
+        p += 2.0
+    return p - 0.1 * depth
+
+
+def robots_allowed_expr(url, host, hosts_df_alias):
+    """Column form is built by the caller via a broadcast join on host —
+    see schedule(); kept here for symmetry."""
+    raise NotImplementedError
+
+
+def robots_allowed_py(url: str, disallow: list[str] | None) -> bool:
+    if not disallow:
+        return True
+    try:
+        path = "/" + url.split("://", 1)[1].split("/", 1)[1]
+    except IndexError:
+        path = "/"
+    return not any(path.startswith(d) for d in disallow)
+
+
+def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int) -> DataFrame:
+    """pending(FRONTIER) × hosts → the rows fetched this batch.
+
+    hosts is a small dimension → broadcast join (no shuffle on the big
+    side for the budget/robots lookup); the only shuffle is the per-host
+    rank, bounded by the two-phase salt.
+    """
+    df = pending.filter(F.col("not_before_batch") <= F.lit(batch_id))
+    df = df.join(F.broadcast(hosts), on="host", how="inner")
+
+    # robots: Disallow prefix check, pure built-ins (array of prefixes)
+    path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+    df = df.filter(
+        F.col("robots_disallow").isNull()
+        | ~F.exists(
+            F.col("robots_disallow"),
+            lambda d: F.startswith(path, d),
+        )
+    )
+
+    salt = F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS))
+    w1 = Window.partitionBy("host", salt).orderBy(F.desc("priority"), F.asc("url"))
+    w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    out = (
+        df.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= F.col("budget_per_batch"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= F.col("budget_per_batch"))
+        .drop("r1", "rank", "crawl_delay_s", "budget_per_batch", "robots_disallow")
+    )
+    return out

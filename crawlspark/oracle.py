@@ -1,0 +1,180 @@
+"""Single-threaded straight-line crawl oracle.
+
+Implements the same crawl semantics as crawlspark.crawl but with plain
+Python data structures and zero parallelism — the ground truth for the
+pytest equality checks required by BASELINE.json: final URL-seen set,
+crawl order (batch granularity), and per-doc span-sequence
+(kind, text, media_ref, order) equality.  It shares only *scalar* helper
+functions with the engine (fix_url, skip filter, clean_spans, date parse,
+priority) — the frontier/dedup/scheduling/merge machinery it validates is
+implemented independently here (dicts + sorts vs DataFrames + windows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from crawlspark import html_parse, rules, synthetic
+from crawlspark.functions import urls as U
+from crawlspark.functions.dates import parse_date_py
+from crawlspark.functions.textclean import clean_spans
+from crawlspark.operators.docs import doc_id_py
+from crawlspark.operators.scheduler import priority_py, robots_allowed_py
+
+
+@dataclass
+class OracleResult:
+    seen: set = field(default_factory=set)
+    progress: list = field(default_factory=list)  # (url, batch, attempt, outcome, status)
+    docs: dict = field(default_factory=dict)  # doc_id -> doc dict
+    batches: int = 0
+
+
+def crawl_oracle(
+    spec: synthetic.WebSpec,
+    max_batches: int = 64,
+    max_depth: int = 64,
+    budget_override: int | None = None,
+) -> OracleResult:
+    res = OracleResult()
+    hosts: dict[str, dict] = {}
+    # pending: url -> record
+    pending: dict[str, dict] = {}
+
+    def robots(host: str) -> dict:
+        if host not in hosts:
+            hosts[host] = synthetic.robots_for_host(host)
+        return hosts[host]
+
+    for u in synthetic.seed_urls(spec):
+        cu = U.fix_url_py(u)
+        if U.should_skip_py(cu):
+            continue
+        host = U.host_of_py(cu)
+        robots(host)
+        pending[cu] = {
+            "url": cu, "host": host, "depth": 0,
+            "priority": priority_py(0, "listing", cu),
+            "retry_count": 0, "not_before": 0, "kind": "listing", "meta": None,
+        }
+        res.seen.add(cu)
+
+    batch = 0
+    while batch < max_batches:
+        batch += 1
+        eligible: dict[str, list[dict]] = {}
+        for r in pending.values():
+            if r["not_before"] > batch:
+                continue
+            rb = robots(r["host"])
+            if not robots_allowed_py(r["url"], rb["disallow"]):
+                continue
+            eligible.setdefault(r["host"], []).append(r)
+        scheduled: list[dict] = []
+        for host in sorted(eligible):
+            budget = budget_override or robots(host)["budget_per_batch"]
+            rows = sorted(eligible[host], key=lambda r: (-r["priority"], r["url"]))
+            scheduled.extend(rows[:budget])
+        if not scheduled:
+            if any(r["not_before"] > batch for r in pending.values()):
+                continue  # backoff-gated work remains
+            batch -= 1
+            break
+
+        candidates: dict[str, dict] = {}  # link url -> winner record
+        for r in scheduled:
+            del pending[r["url"]]
+            status, final_url, body, _ = synthetic.fetch(spec, r["url"], r["retry_count"])
+            if status == 200:
+                outcome = "done"
+            elif status in rules.SKIP_STATUSES:
+                outcome = "skipped"
+            elif status in rules.RETRYABLE_STATUSES and r["retry_count"] < rules.MAX_RETRIES:
+                outcome = "retry"
+            else:
+                outcome = "failed"
+            res.progress.append((r["url"], batch, r["retry_count"], outcome, status))
+            if outcome == "retry":
+                nr = dict(r)
+                nr["retry_count"] += 1
+                nr["not_before"] = batch + 2 ** nr["retry_count"]
+                pending[r["url"]] = nr
+                continue
+            if outcome != "done":
+                continue
+            page_url = final_url or r["url"]
+            if r["kind"] == "listing":
+                cards = html_parse.extract_listing_cards(body)
+                card_links = set()
+                for c in cards:
+                    canon = U.fix_url_py(c["link"], page_url)
+                    card_links.add(canon)
+                    _add_candidate(candidates, canon, r, "article",
+                                   {"title": c["title"], "date": c["date"], "article_url": canon})
+                for href in html_parse.extract_links(body):
+                    canon = U.fix_url_py(href, page_url)
+                    if canon in card_links:
+                        continue
+                    k, _, _ = synthetic.classify_url(canon)
+                    _add_candidate(candidates, canon, r,
+                                   "listing" if k == "listing" else "article", None)
+            else:
+                art = html_parse.extract_article(body, r["host"])
+                if art["redirect_url"]:
+                    canon = U.fix_url_py(art["redirect_url"], page_url)
+                    _add_candidate(candidates, canon, r, "article",
+                                   {"title": art["title"], "date": art["date_raw"], "article_url": canon})
+                else:
+                    _emit_doc(res, page_url, r, art, batch)
+
+        # frontier merge: skip-filter → dedup vs seen → append
+        for canon in sorted(candidates):
+            c = candidates[canon]
+            if U.should_skip_py(canon):
+                continue
+            if c["depth"] > max_depth or canon in res.seen:
+                continue
+            res.seen.add(canon)
+            host = U.host_of_py(canon)
+            pending[canon] = {
+                "url": canon, "host": host, "depth": c["depth"],
+                "priority": priority_py(c["depth"], c["kind"], canon),
+                "retry_count": 0, "not_before": batch + 1,
+                "kind": c["kind"], "meta": c["meta"],
+            }
+    res.batches = batch
+    return res
+
+
+def _add_candidate(candidates: dict, canon: str, src: dict, kind: str, meta):
+    rec = {"depth": src["depth"] + 1, "kind": kind, "meta": meta, "src": src["url"]}
+    cur = candidates.get(canon)
+    if cur is None or rec["src"] < cur["src"]:
+        candidates[canon] = rec
+
+
+def _emit_doc(res: OracleResult, page_url: str, r: dict, art: dict, batch: int):
+    title = art["title"] or (r["meta"] or {}).get("title")
+    date_raw = art["date_raw"] or (r["meta"] or {}).get("date")
+    spans = clean_spans(art["spans"])
+    if not any(s["kind"] == "text" for s in spans):
+        return
+    pub = parse_date_py(date_raw)
+    if pub is None:
+        return
+    domain = U.domain_of_py(U.host_of_py(page_url))
+    lo, hi = rules.DATE_WINDOWS.get(domain, rules.DEFAULT_DATE_WINDOW)
+    if not (lo <= pub.year <= hi):
+        return
+    body_text = "\n".join(s["text"] for s in spans if s["kind"] == "text" and s["text"])
+    hay = ((title or "") + " " + body_text).lower()
+    if not any(k in hay for k in rules.SEARCH_KEYWORDS):
+        return
+    did = doc_id_py(page_url)
+    if did in res.docs:
+        return
+    res.docs[did] = {
+        "doc_id": did, "url": page_url, "title": title,
+        "published_date": pub, "source": rules.SOURCE_CODES.get(domain),
+        "batch_id": batch, "spans": spans,
+    }

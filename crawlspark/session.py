@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode defaults follow the sandbox (local[32], 128 GiB driver); on a
+real cluster the same builder is used via ``spark-submit --py-files`` and
+the master/memory settings come from the submit command instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Partition counts sized so that at sf0.1 each shuffle partition holds a
+# few MB; on a 1000-executor cluster the same code paths scale by raising
+# spark.sql.shuffle.partitions via --conf (AQE coalesces the small case).
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "crawlspark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with crawl-engine defaults.
+
+    AQE is on (runtime coalescing + skew-join handling — hot hosts in the
+    frontier are the expected skew source, cf. reference seed-host skew at
+    covid_news_spider.py:299-305).  Arrow is on: every non-SQL operator in
+    this engine is a pandas UDF over Arrow batches (no per-row Python UDFs).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.default.parallelism", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,306 @@
+"""Deterministic synthetic web + fetcher (the sandbox's Splash stand-in).
+
+Every page is a pure function of (url, attempt) — executors generate
+content with zero driver state or network, so the same generator scales
+from the sf0.001 tests to the 10^10-URL bench frontier.  The topology
+mirrors the reference crawl's shape: two hot hosts absorb most of the
+crawl (covid_news_spider.py:299-305 seed-host skew), listing pages chain
+to next pages and fan out to article cards (get_next_pages :728-829,
+parse_articles :989-1341), articles carry interleaved text/media spans,
+boilerplate footers (:1658-1889), media credits (:1616-1645), messy dates
+(:2480-2492), malformed hrefs needing fix_url repairs (:832-878), empty
+bodies with 'click here for article' redirects (:2389-2432), and
+retryable/skip status codes (:883, middlewares.py:38).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass, field
+
+from crawlspark import rules
+
+SEED = 42
+
+_WORDS = (
+    "health ministry reported new cases of the virus today as hospitals "
+    "prepare additional capacity for patients while officials urged "
+    "residents to remain calm and follow safety measures during the "
+    "outbreak response with testing centres open across the city and "
+    "travel restrictions under review by the national task force"
+).split()
+
+_DATE_STYLES = 6
+
+
+@dataclass(frozen=True)
+class WebSpec:
+    """Topology knobs; articles/listings per host derive from ``scale``."""
+
+    scale: float = 1.0
+    sections: int = 4
+    cards_per_page: int = 6
+
+    @property
+    def hosts(self) -> dict[str, dict]:
+        s = self.scale
+        out = {}
+        for dom in rules.ALLOWED_DOMAINS:
+            hot = f"www.{dom}" in rules.HOT_HOSTS
+            n_articles = int((400 if hot else 60) * s) or 8
+            pages_per_section = max(2, int((10 if hot else 3) * s))
+            out[f"www.{dom}"] = {
+                "domain": dom,
+                "n_articles": n_articles,
+                "pages_per_section": pages_per_section,
+            }
+        return out
+
+
+def _rng(*parts) -> random.Random:
+    h = hashlib.md5((":".join(str(p) for p in parts) + f":{SEED}").encode()).digest()
+    return random.Random(int.from_bytes(h[:8], "big"))
+
+
+def _h(*parts) -> int:
+    h = hashlib.md5((":".join(str(p) for p in parts) + f":{SEED}").encode()).digest()
+    return int.from_bytes(h[:8], "big")
+
+
+def article_url(host: str, aid: int) -> str:
+    return f"https://{host}/news/{aid}-s{aid % 7}"
+
+
+def listing_url(host: str, section: int, page: int) -> str:
+    return f"https://{host}/section/{section}/page/{page}"
+
+
+def seed_urls(spec: WebSpec) -> list[str]:
+    return [listing_url(h, 0, 0) for h in spec.hosts]
+
+
+# Synthetic robots.txt state (reference: ROBOTSTXT_OBEY settings.py:20;
+# per-host crawl delay :427-428).  Pure function of host.
+_ROBOTS = {
+    "www.fmt.example": {"disallow": ["/section/1"], "crawl_delay": None},
+    "www.tstar.example": {"disallow": ["/section/2"], "crawl_delay": None},
+    "www.ktimes.example": {"disallow": [], "crawl_delay": 1.0},
+}
+
+
+def robots_for_host(host: str) -> dict:
+    r = _ROBOTS.get(host, {"disallow": [], "crawl_delay": None})
+    delay = r["crawl_delay"] or rules.DEFAULT_CRAWL_DELAY_S
+    return {
+        "disallow": list(r["disallow"]),
+        "crawl_delay_s": delay,
+        "budget_per_batch": max(1, int(rules.BATCH_PERIOD_S / delay)),
+    }
+
+
+def _sentence(rng: random.Random, n: int, keyword: str | None = None) -> str:
+    ws = [rng.choice(_WORDS) for _ in range(n)]
+    if keyword:
+        ws.insert(rng.randrange(len(ws) + 1), keyword)
+    s = " ".join(ws)
+    return s[0].upper() + s[1:] + "."
+
+
+def _article_title(host: str, aid: int) -> str:
+    rng = _rng("title", host, aid)
+    kw = rng.choice(rules.SEARCH_KEYWORDS) if rng.random() < 0.8 else None
+    return _sentence(rng, rng.randint(5, 9), kw)[:-1]
+
+
+def _article_date(host: str, aid: int) -> str:
+    rng = _rng("date", host, aid)
+    if rng.random() < 0.8:
+        y = rng.randint(2020, 2022)
+    else:
+        y = rng.choice([2016, 2017, 2018, 2019, 2024])
+    m, d = rng.randint(1, 12), rng.randint(1, 28)
+    months = ["January", "February", "March", "April", "May", "June", "July",
+              "August", "September", "October", "November", "December"]
+    style = rng.randrange(_DATE_STYLES)
+    if style == 0:
+        return f"{y:04d}-{m:02d}-{d:02d}"
+    if style == 1:
+        return f"{months[m-1]} {d}, {y}"
+    if style == 2:
+        return f"PUBLISHED: {months[m-1]} {d}, {y} - 10:30 AM"
+    if style == 3:
+        return f"{d:02d} {months[m-1][:3]} {y} | 08:15 PM"
+    if style == 4:
+        return f"{rng.randint(2, 20)} days ago"  # relative → year 2023
+    return f"{months[m-1]} {d}, {y} @ Asia Desk"
+
+
+def _mangle_link(rng: random.Random, url: str) -> str:
+    """Emit a malformed variant that fix_url must canonicalize back."""
+    style = rng.randrange(5)
+    if style == 0:
+        return "https://https://" + url.split("://", 1)[1]
+    if style == 1:
+        return "htps://" + url.split("://", 1)[1]
+    if style == 2:
+        return "/" + url.split("/", 3)[3]  # relative
+    if style == 3:
+        return url + "#section"
+    return "  " + url + "  "
+
+
+def _junk_link(rng: random.Random, host: str) -> str:
+    return rng.choice(
+        [
+            "mailto:editor@example.com",
+            "javascript:void(0)",
+            "whatsapp://send?text=hi",
+            f"https://{host}/brochure.pdf",
+            f"https://shop.{host.removeprefix('www.')}/deals",
+            "https://play.google.com/store/apps/details?id=x",
+            "https://othersite.example/article/1",
+            rules.INCOMPLETE_ARTICLES[0],
+        ]
+    )
+
+
+def listing_html(spec: WebSpec, host: str, section: int, page: int) -> str:
+    cfg = spec.hosts[host]
+    rng = _rng("listing", host, section, page)
+    parts = [f"<html><body><h1>Section {section}</h1><div class='listing'>"]
+    # article cards
+    for slot in range(spec.cards_per_page):
+        aid = _h("card", host, section, page, slot) % cfg["n_articles"]
+        url = article_url(host, aid)
+        href = _mangle_link(rng, url) if rng.random() < 0.3 else url
+        title = _article_title(host, aid)
+        date = _article_date(host, aid)
+        parts.append(
+            f"<div class='card'><a href=\"{href}\">{title}</a>"
+            f"<span class='date'>{date}</span></div>"
+        )
+    # junk + blocked links (exercise the skip filter)
+    for _ in range(2):
+        parts.append(f"<a href=\"{_junk_link(rng, host)}\">more</a>")
+    parts.append("</div><nav>")
+    # next-page chain + cross-section links
+    if page + 1 < cfg["pages_per_section"]:
+        parts.append(f"<a href=\"{listing_url(host, section, page + 1)}\">Next Page</a>")
+    for s2 in range(spec.sections):
+        if s2 != section and rng.random() < 0.5:
+            parts.append(f"<a href=\"{listing_url(host, s2, 0)}\">Sec {s2}</a>")
+    parts.append("</nav></body></html>")
+    return "".join(parts)
+
+
+def article_html(spec: WebSpec, host: str, aid: int) -> str:
+    cfg = spec.hosts[host]
+    rng = _rng("article", host, aid)
+    title = _article_title(host, aid)
+    date = _article_date(host, aid)
+    # ~3% empty-body redirect pages (reference :2389-2432)
+    if rng.random() < 0.03:
+        target = article_url(host, (aid + 1) % cfg["n_articles"])
+        return (
+            f"<html><body><h1>{title}</h1><span class='pubdate'>{date}</span>"
+            f"<div class='article-body'></div>"
+            f"<a href=\"{target}\">Click here for article</a></body></html>"
+        )
+    kw = rng.choice(rules.SEARCH_KEYWORDS) if rng.random() < 0.5 else None
+    paras = []
+    n_paras = rng.randint(3, 10)
+    for i in range(n_paras):
+        txt = _sentence(rng, rng.randint(8, 20), kw if i == 0 else None)
+        if rng.random() < 0.15:
+            txt += " (Photo: Reuters)"
+        if "inq.example" in host and rng.random() < 0.3:
+            txt += " <strong>ADVERTISEMENT</strong>"
+        paras.append(f"<p>{txt}</p>")
+        if rng.random() < 0.25:
+            ref = f"https://img.{cfg['domain']}/m/{_h('img', host, aid, i) % 10**6}.jpg"
+            cap = f"Workers at a site. Photo: Agency {i}"
+            paras.append(f"<figure><img src=\"{ref}\"><figcaption>{cap}</figcaption></figure>")
+    if rng.random() < 0.2:
+        items = "".join(
+            f"<li>{_sentence(rng, 5)[:-1]}</li>" for _ in range(rng.randint(2, 4))
+        )
+        paras.append(f"<ul>{items}</ul>")
+    if "bpost.example" in host and rng.random() < 0.4:
+        paras.append("<div class='articlePhoto'><p>PHOTO GALLERY ignore me</p></div>")
+    paras.append("<div class='ad'><p>SPONSORED buy now</p></div>")
+    # boilerplate footer (reference phrase list :1658-1889)
+    if rng.random() < 0.4:
+        for _ in range(rng.randint(1, 3)):
+            phrase = rng.choice(rules.FOOTNOTE_PHRASES)
+            if rng.random() < 0.3 and " " in phrase:
+                cut = phrase.rindex(" ")
+                paras.append(f"<p>{phrase[:cut].capitalize()}</p><p>{phrase[cut+1:]} now</p>")
+            else:
+                paras.append(f"<p>{phrase.capitalize()} today.</p>")
+    body = "".join(paras)
+    return (
+        f"<html><body><h1>{title}</h1><span class='pubdate'>{date}</span>"
+        f"<div class='article-body'>{body}</div>"
+        f"<div class='related'><a href=\"{article_url(host, (aid * 7 + 1) % cfg['n_articles'])}\">rel</a></div>"
+        f"</body></html>"
+    )
+
+
+def classify_url(url: str) -> tuple[str, str, dict]:
+    """url → (page_kind, host, params); page_kind ∈ listing|article|other."""
+    try:
+        rest = url.split("://", 1)[1]
+    except IndexError:
+        return "other", "", {}
+    host, _, path = rest.partition("/")
+    path = "/" + path
+    if "/section/" in path and "/page/" in path:
+        try:
+            section = int(path.split("/section/")[1].split("/")[0])
+            page = int(path.split("/page/")[1].split("/")[0].split("?")[0])
+            return "listing", host, {"section": section, "page": page}
+        except (ValueError, IndexError):
+            return "other", host, {}
+    if "/news/" in path:
+        try:
+            aid = int(path.split("/news/")[1].split("-")[0])
+            return "article", host, {"aid": aid}
+        except (ValueError, IndexError):
+            return "other", host, {}
+    return "other", host, {}
+
+
+def fetch(spec: WebSpec, url: str, attempt: int = 0) -> tuple[int, str, str, int]:
+    """Deterministic fetch → (status, final_url, body, elapsed_ms).
+
+    Status distribution mirrors the reference's handled codes: retryable
+    5xx that succeed on retry (middlewares.py:38-40), 202 skips (:883),
+    404s.  elapsed_ms is deterministic (hash-derived) so throughput
+    benchmarks measure the engine, not a sleep.
+    """
+    kind, host, params = classify_url(url)
+    hv = _h("status", url)
+    elapsed = 20 + hv % 180
+    if kind == "other" or host == "":
+        return 404, url, "", elapsed
+    spec_hosts = spec.hosts
+    if host not in spec_hosts:
+        return 404, url, "", elapsed
+    pct = hv % 100
+    if pct < 2 and attempt == 0:
+        return 503, url, "", elapsed
+    if pct == 2:
+        return 202, url, "", elapsed
+    if pct == 3 and kind == "article":
+        return 404, url, "", elapsed
+    cfg = spec_hosts[host]
+    if kind == "listing":
+        if params["section"] >= spec.sections or params["page"] >= cfg["pages_per_section"]:
+            return 404, url, "", elapsed
+        return 200, url, listing_html(spec, host, params["section"], params["page"]), elapsed
+    aid = params["aid"]
+    if aid >= cfg["n_articles"]:
+        return 404, url, "", elapsed
+    final = article_url(host, aid)  # redirect: query/alias forms collapse
+    return 200, final, article_html(spec, host, aid), elapsed

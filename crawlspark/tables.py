@@ -1,0 +1,142 @@
+"""Snapshot-committed Parquet tables (the engine's Iceberg-role layer).
+
+No Iceberg runtime jar ships in this sandbox, so this module provides the
+subset of Iceberg semantics the engine needs — append-only delta logs,
+atomic multi-table commits, snapshot isolation, resume-from-snapshot,
+compaction — over plain Parquet + JSON manifests:
+
+  * every micro-batch writes its per-table delta files, then one manifest
+    JSON listing the *complete* file set of every table plus engine state
+    (Bloom blobs, host politeness, batch counter), then atomically renames
+    a tmp pointer onto ``_snapshots/LATEST`` — readers see either the old
+    or the new snapshot, never a partial commit (north_rule: "resume
+    exactly from the last committed frontier snapshot");
+  * ``pending`` frontier = frontier deltas LEFT ANTI JOIN progress deltas
+    (MERGE-style updates without rewriting the big table); ``compact()``
+    rewrites the pending set as a new base and truncates the progress log
+    so per-batch read cost stays flat as the crawl grows;
+  * per-snapshot lineage: the manifest records, per table, which files
+    each batch added (metrics table holds per-(batch, host) counters).
+
+Swapping in a real Iceberg catalog (`spark.sql.catalog.*` + MERGE INTO /
+snapshot expiry) replaces exactly this module and nothing else.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crawlspark import schemas
+from crawlspark.operators.bloom import BloomState
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_state"), exist_ok=True)
+
+    # ---------- snapshot plumbing ----------
+    @property
+    def _latest_path(self) -> str:
+        return os.path.join(self.root, "_snapshots", "LATEST")
+
+    def latest(self) -> dict | None:
+        try:
+            with open(self._latest_path) as f:
+                snap_file = f.read().strip()
+            with open(os.path.join(self.root, "_snapshots", snap_file)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _empty(self, table: str) -> DataFrame:
+        return self.spark.createDataFrame([], schemas.TABLE_SCHEMAS[table])
+
+    def read(self, table: str, manifest: dict | None = None) -> DataFrame:
+        m = manifest or self.latest()
+        paths = (m or {}).get("tables", {}).get(table, [])
+        if not paths:
+            return self._empty(table)
+        return self.spark.read.schema(schemas.TABLE_SCHEMAS[table]).parquet(*paths)
+
+    def commit(
+        self,
+        batch_id: int,
+        appends: dict[str, DataFrame],
+        bloom: BloomState | None = None,
+        state: dict | None = None,
+        replace: dict[str, DataFrame] | None = None,
+    ) -> dict:
+        """Atomic multi-table commit: write deltas, then one manifest swap.
+
+        ``appends`` tables gain a delta file-set; ``replace`` tables get
+        their file list reset to just the new data (compaction).
+        """
+        prev = self.latest() or {"snapshot_id": 0, "tables": {}, "state": {}}
+        snap_id = prev["snapshot_id"] + 1
+        tables = {k: list(v) for k, v in prev["tables"].items()}
+        lineage = {}
+
+        def write(table: str, df: DataFrame) -> str | None:
+            path = os.path.join(self.root, table, f"snap{snap_id:06d}-{uuid.uuid4().hex[:8]}")
+            df.write.mode("overwrite").parquet(path)
+            # empty writes still create the dir; keep manifest clean
+            n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+            if n_files == 0:
+                shutil.rmtree(path, ignore_errors=True)
+                return None
+            return path
+
+        for table, df in (replace or {}).items():
+            p = write(table, df)
+            tables[table] = [p] if p else []
+            lineage[table] = {"mode": "replace", "path": p}
+        for table, df in appends.items():
+            p = write(table, df)
+            if p:
+                tables.setdefault(table, []).append(p)
+            lineage[table] = {"mode": "append", "path": p}
+
+        new_state = dict(prev.get("state") or {})
+        new_state.update(state or {})
+        if bloom is not None:
+            bloom_path = os.path.join(self.root, "_state", f"bloom-{snap_id:06d}.npz")
+            bloom.to_npz(bloom_path)
+            new_state["bloom_path"] = bloom_path + ("" if bloom_path.endswith(".npz") else ".npz")
+
+        manifest = {
+            "snapshot_id": snap_id,
+            "batch_id": batch_id,
+            "committed_at": time.time(),
+            "tables": tables,
+            "state": new_state,
+            "lineage": lineage,
+        }
+        snap_file = f"snap-{snap_id:06d}.json"
+        snap_path = os.path.join(self.root, "_snapshots", snap_file)
+        tmp = snap_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, snap_path)  # manifest durable first
+        ptr_tmp = self._latest_path + ".tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(snap_file)
+        os.replace(ptr_tmp, self._latest_path)  # the atomic commit point
+        return manifest
+
+    def load_bloom(self, manifest: dict | None = None) -> BloomState | None:
+        m = manifest or self.latest()
+        p = (m or {}).get("state", {}).get("bloom_path")
+        if not p:
+            return None
+        if not p.endswith(".npz"):
+            p += ".npz"
+        return BloomState.from_npz(p)
