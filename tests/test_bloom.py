@@ -1,0 +1,54 @@
+"""Bloom filter properties: zero false negatives, bounded FPR, merge/serde."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlspark.operators.bloom import BloomState
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=40), min_size=1, max_size=200, unique=True))
+def test_no_false_negatives(urls):
+    b = BloomState(n_buckets=8, bits_per_bucket=1 << 14)
+    b.add(urls)
+    assert b.probe(urls).all()
+
+
+def test_fpr_bound():
+    b = BloomState(n_buckets=16, bits_per_bucket=1 << 16, k=7)
+    added = [f"https://h{i % 50}.example/p/{i}" for i in range(20000)]
+    b.add(added)
+    fresh = [f"https://other{i}.example/q/{i}" for i in range(20000)]
+    fp = int(b.probe(fresh).sum())
+    # theoretical ~ (1-e^{-kn/m})^k per bucket; assert a loose 4x margin
+    assert fp / len(fresh) < 4 * max(b.fpr_estimate(), 1e-4), fp
+
+
+def test_merge_and_serde(tmp_path):
+    a = BloomState(4, 1 << 12)
+    b = BloomState(4, 1 << 12)
+    a.add(["u1", "u2"])
+    b.add(["u3"])
+    a.merge(b)
+    assert a.probe(["u1", "u2", "u3"]).all()
+    p = str(tmp_path / "bloom.npz")
+    a.to_npz(p)
+    c = BloomState.from_npz(p)
+    assert c.probe(["u1", "u2", "u3"]).all()
+    assert np.array_equal(c.blobs, a.blobs)
+
+
+def test_delta_bits_or_merge():
+    base = BloomState(4, 1 << 12)
+    base.add(["seed"])
+    delta = base.delta_bits(["new1", "new2"])
+    assert not base.probe(["new1"]).any()
+    base.merge(delta)
+    assert base.probe(["seed", "new1", "new2"]).all()
+
+
+def test_mismatched_merge_rejected():
+    with pytest.raises(AssertionError):
+        BloomState(4, 1 << 12).merge(BloomState(8, 1 << 12))

@@ -1,0 +1,106 @@
+"""Golden end-to-end: engine vs single-threaded oracle (SURVEY §5), plus
+resume-from-snapshot equality — the BASELINE.json pytest contract."""
+
+import pytest
+
+from crawlspark import synthetic
+from crawlspark.crawl import CrawlConfig, run_crawl
+from crawlspark.oracle import crawl_oracle
+from crawlspark.tables import SnapshotCatalog
+
+SCALE = 0.12
+BUDGET = 15
+MAX_BATCHES = 30
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    spec = synthetic.WebSpec(scale=SCALE)
+    summary = run_crawl(
+        spark,
+        CrawlConfig(warehouse=wh, spec=spec, max_batches=MAX_BATCHES,
+                    budget_override=BUDGET, compact_every=4),
+    )
+    return spark, wh, summary
+
+
+@pytest.fixture(scope="module")
+def oracle_run():
+    return crawl_oracle(synthetic.WebSpec(scale=SCALE), max_batches=MAX_BATCHES,
+                        budget_override=BUDGET)
+
+
+def _tables(spark, wh):
+    cat = SnapshotCatalog(spark, wh)
+    m = cat.latest()
+    seen = {r["url"] for r in cat.read("urlseen", m).collect()}
+    prog = {(r["url"], r["batch_id"], r["attempt"], r["outcome"])
+            for r in cat.read("progress", m).collect()}
+    docs = {
+        r["doc_id"]: {
+            "spans": tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]),
+            "title": r["title"], "published_date": r["published_date"],
+            "source": r["source"], "url": r["url"], "batch_id": r["batch_id"],
+        }
+        for r in cat.read("documents", m).collect()
+    }
+    return seen, prog, docs
+
+
+def test_seen_set_equal(engine_run, oracle_run):
+    spark, wh, _ = engine_run
+    seen, _, _ = _tables(spark, wh)
+    assert seen == oracle_run.seen
+
+
+def test_crawl_order_equal(engine_run, oracle_run):
+    """Per-batch fetch sets + outcomes == oracle under same politeness
+    budget (crawl-order equality at batch granularity)."""
+    spark, wh, _ = engine_run
+    _, prog, _ = _tables(spark, wh)
+    ora = {(u, b, a, o) for (u, b, a, o, s) in oracle_run.progress}
+    assert prog == ora
+
+
+def test_documents_and_spans_equal(engine_run, oracle_run):
+    spark, wh, _ = engine_run
+    _, _, docs = _tables(spark, wh)
+    assert set(docs) == set(oracle_run.docs)
+    for did, d in docs.items():
+        o = oracle_run.docs[did]
+        assert d["spans"] == tuple(
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in o["spans"]
+        ), did
+        assert d["title"] == o["title"] and d["source"] == o["source"]
+        assert d["published_date"] == o["published_date"]
+        assert d["batch_id"] == o["batch_id"]
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path, engine_run, oracle_run):
+    wh2 = str(tmp_path / "wh2")
+    spec = synthetic.WebSpec(scale=SCALE)
+    cfg_stop = CrawlConfig(warehouse=wh2, spec=spec, max_batches=2,
+                           budget_override=BUDGET, compact_every=4)
+    run_crawl(spark, cfg_stop)
+    cfg_go = CrawlConfig(warehouse=wh2, spec=spec, max_batches=MAX_BATCHES,
+                         budget_override=BUDGET, compact_every=4)
+    run_crawl(spark, cfg_go, resume=True)
+    _, wh_full, _ = engine_run[1], engine_run[1], None
+    full = _tables(spark, engine_run[1])
+    resumed = _tables(spark, wh2)
+    assert full == resumed
+
+
+def test_retries_and_outcomes_present(engine_run):
+    """The synthetic web plants 5xx/202/404s; assert the engine recorded
+    retry + skip + failure outcomes (not just the happy path)."""
+    spark, wh, _ = engine_run
+    _, prog, _ = _tables(spark, wh)
+    outcomes = {o for (_, _, _, o) in prog}
+    assert {"done", "retry", "skipped"} <= outcomes
+    retried = [p for p in prog if p[3] == "retry"]
+    assert retried, "expected at least one retryable fetch"
+    # every retry eventually resolved at attempt+1
+    for (u, b, a, o) in retried:
+        assert any(p[0] == u and p[2] == a + 1 for p in prog), u

@@ -1,0 +1,76 @@
+"""Media-credit removal, footnote truncation, span cleaning."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlspark import rules
+from crawlspark.functions import textclean as tc
+
+
+def test_media_credit_inline():
+    assert tc.remove_media_credit("Cases rose today. (Photo: Reuters)") == "Cases rose today. "
+    assert tc.remove_media_credit("A line (Image: AFP) more") == "A line  more"
+    assert "FILE PHOTO" not in tc.remove_media_credit("x FILE PHOTO: y\nnext")
+
+
+def test_footnote_simple_truncation():
+    lines = ["real para one", "real para two", "Join ST's Telegram channel today.", "trailing junk"]
+    assert tc.remove_footnote_lines(lines) == ["real para one", "real para two"]
+
+
+def test_footnote_prefix_kept():
+    lines = ["real para", "useful text join st's telegram channel and more", "junk"]
+    out = tc.remove_footnote_lines(lines)
+    assert out == ["real para", "useful text "]
+
+
+def test_footnote_split_across_lines():
+    # phrase split over two lines — caught by the space-joined window
+    lines = ["para", "get the latest news", "delivered to your inbox now", "junk"]
+    out = tc.remove_footnote_lines(lines)
+    assert out == ["para"]
+
+
+def test_footnote_multiple_phrases():
+    lines = ["para", "follow us on facebook", "mid", "all rights reserved"]
+    assert tc.remove_footnote_lines(lines) == ["para"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["plain text line", "another line", rules.FOOTNOTE_PHRASES[0], rules.FOOTNOTE_PHRASES[5],
+     "x " + rules.FOOTNOTE_PHRASES[2] + " y"]), max_size=8))
+def test_footnote_output_is_prefix(lines):
+    """Property (SURVEY §5): output = prefix of input lines ∪ one edited
+    boundary line."""
+    out = tc.remove_footnote_lines(list(lines))
+    assert len(out) <= len(lines)
+    for i in range(len(out) - 1):
+        assert out[i] == lines[i]
+    if out:
+        last = out[-1]
+        assert last == lines[len(out) - 1] or lines[len(out) - 1].startswith(last)
+
+
+def test_clean_spans_interleaved():
+    spans = [
+        ("text", "Real paragraph about covid.", None),
+        ("media", "Photo: Agency 1", "https://img.cna.example/m/1.jpg"),
+        ("text", "Another paragraph. (Photo: Reuters)", None),
+        ("text", "Join ST's Telegram channel today.", None),
+        ("media", None, "https://img.cna.example/m/2.jpg"),
+        ("text", "after footer junk", None),
+    ]
+    out = tc.clean_spans(spans)
+    kinds = [(s["kind"], s["text"]) for s in out]
+    assert kinds == [
+        ("text", "Real paragraph about covid."),
+        ("media", "Photo: Agency 1"),
+        ("text", "Another paragraph."),
+    ]
+    assert [s["offset"] for s in out] == [0, 1, 2]
+
+
+def test_clean_spans_drops_emptied_credit_span():
+    out = tc.clean_spans([("text", "(Photo: Reuters)", None), ("text", "keep me covid", None)])
+    assert [s["text"] for s in out] == ["keep me covid"]
