@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship document-intake pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline operators); each callable is (spark, sf_dir) → DF.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twin for every query (the few
+non-SQL-expressible ops are rows-only entries without an oracle).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from crawlspark.queries import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document-intake pipeline (tokens × quality × lang-guess ×
+    dedup signature) over /root/testdata/sf0.001 — the per-document analysis
+    stage a crawl feeds at scale."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = SPARK_QUERIES
+    tok = qs["token_count"](spark, sf_dir)
+    qual = qs["quality_score"](spark, sf_dir).select(
+        "doc_id", "stop_ratio", "quality"
+    )
+    lang = qs["lang_id"](spark, sf_dir).select("doc_id", "lang", "guess")
+    fp = qs["doc_fingerprint"](spark, sf_dir).select("doc_id", "short_id")
+    return (
+        tok.join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .join(fp, "doc_id")
+        .select(
+            "doc_id", "lang", "guess", "quality", "n_ws_tokens",
+            "n_bpe_tokens", "stop_ratio", "short_id",
+        )
+        .orderBy(F.asc("doc_id"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -1,0 +1,1010 @@
+"""Driver-contract query pack: Spark implementation + DuckDB oracle SQL.
+
+One entry per operator from SURVEY.md §2 (+ the training-data-pipeline
+operators: dedup family, similarity search, text analysis, multimodal
+plumbing).  Every Spark query and its oracle SQL share the rule constants
+below, and every computed column is aliased identically on both sides so
+the driver's sorted value-hash comparison is meaningful.
+
+Float discipline (cross-engine determinism):
+  * no floating-point SUM/AVG over groups — money-like sums go through
+    cents (row-local round → BIGINT → exact integer sum);
+  * row-local float math (dot products over a single array) is an ordered
+    sequential fold on both engines, then rounded;
+  * timestamps are compared as epoch seconds (BIGINT), never as raw
+    timestamp values (tz-naive vs session-tz).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawlspark import rules
+from crawlspark.functions import urls as U
+
+# ---------------------------------------------------------------- helpers
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _esc(patterns: list[str]) -> str:
+    return "|".join(re.escape(p) for p in patterns)
+
+
+SKIP_RX = _esc(rules.SKIP_SUBSTRINGS)
+EXT_RX = _esc(rules.EXCLUDED_FILE_EXTENSIONS)
+SUBDOM_RX = _esc(rules.IRRELEVANT_SUBDOMAIN_PATTERNS + rules.INACCESSIBLE_SUBDOMAIN_PATTERNS)
+ALLOWED_IN = ", ".join(f"'{d}'" for d in rules.ALLOWED_DOMAINS)
+KW_RX = "window|stream|merge"  # F3 keyword semantics over the testdata vocabulary
+
+SPARK_QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+# ================== 1. URL canonicalization (C1; reference :832-878) =====
+
+_CANON_SQL_REPAIRS = ""
+for _pat, _rep in [
+    (r"^https?://https?://", "https://"),
+    (r"^https?://\(https?:?//?", "https://"),
+    (r"^https?https?://", "https://"),
+    (r"^htt?ps?://", "https://"),
+    (r"^t?t?ps?://", "https://"),
+    (r"^https://ww\.", "https://www."),
+    (r"^https?://www\.\.", "https://www."),
+    (r"^https?://wwww", "https://www"),
+]:
+    _CANON_SQL_REPAIRS = (
+        f"regexp_replace({_CANON_SQL_REPAIRS or 'trim(raw)'}, '{_pat}', '{_rep}')"
+    )
+
+_RAW_URL_SQL = """
+CASE doc_id % 4
+  WHEN 0 THEN 'https://https://www.' || source || '.example/news/' || doc_id
+  WHEN 1 THEN 'htps://www.' || source || '.example/news/' || doc_id
+  WHEN 2 THEN '  https://www.' || source || '.example/news/' || doc_id || '  '
+  ELSE 'https://www.' || source || '.example/news/' || doc_id || '#frag'
+END
+"""
+
+
+@q(
+    "url_canonicalize",
+    f"""
+    WITH t AS (SELECT doc_id, {_RAW_URL_SQL} AS raw FROM documents)
+    SELECT doc_id, raw, regexp_replace({_CANON_SQL_REPAIRS}, '#.*$', '') AS canon
+    FROM t
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example/news/"),
+        F.col("doc_id").cast("string"),
+    )
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://"), base))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("htps://www."), F.col("source"), F.lit(".example/news/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("  "), base, F.lit("  ")))
+        .otherwise(F.concat(base, F.lit("#frag")))
+    )
+    return d.select(
+        "doc_id", raw.alias("raw"), U.fix_url_expr(raw).alias("canon")
+    )
+
+
+# ====== 2. URL skip filter (F1; reference :735-745, 5× repeated) ==========
+
+_CASE_URL_SQL = """
+CASE doc_id % 8
+  WHEN 0 THEN 'https://www.cna.example/news/' || doc_id || '-s1'
+  WHEN 1 THEN 'https://www.stimes.example/section/1/page/' || doc_id
+  WHEN 2 THEN 'mailto:editor@example.com'
+  WHEN 3 THEN 'https://www.cna.example/report.pdf'
+  WHEN 4 THEN 'https://shop.cna.example/deals/' || doc_id
+  WHEN 5 THEN 'https://othersite.example/a/' || doc_id
+  WHEN 6 THEN 'https://play.google.com/store'
+  ELSE 'javascript:void(0)'
+END
+"""
+
+
+@q(
+    "url_skip_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {_CASE_URL_SQL} AS url FROM documents),
+    h AS (SELECT doc_id, url,
+                 lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host FROM t),
+    d AS (SELECT doc_id, url, host,
+                 regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain FROM h)
+    SELECT doc_id, url FROM d
+    WHERE NOT (
+      length(trim(url)) = 0
+      OR regexp_matches(lower(url), '{SKIP_RX}')
+      OR regexp_matches(lower(url), '{EXT_RX}')
+      OR regexp_matches(lower(url), '{SUBDOM_RX}')
+      OR url IN ({", ".join(repr(u) for u in rules.INCOMPLETE_ARTICLES)})
+      OR domain NOT IN ({ALLOWED_IN})
+    )
+    """,
+)
+def url_skip_filter(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 8 == 0, F.concat(F.lit("https://www.cna.example/news/"), did, F.lit("-s1")))
+        .when(F.col("doc_id") % 8 == 1, F.concat(F.lit("https://www.stimes.example/section/1/page/"), did))
+        .when(F.col("doc_id") % 8 == 2, F.lit("mailto:editor@example.com"))
+        .when(F.col("doc_id") % 8 == 3, F.lit("https://www.cna.example/report.pdf"))
+        .when(F.col("doc_id") % 8 == 4, F.concat(F.lit("https://shop.cna.example/deals/"), did))
+        .when(F.col("doc_id") % 8 == 5, F.concat(F.lit("https://othersite.example/a/"), did))
+        .when(F.col("doc_id") % 8 == 6, F.lit("https://play.google.com/store"))
+        .otherwise(F.lit("javascript:void(0)"))
+    )
+    t = d.select("doc_id", url.alias("url"))
+    host = U.host_expr(F.col("url"))
+    dom = U.domain_expr(host)
+    return t.filter(~U.skip_filter_expr(F.col("url"), host, dom)).select("doc_id", "url")
+
+
+# === 3. URL-seen dedup as exact anti-join (J1/U2; settings.py:107) ========
+
+@q(
+    "url_dedup_antijoin",
+    """
+    WITH cand AS (
+      SELECT DISTINCT 'https://www.h' || (l_orderkey % 50) || '.example/p/' || l_orderkey AS url
+      FROM lineitem),
+    seen AS (
+      SELECT 'https://www.h' || (o_orderkey % 50) || '.example/p/' || o_orderkey AS url
+      FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT url FROM cand WHERE url NOT IN (SELECT url FROM seen)
+    """,
+)
+def url_dedup_antijoin(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    cand = li.select(
+        F.concat(
+            F.lit("https://www.h"), (F.col("l_orderkey") % 50).cast("string"),
+            F.lit(".example/p/"), F.col("l_orderkey").cast("string"),
+        ).alias("url")
+    ).distinct()
+    seen = od.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.concat(
+            F.lit("https://www.h"), (F.col("o_orderkey") % 50).cast("string"),
+            F.lit(".example/p/"), F.col("o_orderkey").cast("string"),
+        ).alias("url")
+    )
+    return cand.join(seen, on="url", how="left_anti")
+
+
+# ====== 4. Per-host top-K priority scheduling (W1; queuelib analog) =======
+
+@q(
+    "frontier_topk_per_host",
+    """
+    WITH f AS (SELECT 'h' || (o_custkey % 25) AS host, 'u' || o_orderkey AS url,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS priority_c
+               FROM orders)
+    SELECT host, url, priority_c, rnk FROM (
+      SELECT host, url, priority_c,
+             row_number() OVER (PARTITION BY host ORDER BY priority_c DESC, url ASC) AS rnk
+      FROM f) WHERE rnk <= 3
+    """,
+)
+def frontier_topk_per_host(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    f = od.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 25).cast("string")).alias("host"),
+        F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("priority_c"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority_c"), F.asc("url"))
+    return (
+        f.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("host", "url", "priority_c", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# ====== 5. Politeness budget aggregation (A1; settings.py:25-31) ==========
+
+@q(
+    "politeness_budget",
+    """
+    SELECT 'h' || (o_custkey % 25) AS host,
+           count(*) AS n_pending,
+           max(CAST(round(o_totalprice * 100) AS BIGINT)) AS top_priority_c,
+           least(count(*), 60) AS budget
+    FROM orders GROUP BY 1
+    """,
+)
+def politeness_budget(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    return (
+        od.groupBy(F.concat(F.lit("h"), (F.col("o_custkey") % 25).cast("string")).alias("host"))
+        .agg(
+            F.count("*").alias("n_pending"),
+            F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("top_priority_c"),
+            F.least(F.count("*"), F.lit(60)).alias("budget"),
+        )
+    )
+
+
+# ====== 6. Crawl metrics aggregation (A2; reference :917, :2526) ==========
+
+@q(
+    "crawl_metrics",
+    """
+    SELECT event_type AS outcome,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1
+    """,
+)
+def crawl_metrics(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("outcome")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+    )
+
+
+# ====== 7. Retry routing + exponential backoff (F2; middlewares.py:38) ====
+
+@q(
+    "retry_backoff",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CASE event_type WHEN 'error' THEN 503 WHEN 'view' THEN 202 ELSE 200 END AS status,
+             CAST(event_id % 4 AS INT) AS retry_count
+      FROM events)
+    SELECT event_id, status, retry_count,
+           CASE WHEN status = 200 THEN 'done'
+                WHEN status = 202 THEN 'skipped'
+                WHEN status IN (500,502,503,504,400,408) AND retry_count < 5 THEN 'retry'
+                ELSE 'failed' END AS outcome,
+           CASE WHEN status IN (500,502,503,504,400,408) AND retry_count < 5
+                THEN CASE retry_count + 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END
+                ELSE 0 END AS backoff_batches
+    FROM t
+    """,
+)
+def retry_backoff(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", 503)
+        .when(F.col("event_type") == "view", 202)
+        .otherwise(200)
+    )
+    t = ev.select("event_id", status.alias("status"), (F.col("event_id") % 4).cast("int").alias("retry_count"))
+    retryable = F.col("status").isin(rules.RETRYABLE_STATUSES) & (F.col("retry_count") < rules.MAX_RETRIES)
+    outcome = (
+        F.when(F.col("status") == 200, "done")
+        .when(F.col("status") == 202, "skipped")
+        .when(retryable, "retry")
+        .otherwise("failed")
+    )
+    backoff = F.when(
+        retryable,
+        F.when(F.col("retry_count") + 1 == 1, 2)
+        .when(F.col("retry_count") + 1 == 2, 4)
+        .when(F.col("retry_count") + 1 == 3, 8)
+        .otherwise(16),
+    ).otherwise(0)
+    return t.select(
+        "event_id", "status", "retry_count",
+        outcome.alias("outcome"), backoff.cast("int").alias("backoff_batches"),
+    )
+
+
+# ====== 8. Distinct counts (A3; reference :571-572) =======================
+
+@q(
+    "distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_users(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+# ====== 9. Seed union + in-batch dedup (U1/U3; reference :288, :571) ======
+
+@q(
+    "union_seeds",
+    """
+    SELECT DISTINCT url FROM (
+      SELECT 'https://www.' || lower(r_name) || '.example/section/0/page/0' AS url FROM region
+      UNION ALL
+      SELECT 'https://www.' || lower(n_name) || '.example/section/0/page/0' AS url FROM nation
+      UNION ALL
+      SELECT 'https://www.' || lower(r_name) || '.example/section/0/page/0' AS url FROM region)
+    """,
+)
+def union_seeds(spark, sf_dir):
+    rg = T(spark, sf_dir, "region").select(
+        F.concat(F.lit("https://www."), F.lower("r_name"), F.lit(".example/section/0/page/0")).alias("url")
+    )
+    nt = T(spark, sf_dir, "nation").select(
+        F.concat(F.lit("https://www."), F.lower("n_name"), F.lit(".example/section/0/page/0")).alias("url")
+    )
+    return rg.unionByName(nt).unionByName(rg).dropDuplicates(["url"])
+
+
+# ====== 10. Last-element selection (W2; reference :613, :2172) ============
+
+@q(
+    "last_element",
+    """
+    SELECT doc_id, (string_split(text, ' '))[-1] AS last_word,
+           (string_split(text, ' '))[1] AS first_word,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents
+    """,
+)
+def last_element(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.element_at(words, -1).alias("last_word"),
+        F.element_at(words, 1).alias("first_word"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+
+
+# ====== 11. Date-window filter (F4; reference :2495-2526) =================
+
+@q(
+    "date_window_filter",
+    """
+    SELECT o_orderkey, year(o_orderdate) AS order_year
+    FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+    """,
+)
+def date_window_filter(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("order_year")
+    ).filter(F.col("order_year").between(1996, 1998))
+
+
+# ====== 12. Keyword relevance filter (F3; reference :2543-2546) ===========
+
+@q(
+    "keyword_filter",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE regexp_matches(lower(text), '{KW_RX}')
+    """,
+)
+def keyword_filter(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.filter(F.lower("text").rlike(KW_RX)).select("doc_id", "lang")
+
+
+# ====== 13. Source labeling (F7; reference :1344-1354) ====================
+
+@q(
+    "source_label",
+    """
+    SELECT doc_id, source,
+           CASE WHEN source IN ('src0','src1','src2') THEN 'CNA'
+                WHEN source IN ('src3','src4','src5') THEN 'ST'
+                WHEN source IN ('src6','src7','src8') THEN 'INQ'
+                ELSE 'OTHER' END AS label
+    FROM documents
+    """,
+)
+def source_label(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    label = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), "CNA")
+        .when(F.col("source").isin("src3", "src4", "src5"), "ST")
+        .when(F.col("source").isin("src6", "src7", "src8"), "INQ")
+        .otherwise("OTHER")
+    )
+    return d.select("doc_id", "source", label.alias("label"))
+
+
+# ====== 14. Media-credit strip (C2; reference :1616-1645) =================
+
+@q(
+    "media_credit_strip",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             'Lead para. (Photo: ' || source || ') ' || substr(text, 1, 60) || ' (AP Photo/Stringer)' AS body
+      FROM documents)
+    SELECT doc_id, regexp_replace(body, '\((AP )?Photo[^)]*\)', '', 'g') AS cleaned FROM t
+    """,
+)
+def media_credit_strip(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("Lead para. (Photo: "), F.col("source"), F.lit(") "),
+        F.substring("text", 1, 60), F.lit(" (AP Photo/Stringer)"),
+    )
+    return d.select(
+        "doc_id", F.regexp_replace(body, r"\((AP )?Photo[^)]*\)", "").alias("cleaned")
+    )
+
+
+# ====== 15. Doc fingerprint (C6; reference :2547-2557) ====================
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 12) AS short_id,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5("text").alias("fp"),
+        F.substring(F.md5("text"), 1, 12).alias("short_id"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+# ==========================================================================
+# Training-data pipeline operators (documents / embeddings / events)
+# ==========================================================================
+
+# ---- 16. exact dedup: hash-groupBy (training-pipeline op) ----------------
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id")
+    )
+
+
+# ---- 17. MinHash signatures + LSH band keys (row-local, shuffle-free) ----
+
+_MINHASH_K = 6
+
+
+def _shingles_sql() -> str:
+    return (
+        "list_transform(range(1, len(string_split(text,' ')) - 1), "
+        "i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1] "
+        "|| '_' || string_split(text,' ')[i+2])"
+    )
+
+
+_MH_COLS_SQL = ",\n       ".join(
+    f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS mh{j}" for j in range(_MINHASH_K)
+)
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH t AS (SELECT doc_id, {_shingles_sql()} AS sh FROM documents
+               WHERE len(string_split(text,' ')) >= 3),
+    m AS (SELECT doc_id, {_MH_COLS_SQL} FROM t)
+    SELECT doc_id, mh0, mh5,
+           md5(mh0 || mh1) AS band0, md5(mh2 || mh3) AS band1, md5(mh4 || mh5) AS band2
+    FROM m
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash over word 3-shingles with md5 string-min hashing (portable
+    across engines), banded into LSH keys.  Everything is row-local
+    (array_min over transform) — signatures need ZERO shuffle; the only
+    shuffle in the full dedup pipeline is the tiny band-key self-join."""
+    d = T(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(words) - 2)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            "_", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    t = d.filter(F.size(words) >= 3).select("doc_id", sh.alias("sh"))
+    def _mh_fn(j):
+        prefix = f"{j}:"
+        return lambda sh_el: F.md5(F.concat(F.lit(prefix), sh_el))
+
+    mh = [
+        F.array_min(F.transform(F.col("sh"), _mh_fn(j))).alias(f"mh{j}")
+        for j in range(_MINHASH_K)
+    ]
+    m = t.select("doc_id", *mh)
+    return m.select(
+        "doc_id", "mh0", "mh5",
+        F.md5(F.concat("mh0", "mh1")).alias("band0"),
+        F.md5(F.concat("mh2", "mh3")).alias("band1"),
+        F.md5(F.concat("mh4", "mh5")).alias("band2"),
+    )
+
+
+# ---- 18. SimHash (16-bit demo width; portable hex→int hashing) -----------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    hs = "list_transform(string_split(text,' '), w -> ('0x' || substr(md5(w),1,15))::BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {hs} AS hs FROM documents
+               WHERE len(string_split(text,' ')) >= 1)
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM t
+    """
+
+
+@q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    hs = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    t = d.filter(F.size(words) >= 1).select("doc_id", hs.alias("hs"))
+    n = F.size("hs")
+    sim = F.lit(0).cast("long")
+    def _bit_fn(b):
+        return lambda h: F.shiftright(h, b).bitwiseAND(1) == 1
+
+    for b in range(_SIMHASH_BITS):
+        ones = F.size(F.filter(F.col("hs"), _bit_fn(b)))
+        sim = sim + F.when(2 * ones > n, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return t.select("doc_id", sim.alias("simhash"))
+
+
+# ---- 19. n-gram Jaccard similarity between adjacent docs -----------------
+
+@q(
+    "ngram_jaccard_adjacent",
+    """
+    WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word FROM documents),
+    ab AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+           FROM w a JOIN w b ON a.word = b.word AND b.doc_id = a.doc_id + 1
+           GROUP BY 1, 2),
+    sz AS (SELECT doc_id, count(DISTINCT word) AS n FROM w GROUP BY 1)
+    SELECT ab.a_id, ab.b_id, ab.n_common,
+           round(ab.n_common / (sa.n + sb.n - ab.n_common), 4) AS jaccard
+    FROM ab JOIN sz sa ON sa.doc_id = ab.a_id JOIN sz sb ON sb.doc_id = ab.b_id
+    """,
+)
+def ngram_jaccard_adjacent(spark, sf_dir):
+    """Exact word-set Jaccard for candidate pairs (adjacent doc_ids as the
+    deterministic candidate generator; in the LSH pipeline the candidates
+    come from band buckets instead).  Integer-exact until one final
+    division → cross-engine deterministic."""
+    d = T(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    ab = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("b.doc_id") == F.col("a.doc_id") + 1))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz = w.groupBy("doc_id").agg(F.countDistinct("word").alias("n"))
+    return (
+        ab.join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), on="a_id")
+        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), on="b_id")
+        .select(
+            "a_id", "b_id", "n_common",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4).alias("jaccard"),
+        )
+    )
+
+
+# ---- 20. Similarity search: brute-force cosine top-k (ANN baseline) ------
+
+@q(
+    "embed_cosine_topk",
+    """
+    WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id, e.label,
+                 list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * (e.embedding::DOUBLE[])[i])) AS dot,
+                 sqrt(list_sum(list_transform(q, x -> x * x))) AS nq,
+                 sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x))) AS ne
+          FROM embeddings e, qv WHERE e.vec_id != 0)
+    SELECT vec_id, label, round(dot / (nq * ne), 4) AS cosine FROM s
+    ORDER BY round(dot / (nq * ne), 4) DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embed_cosine_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = e.filter(F.col("vec_id") == 0).select(emb_d.alias("q"))
+    s = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), emb_d, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = F.round(dot / (norm(F.col("q")) * norm(emb_d)), 4)
+    return (
+        s.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---- 21. Embedding near-dup pairs within label (cosine > threshold) ------
+
+@q(
+    "embed_neardup_pairs",
+    """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+           round(
+             list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+          / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.e, x -> x * x)))) > 0.75
+    """,
+)
+def embed_neardup_pairs(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", "label", emb_d.alias("e"))
+    a = v.alias("a")
+    b = v.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(F.col("a.e")) * norm(F.col("b.e")))
+    return pairs.filter(cos > 0.75).select(
+        F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"),
+        F.col("a.label").alias("label"), F.round(cos, 4).alias("cosine"),
+    )
+
+
+# ---- 22. Language-ID heuristic (marker-word scoring) ----------------------
+
+_LANG_MARKERS = {
+    "sqlish": ["join", "merge", "sort", "filter", "group"],
+    "streamish": ["stream", "batch", "window", "watermark"],
+    "datish": ["data", "table", "column", "row"],
+}
+
+
+def _langid_sql() -> str:
+    scores = ",\n           ".join(
+        f"len(list_filter(string_split(text,' '), w -> w IN ({', '.join(repr(m) for m in ms)}))) AS s_{k}"
+        for k, ms in _LANG_MARKERS.items()
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {scores} FROM documents)
+    SELECT doc_id, lang, s_sqlish, s_streamish, s_datish,
+           CASE WHEN s_sqlish >= s_streamish AND s_sqlish >= s_datish THEN 'sqlish'
+                WHEN s_streamish >= s_datish THEN 'streamish'
+                ELSE 'datish' END AS guess
+    FROM t
+    """
+
+
+@q("lang_id", _langid_sql())
+def lang_id(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    def _in_fn(ms):
+        return lambda w: w.isin(ms)
+
+    cols = {
+        f"s_{k}": F.size(F.filter(words, _in_fn(ms))).cast("long")
+        for k, ms in _LANG_MARKERS.items()
+    }
+    t = d.select("doc_id", "lang", *[c.alias(n) for n, c in cols.items()])
+    guess = (
+        F.when((F.col("s_sqlish") >= F.col("s_streamish")) & (F.col("s_sqlish") >= F.col("s_datish")), "sqlish")
+        .when(F.col("s_streamish") >= F.col("s_datish"), "streamish")
+        .otherwise("datish")
+    )
+    return t.withColumn("guess", guess)
+
+
+# ---- 23. Quality scoring (length / stopword / punct ratios) ---------------
+
+_STOPWORDS = ["the", "a", "of", "to", "and"]
+
+
+@q(
+    "quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, n_chars, len(string_split(text,' ')) AS n_words,
+                      len(list_filter(string_split(text,' '),
+                          w -> w IN ({", ".join(repr(w) for w in _STOPWORDS)}))) AS n_stop
+               FROM documents)
+    SELECT doc_id, n_words, n_stop,
+           round(n_stop / n_words, 4) AS stop_ratio,
+           round(n_chars / n_words, 3) AS chars_per_word,
+           CASE WHEN n_words >= 40 AND n_stop / n_words BETWEEN 0.05 AND 0.6 THEN 'good'
+                WHEN n_words >= 10 THEN 'fair' ELSE 'poor' END AS quality
+    FROM t
+    """,
+)
+def quality_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    t = d.select(
+        "doc_id", "n_chars",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.filter(words, lambda w: w.isin(_STOPWORDS))).cast("long").alias("n_stop"),
+    )
+    stop_ratio = F.round(F.col("n_stop") / F.col("n_words"), 4)
+    cpw = F.round(F.col("n_chars") / F.col("n_words"), 3)
+    quality = (
+        F.when((F.col("n_words") >= 40) & (F.col("n_stop") / F.col("n_words")).between(0.05, 0.6), "good")
+        .when(F.col("n_words") >= 10, "fair")
+        .otherwise("poor")
+    )
+    return t.select(
+        "doc_id", "n_words", "n_stop", stop_ratio.alias("stop_ratio"),
+        cpw.alias("chars_per_word"), quality.alias("quality"),
+    )
+
+
+# ---- 24. Token counting (whitespace + BPE-ish regex) ----------------------
+
+_BPE_RX = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@q(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RX}')) AS n_bpe_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RX), F.lit(0))).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+# ---- 25. Rolling-hash document fingerprint (winnowing-lite) ---------------
+
+@q(
+    "doc_rolling_fingerprint",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_transform(range(1, len(string_split(text,' ')) - 3),
+                                     i -> md5(string_split(text,' ')[i] || ' ' ||
+                                              string_split(text,' ')[i+1] || ' ' ||
+                                              string_split(text,' ')[i+2] || ' ' ||
+                                              string_split(text,' ')[i+3] || ' ' ||
+                                              string_split(text,' ')[i+4])) AS grams
+               FROM documents WHERE len(string_split(text,' ')) >= 5)
+    SELECT doc_id, list_min(grams) AS fingerprint, len(grams) AS n_grams FROM t
+    """,
+)
+def doc_rolling_fingerprint(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(words) - 4)
+    grams = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(words, i), F.element_at(words, i + 1),
+                F.element_at(words, i + 2), F.element_at(words, i + 3),
+                F.element_at(words, i + 4),
+            )
+        ),
+    )
+    return (
+        d.filter(F.size(words) >= 5)
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.array_min("grams").alias("fingerprint"), F.size("grams").cast("long").alias("n_grams"))
+    )
+
+
+# ---- 26. Sessionization (lag + gap cumsum; guide pattern) ------------------
+
+@q(
+    "events_sessionize",
+    """
+    WITH t AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                      lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_s
+               FROM events),
+    g AS (SELECT user_id, event_id, ts_s,
+                 CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new
+          FROM t),
+    s AS (SELECT user_id, event_id, ts_s,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_s) AS t_start_s, max(ts_s) AS t_end_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    ts_s = F.unix_timestamp("ts").alias("ts_s")
+    t = ev.select("user_id", "event_id", ts_s)
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    g = t.withColumn("prev_s", F.lag("ts_s").over(w)).withColumn(
+        "is_new",
+        F.when(F.col("prev_s").isNull() | (F.col("ts_s") - F.col("prev_s") > 1800), 1).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_s").alias("t_start_s"), F.max("ts_s").alias("t_end_s"),
+    )
+
+
+# ---- 27. Tumbling-window aggregation (streaming analog, batch form) -------
+
+@q(
+    "events_tumbling",
+    """
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bucket_s, event_type,
+           count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("long")
+    return ev.groupBy(bucket.alias("bucket_s"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+    )
+
+
+# ---- 28. JSON property extraction (semi-structured; H-analog) -------------
+
+@q(
+    "events_json_props",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k_value
+    FROM events WHERE CAST(json_extract(props, '$.k') AS INT) > 50
+    """,
+)
+def events_json_props(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k_value")).filter(F.col("k_value") > 50)
+
+
+# ---- 29. TPC-H Q1-style pricing summary (relational anchor) ----------------
+
+@q(
+    "tpch_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+           count(*) AS n
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_c"),
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias("sum_disc_c"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---- 30. Revenue by nation (multi-join with broadcast dims) ----------------
+
+@q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    na = T(spark, sf_dir, "nation")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias("revenue_c"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---- 31. Multimodal plumbing: binary columns + typed metadata (stub) -------
+
+@q(
+    "media_metadata",
+    """
+    WITH t AS (SELECT doc_id, text, encode(text) AS blob FROM documents)
+    SELECT doc_id, octet_length(blob) AS n_bytes, md5(text) AS content_hash,
+           CAST(octet_length(blob) % 640 AS INT) AS fake_width,
+           CAST(octet_length(blob) % 480 AS INT) AS fake_height
+    FROM t
+    """,
+)
+def media_metadata(spark, sf_dir):
+    """Multimodal column plumbing: treat content as an opaque binary column
+    with typed metadata.  Real decode (image/audio libs) is stubbed — see
+    operators/multimodal.py for the mapInPandas decode pipeline whose
+    decode step raises NotImplementedError without the codec libs."""
+    d = T(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+        (F.octet_length(blob) % 640).cast("int").alias("fake_width"),
+        (F.octet_length(blob) % 480).cast("int").alias("fake_height"),
+    )
