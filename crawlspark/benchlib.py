@@ -1,0 +1,117 @@
+"""Benchmark workloads: crawl throughput, frontier-dedup ops/sec, fetch+
+parse pipeline pages/sec — the BASELINE.json headline metrics.
+
+All inputs are generated deterministically on executors (no driver
+materialization), so the same code paths scale from the sandbox sizes to
+the 10^10-URL frontier by raising the row counts.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from crawlspark import synthetic
+from crawlspark.operators.bloom import BloomState
+from crawlspark.operators.pipeline import docs_from_pipe, fetch_parse_stage
+from crawlspark.operators.urlseen import probe_unseen
+
+
+def synthetic_frontier(spark: SparkSession, n: int, n_hosts: int = 1000):
+    """n frontier URLs over n_hosts hosts with a hot-host skew (~25% of
+    rows on 2 hosts, mirroring the reference's seed-host skew)."""
+    df = spark.range(n)
+    hot = F.col("id") % 4 == 0
+    host = F.when(
+        hot, F.concat(F.lit("www.hot"), (F.col("id") % 2).cast("string"), F.lit(".example"))
+    ).otherwise(
+        F.concat(F.lit("www.h"), (F.col("id") % n_hosts).cast("string"), F.lit(".example"))
+    )
+    return df.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("id").cast("string")).alias("url"),
+        host.alias("host"),
+    )
+
+
+def bench_dedup(spark: SparkSession, n_candidates: int = 1_000_000, n_seen: int = 200_000,
+                buckets: int = 64, bits: int = 1 << 18) -> dict:
+    """Frontier-dedup ops/sec: Bloom probe (broadcast, zero-shuffle) +
+    exact anti-join fallback over a pre-seeded seen set."""
+    from crawlspark.operators.urlseen import bloom_delta
+
+    bloom = BloomState(buckets, bits)
+    seen_df = spark.range(n_seen).select(
+        F.concat(F.lit("https://www.h"), (F.col("id") % 1000).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url")
+    ).persist()
+    bloom.merge(bloom_delta(spark, seen_df, bloom))
+    # candidates: 20% re-discoveries of seen URLs (they become Bloom
+    # positives and exercise the exact-join fallback), 80% fresh (the
+    # Bloom-negative fast path that skips the join entirely)
+    cand = spark.range(n_candidates).select(
+        F.when(
+            F.col("id") % 5 == 0,
+            F.concat(F.lit("https://www.h"), (F.col("id") % 1000).cast("string"),
+                     F.lit(".example/p/"), (F.col("id") % n_seen).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("https://www.new"), (F.col("id") % 1000).cast("string"),
+                     F.lit(".example/q/"), F.col("id").cast("string")),
+        ).alias("url")
+    )
+    t0 = time.time()
+    fresh = probe_unseen(spark, cand, seen_df, bloom)
+    n_fresh = fresh.count()
+    dt = time.time() - t0
+    return {"sec": dt, "ops_per_sec": n_candidates / dt, "n_fresh": n_fresh}
+
+
+def bench_fetch_parse(spark: SparkSession, n_pages: int = 20_000) -> dict:
+    """pages/sec through the fetch→parse→clean pipeline (the crawl's
+    throughput-bound stages; politeness-free so it saturates all cores)."""
+    spec = synthetic.WebSpec(scale=5.0)
+    hosts = sorted(spec.hosts)
+    n_h = len(hosts)
+    host = F.element_at(F.array(*[F.lit(h) for h in hosts]), (F.col("id") % n_h + 1).cast("int"))
+    n_art = min(c["n_articles"] for c in spec.hosts.values())
+    frontier = spark.range(n_pages).select(
+        F.concat(F.lit("https://"), host, F.lit("/news/"),
+                 (F.col("id") % n_art).cast("string"), F.lit("-s"),
+                 ((F.col("id") % n_art) % 7).cast("string")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+        host.alias("host"),
+        F.lit(1).alias("depth"),
+        F.lit(0.0).alias("priority"),
+        F.lit(0).alias("discovered_batch"),
+        F.lit(0).alias("retry_count"),
+        F.lit(0).alias("not_before_batch"),
+        F.lit("article").alias("page_kind"),
+        F.lit(None).cast("struct<title:string,date:string,article_url:string>").alias("meta"),
+    )
+    t0 = time.time()
+    pipe = fetch_parse_stage(frontier, spec)
+    docs = docs_from_pipe(pipe.filter(F.col("rec") == "doc"), 0)
+    n_docs = docs.count()
+    dt = time.time() - t0
+    return {"sec": dt, "pages_per_sec": n_pages / dt, "n_docs": n_docs}
+
+
+def bench_crawl(spark: SparkSession, warehouse: str, scale: float = 0.5) -> dict:
+    """Full micro-batch crawl (scheduling + dedup + commits included)."""
+    from crawlspark.crawl import CrawlConfig, run_crawl
+
+    t0 = time.time()
+    summary = run_crawl(
+        spark,
+        CrawlConfig(warehouse=warehouse, spec=synthetic.WebSpec(scale=scale),
+                    max_batches=50, compact_every=8),
+    )
+    dt = time.time() - t0
+    return {
+        "sec": dt,
+        "pages_per_sec": summary["n_progress"] / dt,
+        "n_fetched": summary["n_progress"],
+        "n_docs": summary["n_documents"],
+        "batches": summary["batches"],
+    }

@@ -26,9 +26,7 @@ from crawlspark import rules, schemas, synthetic
 from crawlspark.functions import urls as U
 from crawlspark.operators import scheduler
 from crawlspark.operators.bloom import BloomState
-from crawlspark.operators.docs import docs_stage
-from crawlspark.operators.fetch import fetch_stage
-from crawlspark.operators.parse import parse_stage
+from crawlspark.operators.pipeline import docs_from_pipe, fetch_parse_stage
 from crawlspark.operators.urlseen import bloom_delta, probe_unseen
 from crawlspark.tables import SnapshotCatalog
 
@@ -75,7 +73,7 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         "url_hash", F.xxhash64("url")
     )
     bloom = BloomState(cfg.bloom_buckets, cfg.bloom_bits)
-    bloom.add([s[0] for s in seeds])
+    bloom.merge(bloom_delta(spark, seeds_df, bloom))
     seen_df = seeds_df.select("url", "url_hash", F.lit(0).alias("added_batch"))
     hosts_state = {U.host_of_py(s[0]): synthetic.robots_for_host(U.host_of_py(s[0])) for s in seeds}
     return catalog.commit(
@@ -116,8 +114,10 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             return None
         return catalog.commit(batch_id, appends={}, state={"hosts": hosts_state})
 
-    fetched = fetch_stage(scheduled, cfg.spec).persist()
-    outcome = (
+    # fused fetch→parse→clean: one Python stage, bodies never cross Arrow
+    pipe = fetch_parse_stage(scheduled, cfg.spec).persist()
+    fetched_o = pipe.filter(F.col("rec") == "fetch").withColumn(
+        "outcome",
         F.when(F.col("status") == 200, F.lit("done"))
         .when(F.col("status").isin(rules.SKIP_STATUSES), F.lit("skipped"))
         .when(
@@ -125,23 +125,22 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             & (F.col("retry_count") < rules.MAX_RETRIES),
             F.lit("retry"),
         )
-        .otherwise(F.lit("failed"))
+        .otherwise(F.lit("failed")),
     )
-    fetched_o = fetched.withColumn("outcome", outcome)
     progress_new = fetched_o.select(
-        "url", "url_hash", F.lit(batch_id).alias("batch_id"), "status", "outcome",
-        F.col("retry_count").alias("attempt"),
+        "url", F.xxhash64("url").alias("url_hash"), F.lit(batch_id).alias("batch_id"),
+        "status", "outcome", F.col("retry_count").alias("attempt"),
     )
     # retry re-entry with exponential backoff (reference :543-555, :636)
     retries = fetched_o.filter(F.col("outcome") == "retry").select(
-        "url", "url_hash", "host", "depth", "priority",
+        "url", F.xxhash64("url").alias("url_hash"), "host", "depth", "priority",
         F.lit(batch_id).alias("discovered_batch"),
         (F.col("retry_count") + 1).alias("retry_count"),
         (F.lit(batch_id) + F.pow(F.lit(2.0), F.col("retry_count") + 1).cast("int")).alias("not_before_batch"),
         "page_kind", "meta",
     )
 
-    parsed = parse_stage(fetched_o.filter(F.col("outcome") == "done")).persist()
+    parsed = pipe.filter(F.col("rec") != "fetch")
 
     # ---- links path ----
     links = parsed.filter(F.col("rec") == "link").withColumnRenamed("url", "src_url")
@@ -177,7 +176,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     ).persist()
 
     # ---- docs path ----
-    docs_new = docs_stage(parsed.filter(F.col("rec") == "doc"), batch_id)
+    docs_new = docs_from_pipe(parsed.filter(F.col("rec") == "doc"), batch_id)
     existing_docs = catalog.read("documents", manifest)
     docs_new = docs_new.join(existing_docs.select("doc_id"), on="doc_id", how="left_anti")
 
@@ -254,7 +253,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         new_manifest = catalog.commit(
             batch_id, appends=appends, bloom=bloom, state={"hosts": hosts_state}
         )
-    for df in (scheduled, fetched, parsed, new_frontier):
+    for df in (scheduled, pipe, new_frontier):
         df.unpersist()
     return new_manifest
 

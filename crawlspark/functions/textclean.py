@@ -24,6 +24,9 @@ import re
 from crawlspark import rules
 
 _CREDIT_RX = [re.compile(p) for p in rules.MEDIA_CREDIT_PATTERNS]
+# quick-reject: every credit pattern requires one of these substrings; one
+# cheap scan skips the 11-regex chain for the vast majority of spans
+_CREDIT_QUICK = re.compile(r"(?i)photo|image|reuters|pic|parts")
 _PHRASES = [p.lower() for p in rules.FOOTNOTE_PHRASES]
 
 
@@ -33,6 +36,8 @@ def clean_ws(text: str) -> str:
 
 
 def remove_media_credit(text: str) -> str:
+    if not _CREDIT_QUICK.search(text):
+        return text
     for rx in _CREDIT_RX:
         text = rx.sub("", text)
     return text
@@ -44,6 +49,11 @@ def remove_footnote_lines(lines: list[str], window_size: int = 3) -> list[str]:
     means later passes only consider phrases at an index >= the previous
     match, reference :1926-1931)."""
     min_phrase_idx = 0
+    # whole-doc quick reject: the windowed scan only runs when some phrase
+    # could actually occur (word-joined doc contains a phrase substring)
+    blob = (" ".join(lines) + "\x00" + "".join(lines)).lower()
+    if not any(p in blob for p in _PHRASES):
+        return lines
     while True:
         hit = _find_footnote(lines, window_size, min_phrase_idx)
         if hit is None:

@@ -42,6 +42,7 @@ class BloomState:
     """n_buckets independent bit arrays + per-bucket key counts."""
 
     def __init__(self, n_buckets: int = 32, bits_per_bucket: int = 1 << 20, k: int = 7):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
         self.n_buckets = n_buckets
         self.m = bits_per_bucket
         self.k = k
@@ -63,6 +64,30 @@ class BloomState:
         st.blobs = z["blobs"]
         st.n_items = z["n_items"]
         return st
+
+    # ---- hash-column API: keys pre-hashed JVM-side with F.xxhash64 ----
+    # (h1 = xxhash64(url), h2 = xxhash64('salt', url) | 1, both viewed as
+    # uint64).  Bucket = h1 % n_buckets matches Spark's pmod(h1, n) because
+    # n_buckets is a power of two (2^64 ≡ 0 mod 2^k).  This keeps ALL
+    # per-key hashing in the JVM; the Python side is pure numpy bit math.
+
+    def probe_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        if len(h1) == 0:
+            return np.zeros(0, dtype=bool)
+        buckets, pos = self._positions(h1, h2 | np.uint64(1))
+        byte_idx, bit = pos >> 3, (pos & 7).astype(np.uint8)
+        bits = (self.blobs[buckets[:, None], byte_idx] >> bit) & 1
+        return bits.all(axis=1)
+
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        if len(h1) == 0:
+            return
+        buckets, pos = self._positions(h1, h2 | np.uint64(1))
+        byte_idx, bit = pos >> 3, (pos & 7).astype(np.uint8)
+        np.bitwise_or.at(
+            self.blobs, (buckets[:, None].repeat(self.k, 1), byte_idx), np.uint8(1) << bit
+        )
+        np.add.at(self.n_items, buckets, 1)
 
     def _positions(self, h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         buckets = (h1 % np.uint64(self.n_buckets)).astype(np.int64)

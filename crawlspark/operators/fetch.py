@@ -14,6 +14,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from crawlspark import schemas, synthetic
 
@@ -36,8 +37,18 @@ def fetch_stage(scheduled: DataFrame, spec: synthetic.WebSpec, fetch_fn: FetchFn
             out["elapsed_ms"] = [r[3] for r in res]
             yield out
 
-    # partition by host: connection reuse + politeness locality; AQE
-    # coalesces the small case, salting for hot hosts happens upstream in
-    # the scheduler (the per-batch per-host row count is already capped
-    # by the politeness budget, so fetch partitions are bounded).
-    return scheduled.repartition("host").mapInPandas(run, schema=schemas.FETCHED)
+    # Partition by (host, salt): keeps per-host locality for connection
+    # reuse while never capping parallelism at the distinct-host count —
+    # with plain repartition("host") a crawl of H hosts uses at most H
+    # cores.  Within a partition the fetcher can still group by host for
+    # keep-alive pooling; the politeness budget upstream bounds per-host
+    # rows per batch, the salt bounds per-partition rows.
+    #
+    # The partition count is EXPLICIT: the shuffle input here is slim URL
+    # rows, but the stage output (page bodies) is ~100x larger and the
+    # downstream parse/clean UDFs are CPU-heavy — AQE would coalesce the
+    # tiny input shuffle to one partition and serialize the whole fetch+
+    # parse pipeline (observed: 32 cores at single-core throughput).
+    sp = int(scheduled.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    salt = F.pmod(F.xxhash64("url"), F.lit(64))
+    return scheduled.repartition(sp, F.col("host"), salt).mapInPandas(run, schema=schemas.FETCHED)

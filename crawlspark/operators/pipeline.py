@@ -1,0 +1,131 @@
+"""Fused fetch→parse→clean stage: ONE mapInPandas per micro-batch.
+
+Why fused: the unfused pipeline (fetch.py → parse.py → docs.py) chains
+three Python stages, so every task runs three Python workers and the full
+page body crosses the JVM↔Python Arrow boundary twice.  Measured on
+local[32] that oversubscribes the box ~3× and caps throughput below
+local[8].  Fused, the body is born and dies inside one Python worker —
+the stage's output is only the small stuff (links, cleaned spans, fetch
+outcomes), and parallelism equals the partition count.
+
+The per-record logic is byte-identical to the unfused operators (same
+functions), which stay for unit tests and for composing custom pipelines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawlspark import schemas, synthetic
+from crawlspark.functions.dates import parse_date_py
+from crawlspark.functions.textclean import clean_spans
+from crawlspark.operators.parse import _parse_row
+
+PIPE = T.StructType(
+    [
+        T.StructField("rec", T.StringType(), False),  # fetch | link | doc
+        T.StructField("url", T.StringType(), False),
+        T.StructField("final_url", T.StringType(), True),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("page_kind", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("elapsed_ms", T.LongType(), True),
+        T.StructField("link", T.StringType(), True),
+        T.StructField("link_kind", T.StringType(), True),
+        T.StructField("meta", schemas.META, True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("date_raw", T.StringType(), True),
+        T.StructField("published_date", T.DateType(), True),
+        T.StructField("spans", T.ArrayType(schemas.SPAN), True),
+    ]
+)
+
+_PIPE_COLS = [f.name for f in PIPE.fields]
+
+
+def fetch_parse_stage(scheduled: DataFrame, spec: synthetic.WebSpec) -> DataFrame:
+    """scheduled(FRONTIER rows) → PIPE union rows (fetch/link/doc)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for r in pdf.itertuples(index=False):
+                status, final_url, body, elapsed = synthetic.fetch(spec, r.url, r.retry_count)
+                meta = r.meta if isinstance(r.meta, dict) else None
+                base = {
+                    "url": r.url, "final_url": final_url, "host": r.host,
+                    "depth": int(r.depth), "page_kind": r.page_kind,
+                    "priority": float(r.priority), "retry_count": int(r.retry_count),
+                    "status": int(status), "elapsed_ms": int(elapsed),
+                    "link": None, "link_kind": None,
+                    "meta": None, "title": None, "date_raw": None,
+                    "published_date": None, "spans": None,
+                }
+                rows.append({**base, "rec": "fetch", "meta": meta})
+                if status != 200:
+                    continue
+                for p in _parse_row(final_url or r.url, r.host, int(r.depth),
+                                    r.page_kind, status, body, meta):
+                    out = {**base, "rec": p["rec"], "link": p["link"],
+                           "link_kind": p["link_kind"], "meta": p["meta"],
+                           "title": p["title"], "date_raw": p["date_raw"]}
+                    if p["rec"] == "doc":
+                        cleaned = clean_spans(
+                            [(s["kind"], s["text"], s["media_ref"]) for s in p["spans"]]
+                        )
+                        out["spans"] = cleaned
+                        out["published_date"] = parse_date_py(p["date_raw"])
+                        out["url"] = p["url"]  # doc keyed by final url
+                    rows.append(out)
+            if rows:
+                yield pd.DataFrame(rows, columns=_PIPE_COLS)
+
+    sp = int(scheduled.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    salt = F.pmod(F.xxhash64("url"), F.lit(64))
+    # explicit partition count: AQE would coalesce the slim input shuffle
+    # and serialize the CPU-heavy stage (see operators/fetch.py note)
+    return scheduled.repartition(sp, F.col("host"), salt).mapInPandas(run, schema=PIPE)
+
+
+def docs_from_pipe(pipe_docs: DataFrame, batch_id: int) -> DataFrame:
+    """PIPE rec='doc' rows → DOCUMENTS rows: the pure-Column filter tail of
+    operators/docs.docs_stage (spans already cleaned, dates already parsed
+    inside the fused stage)."""
+    from crawlspark import rules
+    from crawlspark.functions.urls import domain_expr, host_expr
+
+    domain = domain_expr(host_expr(F.col("url")))
+    lo = F.lit(rules.DEFAULT_DATE_WINDOW[0])
+    hi = F.lit(rules.DEFAULT_DATE_WINDOW[1])
+    for d, (a, b) in rules.DATE_WINDOWS.items():
+        lo = F.when(domain == d, F.lit(a)).otherwise(lo)
+        hi = F.when(domain == d, F.lit(b)).otherwise(hi)
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))
+    body_text = F.concat_ws("\n", F.transform(text_spans, lambda s: s["text"]))
+    kw_rx = "|".join(rules.SEARCH_KEYWORDS).replace("-", r"\-")
+    keyword_ok = F.lower(
+        F.concat_ws(" ", F.coalesce(F.col("title"), F.lit("")), body_text)
+    ).rlike(kw_rx)
+    src = F.lit(None).cast("string")
+    for d, code in rules.SOURCE_CODES.items():
+        src = F.when(domain == d, F.lit(code)).otherwise(src)
+    return (
+        pipe_docs.filter(F.size(text_spans) > 0)
+        .filter(F.col("published_date").isNotNull())
+        .filter(F.year("published_date").between(lo, hi))
+        .filter(keyword_ok)
+        .select(
+            F.sha1(F.encode(F.col("url"), "UTF-8")).alias("doc_id"),
+            "url", "title", "published_date", src.alias("source"),
+            F.lit(batch_id).alias("batch_id"), "spans",
+        )
+        .dropDuplicates(["doc_id"])
+    )

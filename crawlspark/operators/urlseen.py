@@ -5,16 +5,22 @@ fingerprint set; at 10^10 URLs that set does not fit one machine, so here:
 
   1. in-batch ``dropDuplicates('url')`` (reference analog: the per-crawl
      set() dedup, :571) — cheap, before any state probe;
-  2. Bloom probe, vectorized numpy over Arrow batches with the blobs
-     shipped via a Spark broadcast variable (zero shuffle).  Negatives are
-     *guaranteed unseen* (no false negatives) and bypass the join;
+  2. key hashing happens JVM-side: h1 = xxhash64(url), h2 = xxhash64(salt,
+     url) — the probe UDF is pure numpy bit math over Arrow batches with
+     the blobs shipped via a Spark broadcast variable (zero shuffle).
+     Negatives are *guaranteed unseen* (no false negatives) and bypass the
+     join;
   3. only Bloom positives — a tiny slice at the configured FPR — hit the
-     exact LEFT ANTI join against the frontier delta log on url_hash+url,
-     so the expensive join's probe side shrinks by ~(1-FPR);
+     exact LEFT ANTI join against the urlseen table, so the expensive
+     join's probe side shrinks by ~(1-FPR);
   4. the Bloom delta for accepted keys is computed distributed
-     (groupBy(bucket).applyInPandas → one (bucket, blob) row per bucket)
-     and OR-merged into the snapshot state on the driver — state per
-     bucket stays executor-sized at any scale.
+     (groupBy(bucket).applyInPandas → one (bucket, blob) row per bucket,
+     bucket = pmod(h1, n_buckets) which matches the uint64 view because
+     n_buckets is a power of two) and OR-merged into the snapshot state on
+     the driver — state per bucket stays executor-sized at any scale; for
+     state larger than broadcastable, the same applyInPandas pattern
+     probes per-bucket blobs read from storage instead (co-partitioned,
+     one shuffle).
 """
 
 from __future__ import annotations
@@ -23,62 +29,81 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from crawlspark.operators.bloom import BloomState, key_hashes
+from crawlspark.operators.bloom import BloomState
+
+_H2_SALT = "bloom-h2"
 
 
-def probe_unseen(spark: SparkSession, candidates: DataFrame, frontier: DataFrame, bloom: BloomState) -> DataFrame:
+def _with_hashes(df: DataFrame) -> DataFrame:
+    return df.withColumn("_h1", F.xxhash64("url")).withColumn(
+        "_h2", F.xxhash64(F.lit(_H2_SALT), F.col("url"))
+    )
+
+
+def _u64(s: pd.Series) -> np.ndarray:
+    return s.to_numpy(dtype=np.int64).view(np.uint64)
+
+
+def probe_unseen(spark: SparkSession, candidates: DataFrame, urlseen: DataFrame, bloom: BloomState) -> DataFrame:
     """candidates(url, …) → subset whose url was never seen before."""
     sc = spark.sparkContext
     b = sc.broadcast((bloom.n_buckets, bloom.m, bloom.k, bloom.blobs))
 
     def probe(batches):
+        import pyarrow as pa
+
         nb, m, k, blobs = b.value
         st = BloomState(nb, m, k)
         st.blobs = blobs
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            maybe = st.probe(pdf["url"].tolist())
-            yield pdf.assign(maybe_seen=maybe)
+            h1 = batch.column("_h1").to_numpy(zero_copy_only=False).view(np.uint64)
+            h2 = batch.column("_h2").to_numpy(zero_copy_only=False).view(np.uint64)
+            maybe = st.probe_hashes(h1, h2)
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(maybe)],
+                names=batch.schema.names + ["maybe_seen"],
+            )
 
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())])
-    probed = candidates.mapInPandas(probe, schema=out_schema)
-    probed = probed.persist()
-    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    # exact check only for the Bloom-positive sliver; anti-join keyed on the
-    # canonical url (url_hash equi-key lets Spark hash-partition cheaply)
-    survivors = positives.join(frontier.select("url").distinct(), on="url", how="left_anti")
+    withh = _with_hashes(candidates)
+    out_schema = T.StructType(
+        list(withh.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+    # mapInArrow (not pandas): the probe is pure numpy bit math over the
+    # raw Arrow buffers — no per-batch pandas construction.  No cache: the
+    # two branches below recompute the cheap probe rather than
+    # materializing 10^6+ rows.
+    probed = withh.mapInArrow(probe, schema=out_schema)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2")
+    positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2")
+    # exact check only for the Bloom-positive sliver
+    survivors = positives.join(urlseen.select("url"), on="url", how="left_anti")
     return fresh.unionByName(survivors)
 
 
 def bloom_delta(spark: SparkSession, accepted: DataFrame, bloom: BloomState) -> BloomState:
-    """Distributed delta-bit computation for the accepted new URLs."""
+    """Distributed delta-bit computation for the accepted new URLs: one
+    (bucket, blob) row per touched bucket, OR-merged on the driver."""
     nb, m, k = bloom.n_buckets, bloom.m, bloom.k
-
-    @F.pandas_udf("int")
-    def md5_bucket(urls: pd.Series) -> pd.Series:
-        h1, _ = key_hashes(urls.tolist())
-        return pd.Series((h1 % np.uint64(nb)).astype("int32"))
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
         st = BloomState(1, m, k)
-        urls = pdf["url"].tolist()
-        h1, h2 = key_hashes(urls)
+        h1 = _u64(pdf["_h1"])
+        h2 = _u64(pdf["_h2"]) | np.uint64(1)
         i = np.arange(k, dtype=np.uint64)[None, :]
         pos = ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
         byte_idx, bit = pos >> 3, (pos & 7).astype(np.uint8)
         np.bitwise_or.at(st.blobs, (np.zeros_like(byte_idx), byte_idx), np.uint8(1) << bit)
         return pd.DataFrame(
-            {"bucket": [int(key[0])], "n": [len(urls)], "blob": [st.blobs[0].tobytes()]}
+            {"bucket": [int(key[0])], "n": [len(h1)], "blob": [st.blobs[0].tobytes()]}
         )
 
     rows = (
-        accepted.select("url")
-        .withColumn("bucket", md5_bucket(F.col("url")))
+        _with_hashes(accepted.select("url"))
+        .withColumn("bucket", F.pmod(F.col("_h1"), F.lit(nb)).cast("int"))
         .groupBy("bucket")
         .applyInPandas(per_bucket, schema="bucket int, n long, blob binary")
         .collect()

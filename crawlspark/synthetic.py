@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import hashlib
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+from functools import cached_property
 
 from crawlspark import rules
 
@@ -42,7 +43,7 @@ class WebSpec:
     sections: int = 4
     cards_per_page: int = 6
 
-    @property
+    @cached_property
     def hosts(self) -> dict[str, dict]:
         s = self.scale
         out = {}
