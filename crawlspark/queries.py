@@ -1008,3 +1008,86 @@ def media_metadata(spark, sf_dir):
         (F.octet_length(blob) % 640).cast("int").alias("fake_width"),
         (F.octet_length(blob) % 480).cast("int").alias("fake_height"),
     )
+
+
+# ==========================================================================
+# Non-SQL-expressible operators (rows-only driver check: no oracle entry)
+# ==========================================================================
+
+@q("crawl_documents")  # the engine itself: iterative micro-batch crawl
+def crawl_documents(spark, sf_dir):
+    """Run the full crawl loop (schedule → fetch → parse → Bloom dedup →
+    snapshot commit) on the deterministic synthetic web and return the
+    interleaved text+media documents table — the BASELINE.json north-star
+    pipeline.  Correctness vs the single-threaded oracle is asserted in
+    tests/test_crawl_e2e.py (seen set, crawl order, span sequences)."""
+    import tempfile
+
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, run_crawl
+    from crawlspark.tables import SnapshotCatalog
+
+    wh = tempfile.mkdtemp(prefix="crawlq-")
+    summary = run_crawl(
+        spark,
+        CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=0.05),
+                    max_batches=10, budget_override=30),
+    )
+    docs = SnapshotCatalog(spark, wh).read("documents", summary["manifest"])
+    return docs.select(
+        "doc_id", "url", "title",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))).alias("n_media"),
+    )
+
+
+@q("ann_lsh_topk")  # approximate NN: random-hyperplane LSH buckets
+def ann_lsh_topk_query(spark, sf_dir):
+    from crawlspark.operators.similarity import ann_lsh_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_lsh_topk(emb, queries_df, k=5, n_planes=8)
+
+
+@q("media_decode")  # multimodal decode pipeline (deterministic fake codec)
+def media_decode(spark, sf_dir):
+    from crawlspark.operators.multimodal import decode_media
+
+    d = T(spark, sf_dir, "documents")
+    payloads = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("ref://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.substring("text", 1, 100), "UTF-8").alias("payload"),
+    )
+    out = decode_media(payloads)
+    return out.select(
+        "doc_id", "media_ref",
+        F.col("meta.media_kind").alias("media_kind"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_hash").alias("content_hash"),
+    )
+
+
+@q("stream_rate_limit")  # stateful streaming politeness (applyInPandasWithState)
+def stream_rate_limit_query(spark, sf_dir):
+    """Streaming token-bucket politeness decisions over a file-source
+    micro-batch; runs the streaming query to completion synchronously."""
+    import tempfile
+
+    from crawlspark.streaming.jobs import stream_rate_limiter
+
+    src = tempfile.mkdtemp(prefix="rlq-")
+    ev = T(spark, sf_dir, "events").limit(500).select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")).alias("host"),
+        F.concat(F.lit("https://h"), (F.col("user_id") % 10).cast("string"),
+                 F.lit("/e/"), F.col("event_id").cast("string")).alias("url"),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("host string, url string").parquet(src)
+    out = stream_rate_limiter(stream, budget_per_trigger=20.0)
+    qname = "rl_query_out"
+    sq = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    sq.processAllAvailable()
+    sq.stop()
+    return spark.sql(f"select host, url, decision from {qname}")

@@ -1,0 +1,84 @@
+"""Structured Streaming jobs (SURVEY §2.9).
+
+The crawl loop itself is iterative (self-feeding frontier → driver loop,
+not a single streaming DAG), but the engine's *monitoring and ingestion*
+surfaces are streams:
+
+  * ``stream_metrics`` — windowed fetch-metrics aggregation with a
+    watermark for late batches (the streaming analog of the A2 metrics
+    table);
+  * ``stream_rate_limiter`` — a custom stateful operator
+    (applyInPandasWithState): per-host token bucket that admits or defers
+    URLs according to the crawl-delay budget — the streaming form of the
+    politeness scheduler (reference DOWNLOAD_DELAY :427-428).
+
+Both run to completion synchronously in tests via the memory sink +
+``processAllAvailable()``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_metrics(spark: SparkSession, events_dir: str, schema: T.StructType,
+                   window: str = "15 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """File-source streaming read → watermarked tumbling-window counts."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value_c")
+    )
+
+
+RATE_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("decision", T.StringType()),  # admit | defer
+        T.StructField("tokens_left", T.DoubleType()),
+    ]
+)
+RATE_STATE = T.StructType([T.StructField("tokens", T.DoubleType())])
+
+
+def rate_limit_fn(budget_per_trigger: float):
+    """Token-bucket politeness: each trigger refills the host's bucket by
+    the budget; URLs beyond it are deferred (stateful across triggers)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        tokens = state.get[0] if state.exists else 0.0
+        tokens = min(tokens + budget_per_trigger, 2 * budget_per_trigger)
+        out = []
+        for pdf in pdfs:
+            for url in sorted(pdf["url"]):
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    out.append((host, url, "admit", tokens))
+                else:
+                    out.append((host, url, "defer", tokens))
+        state.update((tokens,))
+        yield pd.DataFrame(out, columns=["host", "url", "decision", "tokens_left"])
+
+    return fn
+
+
+def stream_rate_limiter(urls_stream: DataFrame, budget_per_trigger: float = 5.0) -> DataFrame:
+    """urls_stream(host, url) → admit/defer decisions, stateful per host."""
+    return urls_stream.groupBy("host").applyInPandasWithState(
+        rate_limit_fn(budget_per_trigger),
+        outputStructType=RATE_OUT,
+        stateStructType=RATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,80 @@
+"""Structured Streaming jobs: windowed metrics + stateful rate limiter."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def test_stream_metrics_matches_batch(spark, tmp_path):
+    from crawlspark.streaming.jobs import stream_metrics
+
+    src = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(src)
+    agg = stream_metrics(spark, src, EVENTS_SCHEMA)
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("m_out").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["w_start"], r["event_type"]): (r["n"], r["sum_value_c"])
+               for r in spark.sql("select * from m_out").collect()}
+    finally:
+        q.stop()
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "s")
+    )
+    want = {(r["w_start"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_rate_limiter(spark, tmp_path):
+    """Two micro-batches through the token bucket: the first admits up to
+    the budget and defers the rest; the refilled second batch admits again
+    — state persists across triggers."""
+    from crawlspark.streaming.jobs import stream_rate_limiter
+
+    src = str(tmp_path / "urls")
+    b1 = [("h1", f"https://h1/u{i:02d}") for i in range(8)] + [("h2", "https://h2/u0")]
+    spark.createDataFrame(b1, "host string, url string").coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (spark.readStream
+              .schema("host string, url string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(f"{src}/*"))
+    out = stream_rate_limiter(stream, budget_per_trigger=5.0)
+    q = out.writeStream.outputMode("append").format("memory").queryName("rl_out").start()
+    try:
+        q.processAllAvailable()
+        rows1 = spark.sql("select * from rl_out").collect()
+        admitted1 = [r for r in rows1 if r["host"] == "h1" and r["decision"] == "admit"]
+        deferred1 = [r for r in rows1 if r["host"] == "h1" and r["decision"] == "defer"]
+        assert len(admitted1) == 5 and len(deferred1) == 3
+        assert [r["decision"] for r in rows1 if r["host"] == "h2"] == ["admit"]
+
+        # second trigger: bucket refills (5 tokens), 3 more urls all admitted
+        b2 = [("h1", f"https://h1/v{i}") for i in range(3)]
+        spark.createDataFrame(b2, "host string, url string").coalesce(1).write.mode("append").parquet(f"{src}/b1")
+        q.processAllAvailable()
+        rows2 = spark.sql("select * from rl_out").collect()
+        v_rows = [r for r in rows2 if r["url"].startswith("https://h1/v")]
+        assert len(v_rows) == 3 and all(r["decision"] == "admit" for r in v_rows)
+    finally:
+        q.stop()
+    shutil.rmtree(src, ignore_errors=True)
