@@ -114,8 +114,12 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             return None
         return catalog.commit(batch_id, appends={}, state={"hosts": hosts_state})
 
-    # fused fetch→parse→clean: one Python stage, bodies never cross Arrow
-    pipe = fetch_parse_stage(scheduled, cfg.spec).persist()
+    # fused fetch→parse→clean: one Python stage, bodies never cross Arrow;
+    # partition count sized to the batch (~100 pages/partition) so small
+    # politeness batches don't pay a full worker-pool spin-up
+    pipe = fetch_parse_stage(
+        scheduled, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100)
+    ).persist()
     fetched_o = pipe.filter(F.col("rec") == "fetch").withColumn(
         "outcome",
         F.when(F.col("status") == 200, F.lit("done"))
@@ -212,14 +216,21 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         if h not in hosts_state:
             hosts_state[h] = synthetic.robots_for_host(h)
 
-    frontier_append = retries.unionByName(new_frontier)
-    new_seen = new_frontier.select("url", "url_hash", F.lit(batch_id).alias("added_batch"))
+    # batch-sized appends: coalesce to a file count proportional to the
+    # batch so a small politeness batch writes 1 file per table, not
+    # shuffle-partitions-many KB-sized files (read cost of later batches
+    # scales with file count)
+    k_files = max(1, n_sched // 2000)
+    frontier_append = retries.unionByName(new_frontier).coalesce(k_files)
+    new_seen = new_frontier.select(
+        "url", "url_hash", F.lit(batch_id).alias("added_batch")
+    ).coalesce(k_files)
     appends = {
         "frontier": frontier_append,
         "urlseen": new_seen,
-        "progress": progress_new,
-        "documents": docs_new,
-        "metrics": metrics,
+        "progress": progress_new.coalesce(k_files),
+        "documents": docs_new.coalesce(k_files),
+        "metrics": metrics.coalesce(1),
     }
     if cfg.compact_every and batch_id % cfg.compact_every == 0:
         # compaction: rewrite pending-after-this-batch as the new frontier

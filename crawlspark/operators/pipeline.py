@@ -51,8 +51,15 @@ PIPE = T.StructType(
 _PIPE_COLS = [f.name for f in PIPE.fields]
 
 
-def fetch_parse_stage(scheduled: DataFrame, spec: synthetic.WebSpec) -> DataFrame:
-    """scheduled(FRONTIER rows) → PIPE union rows (fetch/link/doc)."""
+def fetch_parse_stage(
+    scheduled: DataFrame, spec: synthetic.WebSpec, num_partitions: int | None = None
+) -> DataFrame:
+    """scheduled(FRONTIER rows) → PIPE union rows (fetch/link/doc).
+
+    ``num_partitions``: pass the caller's known row count derived value so
+    tiny batches don't fan out to shuffle-partitions-many Python workers
+    (a 32-worker spin-up for an 8-row batch costs more than the batch).
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,10 +96,11 @@ def fetch_parse_stage(scheduled: DataFrame, spec: synthetic.WebSpec) -> DataFram
                 yield pd.DataFrame(rows, columns=_PIPE_COLS)
 
     sp = int(scheduled.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = min(num_partitions, sp) if num_partitions else sp
     salt = F.pmod(F.xxhash64("url"), F.lit(64))
     # explicit partition count: AQE would coalesce the slim input shuffle
     # and serialize the CPU-heavy stage (see operators/fetch.py note)
-    return scheduled.repartition(sp, F.col("host"), salt).mapInPandas(run, schema=PIPE)
+    return scheduled.repartition(n_parts, F.col("host"), salt).mapInPandas(run, schema=PIPE)
 
 
 def docs_from_pipe(pipe_docs: DataFrame, batch_id: int) -> DataFrame:

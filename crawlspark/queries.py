@@ -388,9 +388,15 @@ def last_element(spark, sf_dir):
 )
 def date_window_filter(spark, sf_dir):
     od = T(spark, sf_dir, "orders")
-    return od.select(
-        "o_orderkey", F.year("o_orderdate").cast("long").alias("order_year")
-    ).filter(F.col("order_year").between(1996, 1998))
+    # range form (not year()==) so the predicate pushes into the parquet
+    # scan: PushedFilters shows GreaterThanOrEqual/LessThan on o_orderdate
+    return (
+        od.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("order_year"))
+    )
 
 
 # ====== 12. Keyword relevance filter (F3; reference :2543-2546) ===========

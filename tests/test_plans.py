@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the optimizations must actually be in the
+plan, not just intended (predicate pushdown, column pruning, broadcast
+joins, no single-partition collapse of the fused fetch stage)."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from crawlspark.queries import SPARK_QUERIES
+    return SPARK_QUERIES
+
+
+def test_date_filter_pushes_to_scan(spark, qs):
+    p = _plan(spark, qs["date_window_filter"](spark, SF))
+    pushed = [line for line in p.splitlines() if "PushedFilters" in line][0]
+    assert "GreaterThanOrEqual(o_orderdate" in pushed and "LessThan(o_orderdate" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, qs):
+    p = _plan(spark, qs["keyword_filter"](spark, SF))
+    rs = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    assert "text" in rs and "source" not in rs and "n_chars" not in rs
+
+
+def test_multi_join_broadcasts_dims(spark, qs):
+    p = _plan(spark, qs["revenue_by_nation"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2  # customer & nation at minimum
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
+
+
+def test_tpch_filter_pushdown(spark, qs):
+    p = _plan(spark, qs["tpch_pricing_summary"](spark, SF))
+    pushed = [line for line in p.splitlines() if "PushedFilters" in line][0]
+    assert "LessThanOrEqual(l_shipdate" in pushed
+
+
+def test_fetch_stage_not_coalesced_to_one(spark):
+    """The fused fetch/parse stage must keep its explicit partition count —
+    AQE must not fold the slim input shuffle into one partition."""
+    from crawlspark import synthetic
+    from crawlspark.operators.pipeline import fetch_parse_stage
+    from pyspark.sql import functions as F
+
+    spec = synthetic.WebSpec(scale=0.05)
+    frontier = spark.range(200).select(
+        F.lit("https://www.cna.example/news/1-s1").alias("url"),
+        F.lit("www.cna.example").alias("host"),
+        F.lit(0).alias("depth"), F.lit(0.0).alias("priority"),
+        F.lit(0).alias("retry_count"), F.lit("article").alias("page_kind"),
+        F.lit(None).cast("struct<title:string,date:string,article_url:string>").alias("meta"),
+    )
+    pipe = fetch_parse_stage(frontier, spec)
+    n_parts = pipe.rdd.getNumPartitions()
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert n_parts == sp, (n_parts, sp)
+
+
+def test_scheduler_uses_broadcast_for_hosts(spark):
+    from crawlspark import schemas
+    from crawlspark.operators.scheduler import schedule
+    from pyspark.sql import functions as F
+
+    pending = spark.range(100).select(
+        F.concat(F.lit("https://www.h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("www.h"), (F.col("id") % 5).cast("string"), F.lit(".example")).alias("host"),
+        F.lit(0).alias("depth"), F.lit(0.0).alias("priority"),
+        F.lit(0).alias("discovered_batch"), F.lit(0).alias("retry_count"),
+        F.lit(0).alias("not_before_batch"), F.lit("article").alias("page_kind"),
+        F.lit(None).cast(schemas.META).alias("meta"),
+    )
+    hosts = spark.createDataFrame(
+        [(f"www.h{i}.example", 0.5, 10, []) for i in range(5)], schemas.HOSTS
+    )
+    p = _plan(spark, schedule(pending, hosts, 1))
+    assert "BroadcastHashJoin" in p
