@@ -49,13 +49,17 @@ def remove_footnote_lines(lines: list[str], window_size: int = 3) -> list[str]:
     means later passes only consider phrases at an index >= the previous
     match, reference :1926-1931)."""
     min_phrase_idx = 0
-    # whole-doc quick reject: the windowed scan only runs when some phrase
-    # could actually occur (word-joined doc contains a phrase substring)
+    # whole-doc pre-filter: find which phrases occur AT ALL (usually 0-3
+    # of the 244); the windowed scan then only tests those.  Sound because
+    # any window-join match is a substring of the corresponding whole-doc
+    # join.
     blob = (" ".join(lines) + "\x00" + "".join(lines)).lower()
-    if not any(p in blob for p in _PHRASES):
+    candidates = [pi for pi, p in enumerate(_PHRASES) if p in blob]
+    if not candidates:
         return lines
     while True:
-        hit = _find_footnote(lines, window_size, min_phrase_idx)
+        cand = [pi for pi in candidates if pi >= min_phrase_idx]
+        hit = _find_footnote(lines, window_size, cand)
         if hit is None:
             return lines
         line_idx, prefix, phrase_idx = hit
@@ -66,18 +70,19 @@ def remove_footnote_lines(lines: list[str], window_size: int = 3) -> list[str]:
 
 
 def _find_footnote(
-    lines: list[str], window_size: int, min_phrase_idx: int
+    lines: list[str], window_size: int, candidate_idxs: list[int]
 ) -> tuple[int, str, int] | None:
     """Scan a sliding window of ``window_size`` lines; on the first phrase
     hit return (index of line containing the phrase start, prefix of that
-    line before the phrase, phrase index)."""
+    line before the phrase, phrase index).  Only ``candidate_idxs``
+    (phrases known to occur in the doc, in index order) are tested."""
     n = len(lines)
     for i in range(n):
         lo = max(0, i - window_size + 1)
         buf = lines[lo : i + 1]
         joined = " ".join(buf).lower()
         joined2 = "".join(buf).lower()
-        for pi in range(min_phrase_idx, len(_PHRASES)):
+        for pi in candidate_idxs:
             phrase = _PHRASES[pi]
             for joined_form, sep in ((joined, 1), (joined2, 0)):
                 pos = joined_form.find(phrase)

@@ -73,27 +73,255 @@ SOURCE_CODES = {
     "tstar.example": "TS",
 }
 
-# Footnote boilerplate phrases (representative subset of the reference's
-# ~230-phrase list at :1658-1889; ORDER MATTERS — the recursion carries a
-# monotone phrase-index constraint, :1926-1931).
+# Footnote boilerplate phrases: the reference's full search_phrases list
+# (covid_news_spider.py:1658-1889) — ORDER MATTERS: the removal recursion
+# carries a monotone phrase-index constraint (:1926-1931).  This is
+# behavioral rule DATA (the reference's de-facto spec), not code.
 FOOTNOTE_PHRASES = [
     "join st's telegram channel",
     "join st's whatsapp channel",
-    "download our app or subscribe",
-    "get the latest news delivered to your inbox",
-    "follow us on facebook",
-    "follow us on twitter",
-    "sign up for our newsletter",
-    "read next",
-    "related coverage:",
-    "related story:",
-    "for the latest updates on the covid-19 situation",
-    "subscribe to our telegram channel",
-    "this article first appeared",
-    "click here for more stories",
-    "watch the video below",
-    "copyright of the respective news agency",
-    "all rights reserved",
+    'download our app',
+    'read this story in',
+    'is an editor at',
+    'is a journalist at',
+    'is a journalist based in',
+    'is a senior journalist at',
+    'is associate fellow',
+    'is a phd candidate',
+    'is a doctoral candidate',
+    'is Research Fellow',
+    'is Associate Professor',
+    'is an associate professor',
+    'is Professor',
+    'is a lecturer',
+    'is a senior lecturer',
+    'is Dean of',
+    'is the Dean of',
+    'Senior Research Associate',
+    'Note:',
+    "Editor's note",
+    'Editor’s Note:',
+    'Editorial note:',
+    'Correction note:',
+    'Clarification note:',
+    'Terence Fernandez is a',
+    'Brian Martin is the managing editor of The Star',
+    'About the author:',
+    '(Author:',
+    '(Author :',
+    '(Authors:',
+    '(Authors :',
+    '(Reporter:',
+    '(Reporter :',
+    '(Reporters:',
+    '(Reporters :',
+    '(Writer:',
+    '(Writer :',
+    '(Writers:',
+    '(Writers :',
+    '(Editor:',
+    '(Editor :',
+    '(Editors:',
+    '(Editors :',
+    '(Writer & Editor:',
+    '(Writer & Editor :',
+    '(Writers & Editors:',
+    '(Writers & Editors :',
+    '(Author/Editor:',
+    '(Author/Editor :',
+    '(Authors/Editors:',
+    '(Authors/Editors :',
+    'The article was edited',
+    'This article was first published',
+    'This story was produced',
+    'The story has been updated',
+    'This story has been updated',
+    'This article has been updated',
+    'this article originally appear',
+    'This story came from',
+    '© The New York Times',
+    '© 2023 the new york times',
+    '© The Financial Times',
+    '© 2021 The Financial Times',
+    '© 2022 The Financial Times',
+    '© 2023 The Financial Times',
+    '©2020 Bloomberg',
+    '©2021 Bloomberg',
+    '©2022 Bloomberg',
+    '©2020 Project Syndicate',
+    '©2021 Project Syndicate',
+    '©2022 project syndicate',
+    '©1995-2022 Project Syndicate',
+    '©Project Syndicate',
+    'Project Syndicate',
+    '©2022',
+    '© 2022',
+    '©2021',
+    '© 2021',
+    '©2020',
+    '© 2020',
+    '© 2016 - 2024 PT. Bina Media Tenggara',
+    '©CNN',
+    'TSB',
+    'lzb',
+    '/lzb',
+    '[atm]',
+    '/atm',
+    'Sources: Reuters',
+    '(Source: AP)',
+    '(Reporting by',
+    '(by Xinhua writer',
+    '(Additional reporting by',
+    'Additional reporting by',
+    'Edited by',
+    'Produced by:',
+    'Brought to you by',
+    'WITH REPORT FROM',
+    '—REPORTS FROM',
+    '—With a report from',
+    '—WITH REPORTS FROM',
+    '— By YEE XIANG YUN',
+    '— By M. SIVANANTHA SHARMA',
+    '— By FARID WAHAB',
+    '— By ANDY CHUA',
+    '— By REBECCA RAJAENDRAM',
+    '— By GRACE CHEN',
+    '— By PAUL GABRIEL',
+    '— By JEREMY TAN',
+    '— By IMRAN HILMY',
+    '— By SANDHYA MENON',
+    '—Jerome',
+    '–Jaime Laude',
+    '—Julie',
+    '–Helen Flores',
+    '–Elizabeth Marcelo',
+    '—MA. APRIL MIER-MANJARES',
+    '—Jovic',
+    '—JOANNA',
+    '—JUN A. MALIG',
+    '—DONA',
+    '—Nikka',
+    '–Rudy Santos',
+    '—Leila B. Salaverria',
+    '—NESTLE SEMILLA',
+    '—NESTOR',
+    '—Patricia',
+    '—Tina',
+    '— Bella Perez-Rubio',
+    '— KHIRTHNADHEVI KUMAR',
+    '— Christian Deiparine',
+    '— Kaycee Valmonte with Agence France-Presse',
+    '- Jakarta Post',
+    '— Jakarta Post',
+    '– AP',
+    '- AFP',
+    '– AFP',
+    '— AFP',
+    '– dpa',
+    '- Reuters',
+    '— Reuters',
+    '– Reuters',
+    '- Bloomberg',
+    '– Bloomberg',
+    '— Bloomberg',
+    '- Bernama',
+    '– Bernama',
+    '— Bernama',
+    '-- Bernama',
+    '- Xinhua',
+    '— VNS',
+    'VNS Copyrights 2012',
+    '-VNA',
+    './. VNA',
+    './.  VNA',
+    './.   VNA',
+    './.    VNA',
+    '- The Straits Times/ANN',
+    '– The Straits Times (Singapore)/Asia News Network',
+    '- The Nation Thailand/ANN',
+    '— The Nation Thailand/ANN',
+    '- Philippines Daily Inquirer/ANN',
+    '— Vietnam News',
+    '- Vietnam News/ANN',
+    '- Phnom Penh Post/ANN',
+    '– South China Morning Post',
+    '– Thomson Reuters Foundation',
+    '– Los Angeles Times/Tribune News Service',
+    '– Hartford Courant/Tribune News Service',
+    '– Bangkok Post, Thailand/Tribune News Service',
+    '– Khaleej Times, Dubai/Tribune News Service',
+    'C. Nika – AKP',
+    'C. Nika -AKP',
+    'Pheng Somany – AKP',
+    'Pheng Somany -AKP',
+    'Chea Vannak – AKP',
+    'Chea Vannak -AKP',
+    'Chea Vannak/AKP/KT',
+    'AKP-Lim Nary',
+    'bhf.org',
+    'Gavi.org',
+    'burs/',
+    'burs-',
+    'bangkok post/',
+    'CHINA DAILY/ANN',
+    'Khmer Times/Coventry Telegraph',
+    'Email karnjanak@bangkokpost.co.th',
+    'CONTACT: BANGKOK POST BUILDING',
+    'MCI (P)',
+    '[ac]',
+    '-- More to follow --',
+    'Click below to watch',
+    'Click here for more',
+    'Click here to read more',
+    'View More',
+    'READ:',
+    'READ MORE:',
+    'Read next',
+    'READ NEXT:',
+    'READ MORE HERE',
+    'Read more from',
+    'Read more stories',
+    'READ FULL STORY:',
+    'Read more Global Nation stories',
+    'More from South China Morning Post:',
+    '. Learn more about',
+    'For more news like this',
+    'For more information about',
+    'For the latest news from',
+    'Watch the full news',
+    'RELATED:',
+    'RELATED STORIES',
+    'RELATED STORY',
+    'RELATED VIDEO',
+    'TOPIC:',
+    'Reference:',
+    'Source:',
+    'Visit https://spoti.fi',
+    'catch the olympics games',
+    'cna women is a section on cna',
+    'Write to us at',
+    'Sign up for our daily',
+    'Subscribe now to',
+    '. Subscribe to',
+    'Already a subscriber?',
+    'Download the app and',
+    'We use cookies',
+    'Tags / Keywords:',
+    'By registering, you agree with',
+    'All letter writers must provide full name and address',
+    'All letter writers must provide a full name and address',
+    'To be updated with all the latest news and analyses daily.',
+    'For more news about the novel coronavirus click here',
+    'Follow INQUIRER.net',
+    'The Inquirer Foundation',
+    'The Cambodia Daily is',
+    'Philstar.com is one of the most ',
+    'Khmer Times is now available',
+    'ADVT',
+    'Best viewed on',
+    'Report it to us',
+    'COPYRIGHT ©',
+    'copyright© mediacorp 2023',
 ]
 
 # Media-credit regex deletions applied to text spans (reference

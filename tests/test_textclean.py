@@ -26,13 +26,14 @@ def test_footnote_prefix_kept():
 
 def test_footnote_split_across_lines():
     # phrase split over two lines — caught by the space-joined window
-    lines = ["para", "get the latest news", "delivered to your inbox now", "junk"]
+    lines = ["para", "join st's", "whatsapp channel now", "junk"]
     out = tc.remove_footnote_lines(lines)
     assert out == ["para"]
 
 
 def test_footnote_multiple_phrases():
-    lines = ["para", "follow us on facebook", "mid", "all rights reserved"]
+    # two phrases in list order (monotone index constraint allows both)
+    lines = ["para", "download our app for more", "mid", "this article was first published in 2020"]
     assert tc.remove_footnote_lines(lines) == ["para"]
 
 
