@@ -41,6 +41,11 @@ class CrawlConfig:
     bloom_bits: int = 1 << 20
     compact_every: int = 8
     budget_override: int | None = None  # tests: force small per-host budgets
+    # Seed overrides (reference S1: hard-coded lists + manual_scrape.txt
+    # file seeds :276-295; TEST_SPECIFIC targeted mode :219-295 = article
+    # seeds + max_depth=0):
+    seed_urls: list[str] | None = None
+    seed_file: str | None = None
 
 
 def _hosts_df(spark: SparkSession, hosts_state: dict, budget_override: int | None) -> DataFrame:
@@ -60,14 +65,23 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     """Seed the frontier (reference start_requests :560-699) and commit
     snapshot 0."""
     catalog = SnapshotCatalog(spark, cfg.warehouse)
+    raw_seeds = (
+        list(cfg.seed_urls) if cfg.seed_urls is not None else synthetic.seed_urls(cfg.spec)
+    )
+    if cfg.seed_file:  # manual_scrape.txt analog (reference :276-295)
+        raw_seeds += [r["value"] for r in spark.read.text(cfg.seed_file).collect()]
     seeds = []
-    for u in synthetic.seed_urls(cfg.spec):
+    seen_local = set()
+    for u in raw_seeds:
         cu = U.fix_url_py(u)
-        if U.should_skip_py(cu):
+        if U.should_skip_py(cu) or cu in seen_local:
             continue
+        seen_local.add(cu)
+        kind, _, _ = synthetic.classify_url(cu)
+        kind = "listing" if kind == "listing" else "article"
         host = U.host_of_py(cu)
         seeds.append(
-            (cu, 0, host, 0, scheduler.priority_py(0, "listing", cu), 0, 0, 0, "listing", None)
+            (cu, 0, host, 0, scheduler.priority_py(0, kind, cu), 0, 0, 0, kind, None)
         )
     seeds_df = spark.createDataFrame(seeds, schemas.FRONTIER).withColumn(
         "url_hash", F.xxhash64("url")

@@ -26,7 +26,9 @@ from crawlspark import rules
 _CREDIT_RX = [re.compile(p) for p in rules.MEDIA_CREDIT_PATTERNS]
 # quick-reject: every credit pattern requires one of these substrings; one
 # cheap scan skips the 11-regex chain for the vast majority of spans
-_CREDIT_QUICK = re.compile(r"(?i)photo|image|reuters|pic|parts")
+_CREDIT_QUICK = re.compile(
+    r"(?i)photo|image|reuters|pic|parts|file|screenshot|inquirer|livestream|speech"
+)
 _PHRASES = [p.lower() for p in rules.FOOTNOTE_PHRASES]
 
 

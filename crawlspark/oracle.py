@@ -35,6 +35,7 @@ def crawl_oracle(
     max_batches: int = 64,
     max_depth: int = 64,
     budget_override: int | None = None,
+    seed_urls: list[str] | None = None,
 ) -> OracleResult:
     res = OracleResult()
     hosts: dict[str, dict] = {}
@@ -46,16 +47,18 @@ def crawl_oracle(
             hosts[host] = synthetic.robots_for_host(host)
         return hosts[host]
 
-    for u in synthetic.seed_urls(spec):
+    for u in (seed_urls if seed_urls is not None else synthetic.seed_urls(spec)):
         cu = U.fix_url_py(u)
-        if U.should_skip_py(cu):
+        if U.should_skip_py(cu) or cu in res.seen:
             continue
         host = U.host_of_py(cu)
         robots(host)
+        kind, _, _ = synthetic.classify_url(cu)
+        kind = "listing" if kind == "listing" else "article"
         pending[cu] = {
             "url": cu, "host": host, "depth": 0,
-            "priority": priority_py(0, "listing", cu),
-            "retry_count": 0, "not_before": 0, "kind": "listing", "meta": None,
+            "priority": priority_py(0, kind, cu),
+            "retry_count": 0, "not_before": 0, "kind": kind, "meta": None,
         }
         res.seen.add(cu)
 

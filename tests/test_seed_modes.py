@@ -1,0 +1,84 @@
+"""Seed modes: TEST_SPECIFIC targeted crawl (article seeds + max_depth=0),
+manual seed file, archive seed enrichment (SURVEY S1/S5/S6, entry pt 3)."""
+
+import pytest
+
+from crawlspark import synthetic
+from crawlspark.crawl import CrawlConfig, run_crawl
+from crawlspark.oracle import crawl_oracle
+from crawlspark.tables import SnapshotCatalog
+
+SPEC = synthetic.WebSpec(scale=0.1)
+
+TARGET_SEEDS = [
+    synthetic.article_url("www.cna.example", 3),
+    synthetic.article_url("www.stimes.example", 5),
+    "htps://www.cna.example/news/7-s0",      # malformed → fix_url repair
+    "https://shop.cna.example/deals",        # blocked → dropped at seeding
+    synthetic.article_url("www.cna.example", 3),  # duplicate seed
+]
+
+
+def test_targeted_mode_matches_oracle(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    cfg = CrawlConfig(warehouse=wh, spec=SPEC, max_batches=5, max_depth=0,
+                      seed_urls=TARGET_SEEDS, budget_override=10)
+    run_crawl(spark, cfg)
+    ora = crawl_oracle(SPEC, max_batches=5, max_depth=0, budget_override=10,
+                       seed_urls=TARGET_SEEDS)
+    cat = SnapshotCatalog(spark, wh)
+    seen = {r["url"] for r in cat.read("urlseen").collect()}
+    assert seen == ora.seen
+    assert len(seen) == 3  # two valid + one repaired; blocked + dup dropped
+    docs = {r["doc_id"] for r in cat.read("documents").collect()}
+    assert docs == set(ora.docs)
+    # depth-0: nothing beyond the seeds was ever enqueued
+    assert cat.read("frontier").count() <= len(seen) + 2  # + possible retries
+
+
+def test_seed_file(spark, tmp_path):
+    f = tmp_path / "manual_scrape.txt"
+    f.write_text("\n".join(TARGET_SEEDS[:2]))
+    wh = str(tmp_path / "wh2")
+    cfg = CrawlConfig(warehouse=wh, spec=SPEC, max_batches=3, max_depth=0,
+                      seed_urls=[], seed_file=str(f), budget_override=10)
+    run_crawl(spark, cfg)
+    seen = {r["url"] for r in SnapshotCatalog(spark, wh).read("urlseen").collect()}
+    assert seen == {TARGET_SEEDS[0], TARGET_SEEDS[1]}
+
+
+def test_archive_seed_frame(spark):
+    from crawlspark.sources.archive import archive_seed_frame
+
+    df = archive_seed_frame(spark, "singapore", n=30)
+    rows = df.collect()
+    assert 0 < len(rows) <= 30
+    assert all(r["page_kind"] == "article" for r in rows)
+    assert len({r["url"] for r in rows}) == len(rows)  # deduped
+    # deterministic across calls
+    again = {r["url"] for r in archive_seed_frame(spark, "singapore", n=30).collect()}
+    assert {r["url"] for r in rows} == again
+
+
+def test_archive_backoff_retries():
+    from crawlspark.sources import archive
+
+    calls = {"n": 0}
+    waits = []
+
+    def flaky(kw, country, n):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("boom")
+        return ["ok-id"]
+
+    out = archive.search_archives(["covid"], "sg", 5, api=flaky, sleep=waits.append)
+    assert out == ["ok-id"]
+    assert waits == [1.0, 2.0]  # 2**0, 2**1 (reference :543-555)
+
+    def always_fail(kw, country, n):
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        archive.search_archives(["covid"], "sg", 5, api=always_fail,
+                                max_retries=2, sleep=waits.append)
