@@ -49,16 +49,22 @@ class CrawlConfig:
 
 
 def _hosts_df(spark: SparkSession, hosts_state: dict, budget_override: int | None) -> DataFrame:
+    from pyspark.sql import types as T
+
     rows = [
         (
             h,
             float(s["crawl_delay_s"]),
             int(budget_override or s["budget_per_batch"]),
             list(s["disallow"]),
+            scheduler.robots_rx_py(s["disallow"]),
         )
         for h, s in sorted(hosts_state.items())
     ]
-    return spark.createDataFrame(rows, schemas.HOSTS)
+    schema = T.StructType(
+        list(schemas.HOSTS.fields) + [T.StructField("robots_rx", T.StringType(), True)]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
@@ -281,6 +287,39 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     for df in (scheduled, pipe, new_frontier):
         df.unpersist()
     return new_manifest
+
+
+def enrich_frontier(spark: SparkSession, cfg: CrawlConfig, extra_seeds) -> dict:
+    """Merge extra seed rows (FRONTIER schema, e.g. from
+    sources.archive.archive_seed_frame) into an existing crawl warehouse:
+    dedup against urlseen (Bloom + exact), append, update Bloom —
+    the reference's archive.org entry point (SURVEY §3 entry 2)."""
+    catalog = SnapshotCatalog(spark, cfg.warehouse)
+    manifest = catalog.latest()
+    if manifest is None:
+        manifest = init_crawl(spark, cfg)
+    bloom = catalog.load_bloom(manifest)
+    batch_id = manifest["batch_id"]
+    urlseen_all = catalog.read("urlseen", manifest)
+    new = probe_unseen(spark, extra_seeds.dropDuplicates(["url"]), urlseen_all, bloom).persist()
+    bloom.merge(bloom_delta(spark, new, bloom))
+    hosts_state = dict(manifest["state"]["hosts"])
+    for (h,) in new.select("host").distinct().collect():
+        if h not in hosts_state:
+            hosts_state[h] = synthetic.robots_for_host(h)
+    out = catalog.commit(
+        batch_id,
+        appends={
+            "frontier": new.coalesce(1),
+            "urlseen": new.select(
+                "url", "url_hash", F.lit(batch_id).alias("added_batch")
+            ).coalesce(1),
+        },
+        bloom=bloom,
+        state={"hosts": hosts_state},
+    )
+    new.unpersist()
+    return out
 
 
 def run_crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> dict:

@@ -48,10 +48,16 @@ def priority_py(depth: int, page_kind: str, url: str) -> float:
     return p - 0.1 * depth
 
 
-def robots_allowed_expr(url, host, hosts_df_alias):
-    """Column form is built by the caller via a broadcast join on host —
-    see schedule(); kept here for symmetry."""
-    raise NotImplementedError
+def robots_rx_py(disallow: list[str] | None) -> str | None:
+    """Compile a host's Disallow prefixes into one anchored alternation —
+    computed once per host on the driver (the hosts dimension is tiny),
+    evaluated row-wise with regexp_like (no higher-order functions, whose
+    outer-lambda references miscompile under the broadcast join)."""
+    import re as _re
+
+    if not disallow:
+        return None
+    return "^(?:" + "|".join(_re.escape(d) for d in disallow) + ")"
 
 
 def robots_allowed_py(url: str, disallow: list[str] | None) -> bool:
@@ -72,16 +78,23 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int) -> DataFrame:
     rank, bounded by the two-phase salt.
     """
     df = pending.filter(F.col("not_before_batch") <= F.lit(batch_id))
+    if "robots_rx" not in hosts.columns:
+        from pyspark.sql import types as T
+
+        rx_map = {
+            r["host"]: robots_rx_py(r["robots_disallow"]) for r in hosts.collect()
+        }
+        hosts = hosts.sparkSession.createDataFrame(
+            [(h, rx) for h, rx in sorted(rx_map.items())],
+            T.StructType([T.StructField("host", T.StringType()),
+                          T.StructField("robots_rx", T.StringType())]),
+        ).join(hosts, on="host")
     df = df.join(F.broadcast(hosts), on="host", how="inner")
 
-    # robots: Disallow prefix check, pure built-ins (array of prefixes)
+    # robots: Disallow prefix check against the precompiled per-host regex
     path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
     df = df.filter(
-        F.col("robots_disallow").isNull()
-        | ~F.exists(
-            F.col("robots_disallow"),
-            lambda d: F.startswith(path, d),
-        )
+        F.col("robots_rx").isNull() | ~F.regexp_like(path, F.col("robots_rx"))
     )
 
     salt = F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS))
@@ -92,6 +105,6 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int) -> DataFrame:
         .filter(F.col("r1") <= F.col("budget_per_batch"))
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= F.col("budget_per_batch"))
-        .drop("r1", "rank", "crawl_delay_s", "budget_per_batch", "robots_disallow")
+        .drop("r1", "rank", "crawl_delay_s", "budget_per_batch", "robots_disallow", "robots_rx")
     )
     return out

@@ -1,0 +1,94 @@
+"""Scheduler invariants: two-phase salted top-K == plain top-K; robots
+prefixes; budget caps; backoff gating; archive enrichment merge."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from crawlspark import schemas
+from crawlspark.operators.scheduler import schedule
+
+
+def _pending(spark, n, n_hosts=3):
+    return spark.range(n).select(
+        F.concat(F.lit("https://www.h"), (F.col("id") % n_hosts).cast("string"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+        F.concat(F.lit("www.h"), (F.col("id") % n_hosts).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.lit(0).alias("depth"),
+        (F.col("id") % 17).cast("double").alias("priority"),
+        F.lit(0).alias("discovered_batch"), F.lit(0).alias("retry_count"),
+        (F.col("id") % 7 == 0).cast("int").alias("not_before_batch"),  # some gated to batch 1
+        F.lit("article").alias("page_kind"),
+        F.lit(None).cast(schemas.META).alias("meta"),
+    )
+
+
+def _hosts(spark, hosts, budget=25, disallow=None):
+    return spark.createDataFrame(
+        [(h, 0.5, budget, disallow or []) for h in hosts], schemas.HOSTS
+    )
+
+
+def test_two_phase_topk_equals_plain_topk(spark):
+    """The salted two-phase rank must select EXACTLY the rows a single
+    global per-host window would — salting is a physical optimization,
+    not a semantics change (hot-host skew, SURVEY §4.2)."""
+    pending = _pending(spark, 5000, n_hosts=2)  # hot hosts
+    hosts = _hosts(spark, ["www.h0.example", "www.h1.example"], budget=40)
+    got = {(r["host"], r["url"]) for r in schedule(pending, hosts, 1).collect()}
+
+    elig = pending.filter(F.col("not_before_batch") <= 1)
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    want = {
+        (r["host"], r["url"])
+        for r in elig.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 40).collect()
+    }
+    assert got == want and len(got) == 80
+
+
+def test_budget_and_backoff(spark):
+    pending = _pending(spark, 300, n_hosts=3)
+    hosts = _hosts(spark, [f"www.h{i}.example" for i in range(3)], budget=10)
+    out = schedule(pending, hosts, 0).groupBy("host").count().collect()
+    # batch 0: rows with not_before_batch=1 (id%7==0) are gated out
+    assert all(r["count"] == 10 for r in out)
+    out1 = schedule(pending, hosts, 1)
+    assert out1.count() == 30  # gated rows eligible at batch 1 (still capped)
+
+
+def test_robots_disallow_prefix(spark):
+    pending = _pending(spark, 100, n_hosts=1)
+    hosts = _hosts(spark, ["www.h0.example"], budget=1000, disallow=["/p/1"])
+    got = [r["url"] for r in schedule(pending, hosts, 1).collect()]
+    assert got and all("/p/1" not in u.split(".example")[1][:4] for u in got)
+    # /p/1, /p/10..19 all blocked by the prefix rule
+    assert not any(u.split("/p/")[1].startswith("1") for u in got)
+
+
+def test_enrich_frontier_merges_unseen_only(spark, tmp_path):
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, enrich_frontier, run_crawl
+    from crawlspark.sources.archive import archive_seed_frame
+    from crawlspark.tables import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cfg = CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=0.1),
+                      max_batches=4, budget_override=15)
+    run_crawl(spark, cfg)
+    cat = SnapshotCatalog(spark, wh)
+    seen_before = {r["url"] for r in cat.read("urlseen").collect()}
+
+    seeds = archive_seed_frame(spark, "singapore", n=25)
+    enrich_frontier(spark, cfg, seeds)
+    seen_after = {r["url"] for r in cat.read("urlseen").collect()}
+    seed_urls = {r["url"] for r in seeds.collect()}
+    assert seen_after == seen_before | seed_urls
+    # enriching again adds nothing (all seen now)
+    enrich_frontier(spark, cfg, seeds)
+    assert {r["url"] for r in cat.read("urlseen").collect()} == seen_after
+    # and the crawl can continue from the enriched frontier
+    summary = run_crawl(spark, CrawlConfig(warehouse=wh, spec=cfg.spec,
+                                           max_batches=8, budget_override=15), resume=True)
+    assert summary["n_progress"] > 0
