@@ -131,3 +131,24 @@ class BloomState:
         """Worst-bucket theoretical FPR (1-e^{-kn/m})^k."""
         n = int(self.n_items.max()) if self.n_items.size else 0
         return float((1.0 - np.exp(-self.k * n / self.m)) ** self.k)
+
+    # ---- per-bucket file store (the >broadcast-scale probe path) ----
+    def to_bucket_files(self, dir_path: str) -> None:
+        """One .npy per bucket, so a co-partitioned probe task loads only
+        its own bucket's blob (MB-sized at any total scale)."""
+        import os
+
+        os.makedirs(dir_path, exist_ok=True)
+        meta = np.array([self.n_buckets, self.m, self.k], dtype=np.int64)
+        np.save(os.path.join(dir_path, "meta.npy"), meta)
+        for b in range(self.n_buckets):
+            np.save(os.path.join(dir_path, f"bucket-{b:05d}.npy"), self.blobs[b])
+
+    @staticmethod
+    def load_bucket(dir_path: str, bucket: int) -> tuple[np.ndarray, int, int]:
+        """→ (blob, m, k) for one bucket."""
+        import os
+
+        meta = np.load(os.path.join(dir_path, "meta.npy"))
+        blob = np.load(os.path.join(dir_path, f"bucket-{bucket:05d}.npy"))
+        return blob, int(meta[1]), int(meta[2])

@@ -113,3 +113,39 @@ def bloom_delta(spark: SparkSession, accepted: DataFrame, bloom: BloomState) -> 
         delta.blobs[r["bucket"]] |= np.frombuffer(r["blob"], dtype=np.uint8)
         delta.n_items[r["bucket"]] += r["n"]
     return delta
+
+
+def probe_unseen_partitioned(
+    spark: SparkSession, candidates: DataFrame, urlseen: DataFrame, bucket_dir: str, n_buckets: int
+) -> DataFrame:
+    """Co-partitioned probe for Bloom state too large to broadcast
+    (the 10^10-key regime: ~12 GB total, MBs per bucket).
+
+    Candidates shuffle ONCE on bucket = pmod(h1, n_buckets); each task
+    loads only its bucket's blob from ``bucket_dir`` (written by
+    BloomState.to_bucket_files — local FS here, object store on a real
+    cluster) and probes with the same numpy kernel.  Per-task working set
+    is one bucket's blob regardless of total state size.
+    """
+
+    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        blob, m, k = BloomState.load_bucket(bucket_dir, int(key[0]))
+        h1 = _u64(pdf["_h1"])
+        h2 = _u64(pdf["_h2"]) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[None, :]
+        pos = ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+        byte_idx, bit = pos >> 3, (pos & 7).astype(np.uint8)
+        bits = (blob[byte_idx] >> bit) & 1
+        return pdf.assign(maybe_seen=bits.all(axis=1))
+
+    withh = _with_hashes(candidates).withColumn(
+        "bucket", F.pmod(F.col("_h1"), F.lit(n_buckets)).cast("int")
+    )
+    out_schema = T.StructType(
+        list(withh.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+    probed = withh.groupBy("bucket").applyInPandas(per_bucket, schema=out_schema)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2", "bucket")
+    positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2", "bucket")
+    survivors = positives.join(urlseen.select("url"), on="url", how="left_anti")
+    return fresh.unionByName(survivors)

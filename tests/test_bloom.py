@@ -52,3 +52,37 @@ def test_delta_bits_or_merge():
 def test_mismatched_merge_rejected():
     with pytest.raises(AssertionError):
         BloomState(4, 1 << 12).merge(BloomState(8, 1 << 12))
+
+
+def test_partitioned_probe_equals_broadcast(spark, tmp_path):
+    """The co-partitioned (per-bucket file) probe must accept exactly the
+    same URLs as the broadcast probe + exact fallback."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.urlseen import (
+        bloom_delta,
+        probe_unseen,
+        probe_unseen_partitioned,
+    )
+
+    bloom = BloomState(n_buckets=16, bits_per_bucket=1 << 14)
+    seen = spark.range(5000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 40).cast("string"),
+                 F.lit("/p/"), F.col("id").cast("string")).alias("url"))
+    bloom.merge(bloom_delta(spark, seen, bloom))
+    bdir = str(tmp_path / "blooms")
+    bloom.to_bucket_files(bdir)
+
+    cand = spark.range(8000).select(
+        F.when(F.col("id") % 3 == 0,
+               F.concat(F.lit("https://h"), (F.col("id") % 40).cast("string"),
+                        F.lit("/p/"), (F.col("id") % 5000).cast("string")))
+        .otherwise(F.concat(F.lit("https://new/q/"), F.col("id").cast("string")))
+        .alias("url")).dropDuplicates(["url"])
+
+    a = {r["url"] for r in probe_unseen(spark, cand, seen, bloom).collect()}
+    b = {r["url"] for r in probe_unseen_partitioned(spark, cand, seen, bdir, 16).collect()}
+    assert a == b
+    # and none of the accepted were actually seen
+    seen_set = {r["url"] for r in seen.collect()}
+    assert not (a & seen_set)
