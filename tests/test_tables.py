@@ -1,0 +1,65 @@
+"""Snapshot-commit semantics: atomicity, isolation, compaction, resume."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from crawlspark import schemas
+from crawlspark.tables import SnapshotCatalog
+
+
+def _metrics_df(spark, batch_id, n=3):
+    rows = [(batch_id, f"h{i}", 1, 1, 0, 0, 0, 0, 0, 10) for i in range(n)]
+    return spark.createDataFrame(rows, schemas.METRICS)
+
+
+def test_commit_appends_and_reads(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.commit(1, appends={"metrics": _metrics_df(spark, 1)})
+    cat.commit(2, appends={"metrics": _metrics_df(spark, 2)})
+    assert cat.read("metrics").count() == 6
+    assert cat.latest()["batch_id"] == 2
+
+
+def test_reader_isolated_from_uncommitted_files(spark, tmp_path):
+    """Orphan data files (a crashed writer that never swapped LATEST) must
+    be invisible: readers follow the manifest, not the directory."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    m1 = cat.commit(1, appends={"metrics": _metrics_df(spark, 1)})
+    # simulate a crash: data written, manifest json written, LATEST not swapped
+    orphan = os.path.join(str(tmp_path), "metrics", "snap999999-deadbeef")
+    _metrics_df(spark, 99).write.parquet(orphan)
+    with open(os.path.join(str(tmp_path), "_snapshots", "snap-999999.json"), "w") as f:
+        json.dump({"snapshot_id": 999999, "tables": {"metrics": [orphan]}}, f)
+    assert cat.read("metrics").count() == 3  # orphan invisible
+    assert cat.latest()["snapshot_id"] == m1["snapshot_id"]
+
+
+def test_old_snapshot_still_readable(spark, tmp_path):
+    """Snapshot isolation: a reader holding manifest N sees N's data even
+    after newer commits (time travel across the delta log)."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    m1 = cat.commit(1, appends={"metrics": _metrics_df(spark, 1)})
+    cat.commit(2, appends={"metrics": _metrics_df(spark, 2)})
+    assert cat.read("metrics", m1).count() == 3
+    assert cat.read("metrics").count() == 6
+
+
+def test_replace_resets_file_list(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.commit(1, appends={"metrics": _metrics_df(spark, 1)})
+    cat.commit(2, appends={"metrics": _metrics_df(spark, 2)})
+    compacted = cat.read("metrics").filter(F.col("batch_id") == 2)
+    cat.commit(3, appends={}, replace={"metrics": compacted})
+    assert cat.read("metrics").count() == 3
+    assert len(cat.latest()["tables"]["metrics"]) == 1
+
+
+def test_empty_append_reads_back_empty(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    empty = spark.createDataFrame([], schemas.METRICS)
+    cat.commit(1, appends={"metrics": empty})
+    assert cat.read("metrics").count() == 0
+    cat.commit(2, appends={"metrics": _metrics_df(spark, 2)})
+    assert cat.read("metrics").count() == 3
