@@ -1097,3 +1097,51 @@ def stream_rate_limit_query(spark, sf_dir):
     sq.processAllAvailable()
     sq.stop()
     return spark.sql(f"select host, url, decision from {qname}")
+
+
+# ---- 32. Pivot: event counts by hour × type (OLAP breadth) ----------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "events_pivot",
+    f"""
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_n,
+           {", ".join(f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def events_pivot(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400)).cast("long")
+    p = (
+        ev.groupBy(day.alias("day_n"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    sel = [F.col("day_n")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES
+    ]
+    return p.select(*sel)
+
+
+# ---- 33. Rollup: order counts with subtotal rows (grouping sets) ----------
+
+@q(
+    "orders_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_c"),
+        )
+    )

@@ -1,0 +1,63 @@
+"""spark-submit entry point for the crawl engine.
+
+Cluster:
+    zip -r crawlspark.zip crawlspark
+    spark-submit --py-files crawlspark.zip scripts/run_crawl.py \
+        --warehouse /data/crawl-wh --scale 1.0 --max-batches 100
+
+Local sandbox:
+    python scripts/run_crawl.py --warehouse /tmp/wh --scale 0.25
+
+The driver loop, politeness, dedup and snapshot commits are identical in
+both modes; on a cluster only the session master/memory come from
+spark-submit instead of the local defaults.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--scale", type=float, default=0.25)
+    ap.add_argument("--max-batches", type=int, default=64)
+    ap.add_argument("--max-depth", type=int, default=64)
+    ap.add_argument("--budget", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed-file", default=None)
+    ap.add_argument("--compact-every", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, run_crawl
+
+    # under spark-submit an active session/config already exists; getOrCreate
+    # attaches to it, otherwise crawlspark.session defaults apply
+    builder = SparkSession.builder.appName("crawlspark")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = CrawlConfig(
+        warehouse=args.warehouse,
+        spec=synthetic.WebSpec(scale=args.scale),
+        max_batches=args.max_batches,
+        max_depth=args.max_depth,
+        budget_override=args.budget,
+        compact_every=args.compact_every,
+        seed_file=args.seed_file,
+    )
+    summary = run_crawl(spark, cfg, resume=args.resume)
+    summary.pop("manifest", None)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""The fused fetch+parse+clean stage must produce exactly the rows the
+composable unfused operators produce (fetch_stage → parse_stage →
+docs_stage) — fusion is a physical optimization, never a semantic one."""
+
+from pyspark.sql import functions as F
+
+from crawlspark import synthetic
+from crawlspark.operators.docs import docs_stage
+from crawlspark.operators.fetch import fetch_stage
+from crawlspark.operators.parse import parse_stage
+from crawlspark.operators.pipeline import docs_from_pipe, fetch_parse_stage
+
+
+def _frontier(spark, spec, n=80):
+    hosts = sorted(spec.hosts)
+    host = F.element_at(F.array(*[F.lit(h) for h in hosts]), (F.col("id") % len(hosts) + 1).cast("int"))
+    n_art = min(c["n_articles"] for c in spec.hosts.values())
+    return spark.range(n).select(
+        F.concat(F.lit("https://"), host, F.lit("/news/"),
+                 (F.col("id") % n_art).cast("string"), F.lit("-s"),
+                 ((F.col("id") % n_art) % 7).cast("string")).alias("url"),
+        F.xxhash64("id").alias("url_hash"), host.alias("host"),
+        F.lit(1).alias("depth"), F.lit(0.0).alias("priority"),
+        F.lit(0).alias("discovered_batch"), F.lit(0).alias("retry_count"),
+        F.lit(0).alias("not_before_batch"), F.lit("article").alias("page_kind"),
+        F.lit(None).cast("struct<title:string,date:string,article_url:string>").alias("meta"),
+    ).dropDuplicates(["url"])
+
+
+def test_fused_equals_unfused(spark):
+    spec = synthetic.WebSpec(scale=0.2)
+    frontier = _frontier(spark, spec).persist()
+
+    pipe = fetch_parse_stage(frontier, spec)
+    fused_docs = {
+        r["doc_id"]: tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"])
+        for r in docs_from_pipe(pipe.filter(F.col("rec") == "doc"), 7).collect()
+    }
+    fused_links = {
+        (r["url"], r["link"]) for r in pipe.filter(F.col("rec") == "link").collect()
+    }
+
+    fetched = fetch_stage(frontier, spec)
+    parsed = parse_stage(fetched.filter(F.col("status") == 200))
+    unfused_docs = {
+        r["doc_id"]: tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"])
+        for r in docs_stage(parsed.filter(F.col("rec") == "doc"), 7).collect()
+    }
+    unfused_links = {
+        (r["url"], r["link"]) for r in parsed.filter(F.col("rec") == "link").collect()
+    }
+
+    assert fused_docs == unfused_docs and len(fused_docs) > 0
+    assert fused_links == unfused_links and len(fused_links) > 0
+    frontier.unpersist()
