@@ -1145,3 +1145,130 @@ def orders_rollup(spark, sf_dir):
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_c"),
         )
     )
+
+
+# ==========================================================================
+# Interleaved text+media span-table operators (the input_hint shape:
+# doc_id, spans array<struct<kind,text,media_ref,offset>>).  The span
+# table is synthesized deterministically from the flat testdata documents
+# (sentence-split; every 3rd span is media), then processed — these are
+# the span-shape twins of the crawl engine's document operators.
+# ==========================================================================
+
+def _spans_df(spark, sf_dir):
+    """documents → (doc_id, spans) in the exact input_hint shape: the text
+    is chunked into 8-word spans, every 3rd span is a media span."""
+    d = T(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / 8).cast("int")
+    idx = F.sequence(F.lit(1), n_chunks)
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.when((i - 1) % 3 == 2, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            F.when((i - 1) % 3 == 2, F.lit(None).cast("string"))
+            .otherwise(F.concat_ws(" ", F.slice(words, (i - 1) * 8 + 1, 8))).alias("text"),
+            F.when(
+                (i - 1) % 3 == 2,
+                F.concat(F.lit("m://"), F.col("doc_id").cast("string"), F.lit("/"),
+                         (i - 1).cast("string")),
+            ).alias("media_ref"),
+            (i - 1).cast("int").alias("offset"),
+        ),
+    )
+    return d.select("doc_id", spans.alias("spans"))
+
+
+_SPANS_SQL = """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    e AS (SELECT doc_id, CAST(i - 1 AS INT) AS "offset",
+                 CASE WHEN (i - 1) % 3 = 2 THEN 'media' ELSE 'text' END AS kind,
+                 CASE WHEN (i - 1) % 3 = 2 THEN NULL
+                      ELSE array_to_string(words[(CAST(i AS INT) - 1) * 8 + 1 : CAST(i AS INT) * 8], ' ')
+                 END AS span_text,
+                 CASE WHEN (i - 1) % 3 = 2
+                      THEN 'm://' || doc_id || '/' || CAST(i - 1 AS INT) END AS media_ref
+          FROM s, unnest(range(1, CAST(ceil(len(words) / 8.0) AS BIGINT) + 1)) AS t(i))
+"""
+
+
+@q(
+    "interleaved_explode",
+    _SPANS_SQL + """
+    SELECT doc_id, "offset", kind, span_text, media_ref FROM e
+    """,
+)
+def interleaved_explode(spark, sf_dir):
+    """Span-table flatten (W3 ordering: offset preserved through explode)."""
+    sp = _spans_df(spark, sf_dir)
+    e = sp.select("doc_id", F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+@q(
+    "interleaved_stats",
+    _SPANS_SQL + """
+    SELECT doc_id,
+           count(*) FILTER (kind = 'text') AS n_text,
+           count(*) FILTER (kind = 'media') AS n_media,
+           CAST(coalesce(sum(length(span_text)) FILTER (kind = 'text'), 0) AS BIGINT) AS text_chars,
+           max("offset") FILTER (kind = 'media') AS last_media_offset
+    FROM e GROUP BY 1
+    """,
+)
+def interleaved_stats(spark, sf_dir):
+    """Per-doc interleaving stats straight off the nested column — no
+    explode, pure higher-order functions (row-local)."""
+    sp = _spans_df(spark, sf_dir)
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))
+    media_spans = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+    return sp.select(
+        "doc_id",
+        F.size(text_spans).cast("long").alias("n_text"),
+        F.size(media_spans).cast("long").alias("n_media"),
+        F.aggregate(
+            text_spans, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s["text"])
+        ).alias("text_chars"),
+        F.array_max(F.transform(media_spans, lambda s: s["offset"])).alias("last_media_offset"),
+    )
+
+
+@q(
+    "interleaved_clean_renumber",
+    _SPANS_SQL + """
+    , cleaned AS (
+      SELECT doc_id, "offset", kind, media_ref,
+             CASE WHEN kind = 'text'
+                  THEN trim(regexp_replace(span_text, 'slow|error', '', 'g'))
+                  ELSE span_text END AS span_text
+      FROM e),
+    kept AS (SELECT * FROM cleaned WHERE kind = 'media' OR length(span_text) > 0)
+    SELECT doc_id, kind, span_text, media_ref,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS INT) AS "offset"
+    FROM kept
+    """,
+)
+def interleaved_clean_renumber(spark, sf_dir):
+    """Span-level cleaning (C2 span form): delete a pattern from text
+    spans, drop spans emptied by the deletion, renumber offsets to close
+    the gaps — the crawl engine's clean_spans semantics as columnar ops."""
+    e = interleaved_explode(spark, sf_dir)
+    cleaned = e.withColumn(
+        "span_text",
+        F.when(
+            F.col("kind") == "text",
+            F.trim(F.regexp_replace("span_text", "slow|error", "")),
+        ).otherwise(F.col("span_text")),
+    )
+    kept = cleaned.filter((F.col("kind") == "media") | (F.length("span_text") > 0))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return kept.select(
+        "doc_id", "kind", "span_text", "media_ref",
+        (F.row_number().over(w) - 1).cast("int").alias("offset"),
+    )
