@@ -229,10 +229,11 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         )
     )
 
-    # ---- state updates (tiny driver-side collects: hosts + bloom blobs) --
-    delta = bloom_delta(spark, new_frontier, bloom)
+    # ---- state updates (tiny driver-side collects: hosts + bloom blobs,
+    # piggybacked on one job) --
+    delta, new_hosts = bloom_delta(spark, new_frontier, bloom, collect_hosts=True)
     bloom.merge(delta)
-    for (h,) in new_frontier.select("host").distinct().collect():
+    for h in new_hosts:
         if h not in hosts_state:
             hosts_state[h] = synthetic.robots_for_host(h)
 
@@ -302,9 +303,10 @@ def enrich_frontier(spark: SparkSession, cfg: CrawlConfig, extra_seeds) -> dict:
     batch_id = manifest["batch_id"]
     urlseen_all = catalog.read("urlseen", manifest)
     new = probe_unseen(spark, extra_seeds.dropDuplicates(["url"]), urlseen_all, bloom).persist()
-    bloom.merge(bloom_delta(spark, new, bloom))
+    delta, new_hosts = bloom_delta(spark, new, bloom, collect_hosts=True)
+    bloom.merge(delta)
     hosts_state = dict(manifest["state"]["hosts"])
-    for (h,) in new.select("host").distinct().collect():
+    for h in new_hosts:
         if h not in hosts_state:
             hosts_state[h] = synthetic.robots_for_host(h)
     out = catalog.commit(

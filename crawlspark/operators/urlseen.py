@@ -84,10 +84,18 @@ def probe_unseen(spark: SparkSession, candidates: DataFrame, urlseen: DataFrame,
     return fresh.unionByName(survivors)
 
 
-def bloom_delta(spark: SparkSession, accepted: DataFrame, bloom: BloomState) -> BloomState:
+def bloom_delta(
+    spark: SparkSession, accepted: DataFrame, bloom: BloomState, collect_hosts: bool = False
+):
     """Distributed delta-bit computation for the accepted new URLs: one
-    (bucket, blob) row per touched bucket, OR-merged on the driver."""
+    (bucket, blob) row per touched bucket, OR-merged on the driver.
+
+    ``collect_hosts=True`` piggybacks the distinct hosts of the accepted
+    rows onto the same job (the crawl loop needs them for robots state —
+    one Spark job instead of two per batch) and returns (delta, hosts).
+    """
     nb, m, k = bloom.n_buckets, bloom.m, bloom.k
+    with_host = collect_hosts and "host" in accepted.columns
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
         st = BloomState(1, m, k)
@@ -97,21 +105,28 @@ def bloom_delta(spark: SparkSession, accepted: DataFrame, bloom: BloomState) -> 
         pos = ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
         byte_idx, bit = pos >> 3, (pos & 7).astype(np.uint8)
         np.bitwise_or.at(st.blobs, (np.zeros_like(byte_idx), byte_idx), np.uint8(1) << bit)
+        hosts = sorted(set(pdf["host"])) if "host" in pdf.columns else []
         return pd.DataFrame(
-            {"bucket": [int(key[0])], "n": [len(h1)], "blob": [st.blobs[0].tobytes()]}
+            {"bucket": [int(key[0])], "n": [len(h1)],
+             "blob": [st.blobs[0].tobytes()], "hosts": [hosts]}
         )
 
+    cols = ["url", "host"] if with_host else ["url"]
     rows = (
-        _with_hashes(accepted.select("url"))
+        _with_hashes(accepted.select(*cols))
         .withColumn("bucket", F.pmod(F.col("_h1"), F.lit(nb)).cast("int"))
         .groupBy("bucket")
-        .applyInPandas(per_bucket, schema="bucket int, n long, blob binary")
+        .applyInPandas(per_bucket, schema="bucket int, n long, blob binary, hosts array<string>")
         .collect()
     )
     delta = BloomState(nb, m, k)
+    hosts: set = set()
     for r in rows:
         delta.blobs[r["bucket"]] |= np.frombuffer(r["blob"], dtype=np.uint8)
         delta.n_items[r["bucket"]] += r["n"]
+        hosts.update(r["hosts"] or [])
+    if collect_hosts:
+        return delta, hosts
     return delta
 
 
