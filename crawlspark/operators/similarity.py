@@ -93,3 +93,96 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------- IVF (inverted-file) ANN: the other scale path ----------
+
+def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 3,
+                        dim: int = 64) -> list[list[float]]:
+    """Coarse quantizer: k-means with deterministic init (first n_cells
+    vectors by vec_id) and ``iters`` Lloyd rounds, each round one
+    DataFrame job (assign = broadcast centroid matmul in a pandas UDF,
+    update = groupBy mean).  Returns driver-side centroids (tiny: n_cells
+    × dim floats)."""
+    init = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(n_cells).collect()
+    ]
+    centroids = np.asarray(init, dtype=np.float64)
+
+    for _ in range(iters):
+        cen_b = centroids
+
+        @F.pandas_udf("int")
+        def assign(embs: pd.Series) -> pd.Series:
+            mat = np.asarray(embs.tolist(), dtype=np.float64)
+            if mat.size == 0:
+                return pd.Series([], dtype="int32")
+            d2 = ((mat[:, None, :] - cen_b[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        assigned = emb.select("vec_id", "embedding", assign("embedding").alias("cell"))
+        # mean per cell via posexplode → (cell, dim_idx) integer-keyed agg
+        sums = (
+            assigned.select("cell", F.posexplode("embedding").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        acc: dict = {}
+        for r in sums:
+            acc.setdefault(r["cell"], [np.zeros(dim), 0])[0][r["i"]] = r["s"]
+            acc[r["cell"]][1] = r["n"]
+        for c, (vec, n) in acc.items():
+            if n > 0:
+                new[c] = vec / n
+        centroids = new
+    return [list(map(float, c)) for c in centroids]
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    cen = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.asarray(embs.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([], dtype="int32")
+        d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return emb.withColumn("cell", assign("embedding"))
+
+
+def ann_ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list[list[float]],
+                 k: int = 5, n_probe: int = 2) -> DataFrame:
+    """IVF search: assign corpus to cells once; each query probes its
+    ``n_probe`` nearest cells; exact cosine re-rank inside the probed
+    cells.  One shuffle (the cell equi-join); per-query work is
+    O(cell size × n_probe) instead of O(N)."""
+    cen = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(embs: pd.Series) -> pd.Series:
+        mat = np.asarray(embs.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series([list(r) for r in order])
+
+    corpus = ivf_assign(emb, centroids)
+    qdf = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe_cells("embedding")).alias("cell"),
+    )
+    cand = corpus.join(qdf, on="cell").filter(F.col("vec_id") != F.col("query_id"))
+    cos = _cosine_expr(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"), "cell")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

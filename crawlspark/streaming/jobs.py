@@ -82,3 +82,31 @@ def stream_rate_limiter(urls_stream: DataFrame, budget_per_trigger: float = 5.0)
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_to_snapshot_sink(stream_df, catalog, table: str, checkpoint_dir: str):
+    """Exactly-once streaming sink into the snapshot table layer via
+    foreachBatch: each micro-batch appends under a snapshot commit keyed by
+    the epoch id, and an already-committed epoch is skipped on replay —
+    idempotent against Structured Streaming's at-least-once foreachBatch
+    contract.  Returns the StreamingQuery."""
+
+    def sink(batch_df, epoch_id: int):
+        m = catalog.latest() or {}
+        done = (m.get("state") or {}).get("stream_epochs", {}).get(table, -1)
+        if epoch_id <= done:
+            return  # replayed epoch: already committed, skip
+        epochs = dict((m.get("state") or {}).get("stream_epochs", {}))
+        epochs[table] = epoch_id
+        catalog.commit(
+            m.get("batch_id", 0),
+            appends={table: batch_df},
+            state={"stream_epochs": epochs},
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )

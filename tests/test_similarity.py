@@ -72,3 +72,48 @@ def test_lsh_signature_deterministic(spark, emb):
     b = {r["vec_id"]: r["bucket"] for r in lsh_signatures(emb).collect()}
     assert a == b
     assert len(set(a.values())) > 10  # signatures actually spread
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF coarse quantizer: on tightly clustered data, k-means cells align
+    with clusters and n_probe=2 recall vs brute force is near-perfect."""
+    import numpy as np
+
+    from crawlspark.operators.similarity import (
+        ann_ivf_topk,
+        brute_force_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 64)) * 3
+    rows = []
+    for i in range(240):
+        c = i % 8
+        v = centers[c] + rng.standard_normal(64) * 0.1
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = ivf_train_centroids(df, n_cells=8, iters=3)
+    queries = df.filter(F.col("vec_id") < 6)
+    exact = brute_force_topk(df, queries, k=5).collect()
+    approx = ann_ivf_topk(df, queries, cents, k=5, n_probe=2).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hit = tot = 0
+    for r in approx:
+        tot += 1
+        hit += r["vec_id"] in exact_sets.get(r["query_id"], set())
+    assert tot == 30 and hit / tot > 0.9, (hit, tot)
+
+
+def test_ivf_centroids_stable(spark, emb):
+    """Centroid updates are float group-sums (order not guaranteed across
+    runs) — assert stability to tolerance, not bit equality."""
+    import numpy as np
+
+    from crawlspark.operators.similarity import ivf_train_centroids
+
+    a = np.asarray(ivf_train_centroids(emb, n_cells=4, iters=1))
+    b = np.asarray(ivf_train_centroids(emb, n_cells=4, iters=1))
+    assert np.allclose(a, b, atol=1e-9)
