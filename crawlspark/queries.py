@@ -868,8 +868,8 @@ def doc_rolling_fingerprint(spark, sf_dir):
                  CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new
           FROM t),
     s AS (SELECT user_id, event_id, ts_s,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM g)
     SELECT user_id, session_id, count(*) AS n_events,
            min(ts_s) AS t_start_s, max(ts_s) AS t_end_s
