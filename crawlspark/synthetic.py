@@ -81,8 +81,9 @@ def seed_urls(spec: WebSpec) -> list[str]:
     return [listing_url(h, 0, 0) for h in spec.hosts]
 
 
-# Synthetic robots.txt state (reference: ROBOTSTXT_OBEY settings.py:20;
-# per-host crawl delay :427-428).  Pure function of host.
+# Synthetic robots.txt (reference: ROBOTSTXT_OBEY settings.py:20; per-host
+# crawl delay :427-428).  Served as real robots.txt text by fetch() and
+# parsed with functions/robots.py — the engine never sees these dicts.
 _ROBOTS = {
     "www.fmt.example": {"disallow": ["/section/1"], "crawl_delay": None},
     "www.tstar.example": {"disallow": ["/section/2"], "crawl_delay": None},
@@ -90,11 +91,26 @@ _ROBOTS = {
 }
 
 
-def robots_for_host(host: str) -> dict:
+def robots_txt(host: str) -> str:
+    """The robots.txt body the synthetic web serves for ``host``."""
     r = _ROBOTS.get(host, {"disallow": [], "crawl_delay": None})
-    delay = r["crawl_delay"] or rules.DEFAULT_CRAWL_DELAY_S
+    lines = ["# synthetic robots", "User-agent: badbot", "Disallow: /", "",
+             "User-agent: *"]
+    lines += [f"Disallow: {d}" for d in r["disallow"]] or ["Disallow:"]
+    if r["crawl_delay"]:
+        lines.append(f"Crawl-delay: {r['crawl_delay']}")
+    return "\n".join(lines) + "\n"
+
+
+def robots_for_host(host: str) -> dict:
+    """Fetch+parse the host's robots.txt → politeness state (the engine's
+    per-host robots acquisition; reference fetches robots once per host)."""
+    from crawlspark.functions.robots import parse_robots_txt
+
+    parsed = parse_robots_txt(robots_txt(host))
+    delay = parsed["crawl_delay"] or rules.DEFAULT_CRAWL_DELAY_S
     return {
-        "disallow": list(r["disallow"]),
+        "disallow": list(parsed["disallow"]),
         "crawl_delay_s": delay,
         "budget_per_batch": max(1, int(rules.BATCH_PERIOD_S / delay)),
     }
