@@ -1272,3 +1272,49 @@ def interleaved_clean_renumber(spark, sf_dir):
         "doc_id", "kind", "span_text", "media_ref",
         (F.row_number().over(w) - 1).cast("int").alias("offset"),
     )
+
+
+# ---- 34. SimHash Hamming-distance near-dup pairs --------------------------
+
+def _simhash_cte() -> str:
+    """The dedup_simhash computation as a CTE body (doc_id, simhash)."""
+    hs = "list_transform(string_split(text,' '), w -> ('0x' || substr(md5(w),1,15))::BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {hs} AS hs FROM documents "
+        f"WHERE len(string_split(text,' ')) >= 1), "
+        f"sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM t)"
+    )
+
+
+@q(
+    "simhash_hamming_pairs",
+    _simhash_cte() + """
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup candidates: adjacent-id pairs whose 16-bit
+    signatures differ in <= 6 bits (Hamming ball; at corpus scale the
+    candidate generator is banding over signature halves instead of
+    adjacent ids — same verify step)."""
+    sh = dedup_simhash(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(ham <= 6)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
