@@ -124,10 +124,29 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
 
     pending = _pending(catalog, manifest)
     hosts_df = _hosts_df(spark, hosts_state, cfg.budget_override)
-    scheduled = scheduler.schedule(pending, hosts_df, batch_id).persist()
+    scheduled, robots_blocked = scheduler.schedule(
+        pending, hosts_df, batch_id, return_blocked=True
+    )
+    scheduled = scheduled.persist()
+    # retire robots-disallowed rows with a terminal progress record so they
+    # leave the pending set instead of being re-scanned every batch
+    blocked_progress = robots_blocked.select(
+        "url", F.xxhash64("url").alias("url_hash"), F.lit(batch_id).alias("batch_id"),
+        F.lit(0).alias("status"), F.lit("robots_blocked").alias("outcome"),
+        F.col("retry_count").alias("attempt"),
+    ).persist()
     n_sched = scheduled.count()
+    n_blocked = blocked_progress.count()
     if n_sched == 0:
         scheduled.unpersist()
+        if n_blocked > 0:
+            m = catalog.commit(
+                batch_id, appends={"progress": blocked_progress.coalesce(1)},
+                state={"hosts": hosts_state},
+            )
+            blocked_progress.unpersist()
+            return m
+        blocked_progress.unpersist()
         # nothing eligible now; if anything is backoff-gated, skip forward
         n_future = pending.filter(F.col("not_before_batch") > batch_id).count()
         if n_future == 0:
@@ -154,7 +173,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     progress_new = fetched_o.select(
         "url", F.xxhash64("url").alias("url_hash"), F.lit(batch_id).alias("batch_id"),
         "status", "outcome", F.col("retry_count").alias("attempt"),
-    )
+    ).unionByName(blocked_progress)
     # retry re-entry with exponential backoff (reference :543-555, :636)
     retries = fetched_o.filter(F.col("outcome") == "retry").select(
         "url", F.xxhash64("url").alias("url_hash"), "host", "depth", "priority",
@@ -269,14 +288,10 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             on=["url", "retry_count"],
             how="left_anti",
         )
+        compact_appends = {k: v for k, v in appends.items() if k != "frontier"}
         new_manifest = catalog.commit(
             batch_id,
-            appends={
-                "documents": docs_new,
-                "metrics": metrics,
-                "urlseen": new_seen,
-                "progress": progress_new,
-            },
+            appends=compact_appends,
             replace={"frontier": pending_after},
             bloom=bloom,
             state={"hosts": hosts_state},
@@ -285,7 +300,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         new_manifest = catalog.commit(
             batch_id, appends=appends, bloom=bloom, state={"hosts": hosts_state}
         )
-    for df in (scheduled, pipe, new_frontier):
+    for df in (scheduled, pipe, new_frontier, blocked_progress):
         df.unpersist()
     return new_manifest
 

@@ -100,22 +100,36 @@ def dedup_keep_first(df: DataFrame, id_col: str = "id", text_col: str = "text",
     here the transitive step is iterated min-propagation)."""
     pairs = verified_neardup_pairs(df, id_col, text_col, threshold).persist()
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    # min-propagation to a fixpoint (dup clusters are tiny; 3 rounds
-    # suffice for chains of length 2^3)
-    rep = base.select("id", F.col("id").alias("root"))
+    # min-label propagation to a FIXPOINT: each round advances the min id
+    # one hop (Bellman-Ford), so iterate until no label changes (capped at
+    # 32 rounds — dup-cluster diameters beyond that don't occur in text
+    # dedup; the cap guards against pathological inputs, not correctness)
+    rep = base.select("id", F.col("id").alias("root")).persist()
     edges = pairs.select("a_id", "b_id").unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    )
-    for _ in range(3):
+    ).persist()
+    for _ in range(32):
         prop = (
             edges.join(rep.withColumnRenamed("id", "b_id"), on="b_id")
             .groupBy(F.col("a_id").alias("id"))
             .agg(F.min("root").alias("nroot"))
         )
-        rep = (
+        new_rep = (
             rep.join(prop, on="id", how="left")
             .select("id", F.least(F.col("root"), F.coalesce("nroot", F.col("root"))).alias("root"))
+            .persist()
         )
+        changed = (
+            new_rep.alias("n")
+            .join(rep.alias("o"), on="id")
+            .filter(F.col("n.root") != F.col("o.root"))
+            .limit(1)
+            .count()
+        )
+        rep.unpersist()
+        rep = new_rep
+        if changed == 0:
+            break
     keep = rep.filter(F.col("id") == F.col("root")).select("id")
     out = base.join(keep, on="id", how="left_semi")
     pairs.unpersist()

@@ -65,7 +65,17 @@ def docs_stage(parsed_docs: DataFrame, batch_id: int) -> DataFrame:
     cleaned = parsed_docs.select("url", "host", "title", "date_raw", "spans").mapInPandas(
         clean, schema=_CLEANED
     )
+    return finalize_documents(cleaned, batch_id)
 
+
+def finalize_documents(cleaned: DataFrame, batch_id: int) -> DataFrame:
+    """The pure-Column filter tail shared by the fused and unfused doc
+    pipelines: empty-body drop (F5), date window (F4), keyword relevance
+    (F3), source labeling (F7), doc_id derivation (C6), in-batch dedup.
+
+    ``cleaned`` must carry (url, title, published_date, spans) with spans
+    already cleaned and dates already parsed.
+    """
     domain = domain_expr(host_expr(F.col("url")))
     # per-source date window as a CASE chain (small dim; reference :2495-2526)
     lo = F.lit(rules.DEFAULT_DATE_WINDOW[0])
@@ -85,7 +95,7 @@ def docs_stage(parsed_docs: DataFrame, batch_id: int) -> DataFrame:
     for d, code in rules.SOURCE_CODES.items():
         src = F.when(domain == d, F.lit(code)).otherwise(src)
 
-    out = (
+    return (
         cleaned.filter(F.size(text_spans) > 0)  # F5 empty-body drop
         .filter(F.col("published_date").isNotNull())
         .filter(F.year("published_date").between(lo, hi))  # F4 date window
@@ -101,4 +111,3 @@ def docs_stage(parsed_docs: DataFrame, batch_id: int) -> DataFrame:
         )
         .dropDuplicates(["doc_id"])
     )
-    return out

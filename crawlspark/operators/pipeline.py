@@ -104,36 +104,11 @@ def fetch_parse_stage(
 
 
 def docs_from_pipe(pipe_docs: DataFrame, batch_id: int) -> DataFrame:
-    """PIPE rec='doc' rows → DOCUMENTS rows: the pure-Column filter tail of
-    operators/docs.docs_stage (spans already cleaned, dates already parsed
-    inside the fused stage)."""
-    from crawlspark import rules
-    from crawlspark.functions.urls import domain_expr, host_expr
+    """PIPE rec='doc' rows → DOCUMENTS rows via the SAME filter tail as the
+    unfused path (spans already cleaned, dates already parsed inside the
+    fused stage) — one implementation, no fused/unfused drift."""
+    from crawlspark.operators.docs import finalize_documents
 
-    domain = domain_expr(host_expr(F.col("url")))
-    lo = F.lit(rules.DEFAULT_DATE_WINDOW[0])
-    hi = F.lit(rules.DEFAULT_DATE_WINDOW[1])
-    for d, (a, b) in rules.DATE_WINDOWS.items():
-        lo = F.when(domain == d, F.lit(a)).otherwise(lo)
-        hi = F.when(domain == d, F.lit(b)).otherwise(hi)
-    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))
-    body_text = F.concat_ws("\n", F.transform(text_spans, lambda s: s["text"]))
-    kw_rx = "|".join(rules.SEARCH_KEYWORDS).replace("-", r"\-")
-    keyword_ok = F.lower(
-        F.concat_ws(" ", F.coalesce(F.col("title"), F.lit("")), body_text)
-    ).rlike(kw_rx)
-    src = F.lit(None).cast("string")
-    for d, code in rules.SOURCE_CODES.items():
-        src = F.when(domain == d, F.lit(code)).otherwise(src)
-    return (
-        pipe_docs.filter(F.size(text_spans) > 0)
-        .filter(F.col("published_date").isNotNull())
-        .filter(F.year("published_date").between(lo, hi))
-        .filter(keyword_ok)
-        .select(
-            F.sha1(F.encode(F.col("url"), "UTF-8")).alias("doc_id"),
-            "url", "title", "published_date", src.alias("source"),
-            F.lit(batch_id).alias("batch_id"), "spans",
-        )
-        .dropDuplicates(["doc_id"])
+    return finalize_documents(
+        pipe_docs.select("url", "title", "published_date", "spans"), batch_id
     )

@@ -70,12 +70,18 @@ def robots_allowed_py(url: str, disallow: list[str] | None) -> bool:
     return not any(path.startswith(d) for d in disallow)
 
 
-def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int) -> DataFrame:
+def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int,
+             return_blocked: bool = False):
     """pending(FRONTIER) × hosts → the rows fetched this batch.
 
     hosts is a small dimension → broadcast join (no shuffle on the big
     side for the budget/robots lookup); the only shuffle is the per-host
     rank, bounded by the two-phase salt.
+
+    ``return_blocked=True`` also returns the robots-disallowed eligible
+    rows so the caller can retire them with a terminal progress record —
+    otherwise they would sit in the pending set forever, re-scanned every
+    batch and rewritten by every compaction.
     """
     df = pending.filter(F.col("not_before_batch") <= F.lit(batch_id))
     if "robots_rx" not in hosts.columns:
@@ -93,9 +99,10 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int) -> DataFrame:
 
     # robots: Disallow prefix check against the precompiled per-host regex
     path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
-    df = df.filter(
-        F.col("robots_rx").isNull() | ~F.regexp_like(path, F.col("robots_rx"))
-    )
+    is_blocked = F.col("robots_rx").isNotNull() & F.regexp_like(path, F.col("robots_rx"))
+    drop_cols = ["crawl_delay_s", "budget_per_batch", "robots_disallow", "robots_rx"]
+    blocked = df.filter(is_blocked).drop(*drop_cols)
+    df = df.filter(~is_blocked)
 
     salt = F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS))
     w1 = Window.partitionBy("host", salt).orderBy(F.desc("priority"), F.asc("url"))
@@ -105,6 +112,8 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int) -> DataFrame:
         .filter(F.col("r1") <= F.col("budget_per_batch"))
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= F.col("budget_per_batch"))
-        .drop("r1", "rank", "crawl_delay_s", "budget_per_batch", "robots_disallow", "robots_rx")
+        .drop("r1", "rank", *drop_cols)
     )
+    if return_blocked:
+        return out, blocked
     return out

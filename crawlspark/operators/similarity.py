@@ -111,17 +111,9 @@ def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 3,
     centroids = np.asarray(init, dtype=np.float64)
 
     for _ in range(iters):
-        cen_b = centroids
-
-        @F.pandas_udf("int")
-        def assign(embs: pd.Series) -> pd.Series:
-            mat = np.asarray(embs.tolist(), dtype=np.float64)
-            if mat.size == 0:
-                return pd.Series([], dtype="int32")
-            d2 = ((mat[:, None, :] - cen_b[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(d2.argmin(axis=1).astype("int32"))
-
-        assigned = emb.select("vec_id", "embedding", assign("embedding").alias("cell"))
+        assigned = ivf_assign(emb, [list(c) for c in centroids]).select(
+            "vec_id", "embedding", "cell"
+        )
         # mean per cell via posexplode → (cell, dim_idx) integer-keyed agg
         sums = (
             assigned.select("cell", F.posexplode("embedding").alias("i", "x"))

@@ -66,19 +66,26 @@ def crawl_oracle(
     while batch < max_batches:
         batch += 1
         eligible: dict[str, list[dict]] = {}
+        blocked: list[dict] = []
         for r in pending.values():
             if r["not_before"] > batch:
                 continue
             rb = robots(r["host"])
             if not robots_allowed_py(r["url"], rb["disallow"]):
+                blocked.append(r)  # retire with a terminal record (engine twin)
                 continue
             eligible.setdefault(r["host"], []).append(r)
+        for r in blocked:
+            del pending[r["url"]]
+            res.progress.append((r["url"], batch, r["retry_count"], "robots_blocked", 0))
         scheduled: list[dict] = []
         for host in sorted(eligible):
             budget = budget_override or robots(host)["budget_per_batch"]
             rows = sorted(eligible[host], key=lambda r: (-r["priority"], r["url"]))
             scheduled.extend(rows[:budget])
         if not scheduled:
+            if blocked:
+                continue  # this batch only retired robots-blocked rows
             if any(r["not_before"] > batch for r in pending.values()):
                 continue  # backoff-gated work remains
             batch -= 1

@@ -564,13 +564,20 @@ def dedup_minhash_lsh(spark, sf_dir):
 _SIMHASH_BITS = 16
 
 
-def _simhash_sql() -> str:
+def _simhash_exprs() -> tuple[str, str]:
+    """Shared SQL fragments for the SimHash computation (used by both
+    dedup_simhash and simhash_hamming_pairs so the twins can't drift)."""
     hs = "list_transform(string_split(text,' '), w -> ('0x' || substr(md5(w),1,15))::BIGINT)"
     bit_terms = " + ".join(
         f"(CASE WHEN 2*len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs) "
         f"THEN {1 << b} ELSE 0 END)"
         for b in range(_SIMHASH_BITS)
     )
+    return hs, bit_terms
+
+
+def _simhash_sql() -> str:
+    hs, bit_terms = _simhash_exprs()
     return f"""
     WITH t AS (SELECT doc_id, {hs} AS hs FROM documents
                WHERE len(string_split(text,' ')) >= 1)
@@ -1278,12 +1285,7 @@ def interleaved_clean_renumber(spark, sf_dir):
 
 def _simhash_cte() -> str:
     """The dedup_simhash computation as a CTE body (doc_id, simhash)."""
-    hs = "list_transform(string_split(text,' '), w -> ('0x' || substr(md5(w),1,15))::BIGINT)"
-    bit_terms = " + ".join(
-        f"(CASE WHEN 2*len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs) "
-        f"THEN {1 << b} ELSE 0 END)"
-        for b in range(_SIMHASH_BITS)
-    )
+    hs, bit_terms = _simhash_exprs()
     return (
         f"WITH t AS (SELECT doc_id, {hs} AS hs FROM documents "
         f"WHERE len(string_split(text,' ')) >= 1), "
