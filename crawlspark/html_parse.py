@@ -103,11 +103,29 @@ def parse_html(html: str) -> Node:
 
 # ---------------- extraction ----------------
 
+_ONCLICK_RX = None
+
+
 def extract_links(html: str) -> list[str]:
-    """All a@href on the page (frontier expansion; reference :747-760:
-    the entire-site branch is a::attr(href) getall for every domain)."""
+    """All a@href on the page (frontier expansion; reference :747-760: the
+    entire-site branch is a::attr(href) getall for every domain), plus
+    URLs carried in onclick handlers (C8: reference extracts
+    window.open('…') targets via regex, :1409-1413)."""
+    import re
+
+    global _ONCLICK_RX
+    if _ONCLICK_RX is None:
+        _ONCLICK_RX = re.compile(r"window\.open\('(.*?)'")
     root = parse_html(html)
-    return [a.attrs.get("href", "") for a in root.find_all("a") if a.attrs.get("href")]
+    out = []
+    for a in root.find_all("a"):
+        if a.attrs.get("href"):
+            out.append(a.attrs["href"])
+        elif a.attrs.get("onclick"):
+            m = _ONCLICK_RX.search(a.attrs["onclick"])
+            if m:
+                out.append(m.group(1))
+    return out
 
 
 def extract_listing_cards(html: str) -> list[dict]:

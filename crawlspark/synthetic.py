@@ -201,6 +201,12 @@ def listing_html(spec: WebSpec, host: str, section: int, page: int) -> str:
     for _ in range(2):
         parts.append(f"<a href=\"{_junk_link(rng, host)}\">more</a>")
     parts.append("</div><nav>")
+    # onclick-carried article link (reference C8: window.open extraction)
+    if rng.random() < 0.3:
+        aid = _h("onclick", host, section, page) % cfg["n_articles"]
+        parts.append(
+            f"<a onclick=\"window.open('{article_url(host, aid)}')\">popup</a>"
+        )
     # next-page chain + cross-section links
     if page + 1 < cfg["pages_per_section"]:
         parts.append(f"<a href=\"{listing_url(host, section, page + 1)}\">Next Page</a>")

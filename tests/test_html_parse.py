@@ -64,3 +64,15 @@ def test_whitespace_only_body_is_empty():
     html = "<div class='article-body'><p>   </p></div><a href='/x'>click here for article</a>"
     art = hp.extract_article(html, "h")
     assert art["redirect_url"] == "/x"
+
+
+def test_onclick_window_open_extraction():
+    """C8: URLs carried in onclick handlers (reference :1409-1413)."""
+    html = """
+    <a href="/news/1-s1">normal</a>
+    <a onclick="window.open('https://www.cna.example/news/9-s2')">popup</a>
+    <a onclick="doSomethingElse()">ignored</a>
+    """
+    assert hp.extract_links(html) == [
+        "/news/1-s1", "https://www.cna.example/news/9-s2"
+    ]
