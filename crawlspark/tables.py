@@ -132,6 +132,51 @@ class SnapshotCatalog:
         os.replace(ptr_tmp, self._latest_path)  # the atomic commit point
         return manifest
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg-style snapshot expiry: drop manifests older than the
+        newest ``keep_last`` and physically delete data files (and Bloom
+        blobs) referenced by no surviving manifest.  Readers holding a
+        surviving manifest are unaffected; the LATEST pointer never moves.
+
+        Returns {'snapshots_removed': n, 'files_removed': n}.
+        """
+        snap_dir = os.path.join(self.root, "_snapshots")
+        snaps = sorted(f for f in os.listdir(snap_dir) if f.startswith("snap-") and f.endswith(".json"))
+        if len(snaps) <= keep_last:
+            return {"snapshots_removed": 0, "files_removed": 0}
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        with open(self._latest_path) as f:
+            latest_file = f.read().strip()
+        if latest_file in drop:  # never expire the committed snapshot
+            drop.remove(latest_file)
+            keep.append(latest_file)
+
+        def refs(files: list[str]) -> set[str]:
+            out: set[str] = set()
+            for fn in files:
+                with open(os.path.join(snap_dir, fn)) as fh:
+                    m = json.load(fh)
+                for paths in m.get("tables", {}).values():
+                    out.update(p for p in paths if p)
+                bp = (m.get("state") or {}).get("bloom_path")
+                if bp:
+                    out.add(bp if bp.endswith(".npz") else bp + ".npz")
+            return out
+
+        live = refs(keep)
+        dead = refs(drop) - live
+        n_files = 0
+        for p in sorted(dead):
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                n_files += 1
+            elif os.path.isfile(p):
+                os.remove(p)
+                n_files += 1
+        for fn in drop:
+            os.remove(os.path.join(snap_dir, fn))
+        return {"snapshots_removed": len(drop), "files_removed": n_files}
+
     def load_bloom(self, manifest: dict | None = None) -> BloomState | None:
         m = manifest or self.latest()
         p = (m or {}).get("state", {}).get("bloom_path")

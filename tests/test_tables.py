@@ -63,3 +63,55 @@ def test_empty_append_reads_back_empty(spark, tmp_path):
     assert cat.read("metrics").count() == 0
     cat.commit(2, appends={"metrics": _metrics_df(spark, 2)})
     assert cat.read("metrics").count() == 3
+
+
+def test_expire_snapshots_removes_only_dead_files(spark, tmp_path):
+    """Expiry deletes files referenced by no surviving manifest; the
+    current table contents are untouched and still readable."""
+    import os
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.commit(1, appends={"metrics": _metrics_df(spark, 1)})
+    cat.commit(2, appends={"metrics": _metrics_df(spark, 2)})
+    # compaction: snapshot 3 references ONLY the compacted base
+    compacted = cat.read("metrics")
+    cat.commit(3, appends={}, replace={"metrics": compacted})
+    n_dirs_before = len(os.listdir(os.path.join(str(tmp_path), "metrics")))
+    assert n_dirs_before >= 3
+
+    res = cat.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] == 2
+    assert res["files_removed"] >= 2
+    # live data intact
+    assert cat.read("metrics").count() == 6
+    n_dirs_after = len(os.listdir(os.path.join(str(tmp_path), "metrics")))
+    assert n_dirs_after < n_dirs_before
+
+
+def test_expire_keeps_everything_when_few_snapshots(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.commit(1, appends={"metrics": _metrics_df(spark, 1)})
+    assert cat.expire_snapshots(keep_last=5) == {"snapshots_removed": 0, "files_removed": 0}
+    assert cat.read("metrics").count() == 3
+
+
+def test_crawl_with_expiry_still_resumes(spark, tmp_path):
+    """Expire old snapshots mid-crawl → resume still works and output is
+    unchanged (the kept snapshot carries the complete table state)."""
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, run_crawl
+
+    spec = synthetic.WebSpec(scale=0.08)
+    wh1, wh2 = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg = dict(spec=spec, max_batches=20, budget_override=12, compact_every=3)
+    full = run_crawl(spark, CrawlConfig(warehouse=wh1, **cfg))
+
+    run_crawl(spark, CrawlConfig(warehouse=wh2, max_batches=3, spec=spec,
+                                 budget_override=12, compact_every=3))
+    cat2 = SnapshotCatalog(spark, wh2)
+    cat2.expire_snapshots(keep_last=1)
+    resumed = run_crawl(spark, CrawlConfig(warehouse=wh2, **cfg), resume=True)
+    a = {r["url"] for r in SnapshotCatalog(spark, wh1).read("urlseen").collect()}
+    b = {r["url"] for r in cat2.read("urlseen").collect()}
+    assert a == b
+    assert full["n_documents"] == resumed["n_documents"]
