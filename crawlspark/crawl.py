@@ -40,7 +40,21 @@ class CrawlConfig:
     bloom_buckets: int = 32
     bloom_bits: int = 1 << 20
     compact_every: int = 8
+    keep_snapshots: int = 0  # >0: expire_snapshots(keep_last=N) after compaction
+    expected_urls: int | None = None  # auto-size the Bloom for this key count
     budget_override: int | None = None  # tests: force small per-host budgets
+
+    def __post_init__(self):
+        if self.expected_urls:
+            # design math: ~14.4 bits/key ≈ 0.1% FPR at k=7; buckets sized
+            # so each blob stays well under an executor's working set
+            total_bits = self.expected_urls * 15
+            buckets = 32
+            while total_bits // buckets > (1 << 26):  # ≤ 8 MB per bucket
+                buckets *= 2
+            bits = 1 << max(14, (total_bits // buckets).bit_length())
+            self.bloom_buckets = buckets
+            self.bloom_bits = bits
     # Seed overrides (reference S1: hard-coded lists + manual_scrape.txt
     # file seeds :276-295; TEST_SPECIFIC targeted mode :219-295 = article
     # seeds + max_depth=0):
@@ -102,6 +116,15 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         bloom=bloom,
         state={"hosts": hosts_state},
     )
+
+
+def _bloom_lineage(bloom: BloomState) -> dict:
+    """Per-snapshot Bloom health lineage: key count + worst-bucket FPR —
+    visible in every manifest so capacity drift is observable."""
+    return {
+        "bloom_keys": int(bloom.n_items.sum()),
+        "bloom_fpr_estimate": round(bloom.fpr_estimate(), 8),
+    }
 
 
 def _pending(catalog: SnapshotCatalog, manifest: dict) -> DataFrame:
@@ -294,11 +317,14 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             appends=compact_appends,
             replace={"frontier": pending_after},
             bloom=bloom,
-            state={"hosts": hosts_state},
+            state={"hosts": hosts_state, **_bloom_lineage(bloom)},
         )
+        if cfg.keep_snapshots:
+            catalog.expire_snapshots(keep_last=cfg.keep_snapshots)
     else:
         new_manifest = catalog.commit(
-            batch_id, appends=appends, bloom=bloom, state={"hosts": hosts_state}
+            batch_id, appends=appends, bloom=bloom,
+            state={"hosts": hosts_state, **_bloom_lineage(bloom)},
         )
     for df in (scheduled, pipe, new_frontier, blocked_progress):
         df.unpersist()

@@ -104,3 +104,22 @@ def test_retries_and_outcomes_present(engine_run):
     # every retry eventually resolved at attempt+1
     for (u, b, a, o) in retried:
         assert any(p[0] == u and p[2] == a + 1 for p in prog), u
+
+
+def test_bloom_autosizing_and_lineage(spark, tmp_path):
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, run_crawl
+    from crawlspark.tables import SnapshotCatalog
+
+    cfg = CrawlConfig(warehouse=str(tmp_path / "wh"), spec=synthetic.WebSpec(scale=0.05),
+                      max_batches=4, budget_override=15, expected_urls=500_000,
+                      keep_snapshots=2, compact_every=2)
+    assert cfg.bloom_buckets & (cfg.bloom_buckets - 1) == 0
+    assert cfg.bloom_buckets * cfg.bloom_bits >= 500_000 * 10  # ≥10 bits/key
+    run_crawl(spark, cfg)
+    m = SnapshotCatalog(spark, str(tmp_path / "wh")).latest()
+    assert m["state"]["bloom_keys"] > 0
+    assert 0 <= m["state"]["bloom_fpr_estimate"] < 0.01
+    import os
+    snaps = [f for f in os.listdir(str(tmp_path / "wh" / "_snapshots")) if f.endswith(".json")]
+    assert len(snaps) <= 4  # expiry ran after compactions
