@@ -83,3 +83,23 @@ def test_scheduler_uses_broadcast_for_hosts(spark):
     )
     p = _plan(spark, schedule(pending, hosts, 1))
     assert "BroadcastHashJoin" in p
+
+
+def test_pending_antijoin_prunes_progress_columns(spark, tmp_path):
+    """The pending computation must read only (url, retry_count/attempt)
+    from the progress delta log — parquet column pruning keeps the
+    append-only log cheap to scan as the crawl grows."""
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, run_crawl, _pending
+    from crawlspark.tables import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    run_crawl(spark, CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=0.05),
+                                 max_batches=3, budget_override=10))
+    cat = SnapshotCatalog(spark, wh)
+    p = _plan(spark, _pending(cat, cat.latest()))
+    progress_scans = [line for line in p.splitlines()
+                      if "ReadSchema" in line and "attempt" in line]
+    assert progress_scans, "no pruned progress scan found"
+    for line in progress_scans:
+        assert "status" not in line and "outcome" not in line, line
