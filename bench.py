@@ -61,6 +61,14 @@ def main():
         queries["fetch_parse_20k"] = round(p["sec"], 3)
         extra["fetch_parse_pages_per_sec"] = round(p["pages_per_sec"], 1)
 
+        wh2 = tempfile.mkdtemp(prefix="benchwb-")
+        try:
+            wb = benchlib.bench_crawl_batch(spark, wh2, scale=40.0)
+            queries["crawl_wide_batch_46k"] = round(wb["sec"], 3)
+            extra["crawl_batch_pages_per_sec"] = round(wb["pages_per_sec"], 1)
+        finally:
+            shutil.rmtree(wh2, ignore_errors=True)
+
         for name in SAMPLE_QUERIES:
             t0 = time.time()
             SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -115,3 +115,53 @@ def bench_crawl(spark: SparkSession, warehouse: str, scale: float = 0.5) -> dict
         "n_docs": summary["n_documents"],
         "batches": summary["batches"],
     }
+
+
+def bench_crawl_batch(spark: SparkSession, warehouse: str, scale: float = 40.0,
+                      budget: int = 100_000) -> dict:
+    """One WIDE micro-batch through the complete machinery (schedule →
+    fused fetch+parse+clean → link dedup → docs → metrics → snapshot
+    commit): the crawl's pages/sec when politeness isn't the binding
+    constraint — i.e. the per-batch throughput a many-host frontier gets."""
+    import crawlspark.crawl as C
+    from crawlspark.tables import SnapshotCatalog
+
+    spec = synthetic.WebSpec(scale=scale)
+    cfg = C.CrawlConfig(warehouse=warehouse, spec=spec, budget_override=budget,
+                        expected_urls=1_000_000)
+    catalog = SnapshotCatalog(spark, warehouse)
+    manifest = C.init_crawl(spark, cfg)
+
+    # preload the frontier with every article URL of the synthetic web
+    hosts = sorted(spec.hosts)
+    parts = []
+    for h in hosts:
+        n_art = spec.hosts[h]["n_articles"]
+        parts.append(
+            spark.range(n_art).select(
+                F.concat(F.lit(f"https://{h}/news/"), F.col("id").cast("string"),
+                         F.lit("-s"), (F.col("id") % 7).cast("string")).alias("url"),
+                F.lit(h).alias("host"),
+            )
+        )
+    urls = parts[0]
+    for p in parts[1:]:
+        urls = urls.unionByName(p)
+    frontier = urls.select(
+        "url", F.xxhash64("url").alias("url_hash"), "host",
+        F.lit(1).alias("depth"), F.lit(0.0).alias("priority"),
+        F.lit(0).alias("discovered_batch"), F.lit(0).alias("retry_count"),
+        F.lit(1).alias("not_before_batch"), F.lit("article").alias("page_kind"),
+        F.lit(None).cast("struct<title:string,date:string,article_url:string>").alias("meta"),
+    )
+    catalog.commit(0, appends={"frontier": frontier,
+                               "urlseen": frontier.select("url", "url_hash", F.lit(0).alias("added_batch"))},
+                   bloom=catalog.load_bloom(manifest), state=manifest["state"])
+    manifest = catalog.latest()
+
+    t0 = time.time()
+    new_m = C.run_batch(spark, catalog, cfg, manifest)
+    dt = time.time() - t0
+    n = catalog.read("progress", new_m).count()
+    n_docs = catalog.read("documents", new_m).count()
+    return {"sec": dt, "pages_per_sec": n / dt, "n_fetched": n, "n_docs": n_docs}

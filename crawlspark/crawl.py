@@ -182,6 +182,8 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     pipe = fetch_parse_stage(
         scheduled, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100)
     ).persist()
+    pipe.count()  # eager: downstream jobs (probe branches, writes) must all
+    # read the cache — recomputing the fused stage is the batch's main cost
     fetched_o = pipe.filter(F.col("rec") == "fetch").withColumn(
         "outcome",
         F.when(F.col("status") == 200, F.lit("done"))
