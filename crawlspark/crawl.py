@@ -182,8 +182,11 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     pipe = fetch_parse_stage(
         scheduled, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100)
     ).persist()
-    pipe.count()  # eager: downstream jobs (probe branches, writes) must all
-    # read the cache — recomputing the fused stage is the batch's main cost
+    if n_sched > 1000:
+        # eager: downstream jobs (probe branches, writes) must all read the
+        # cache — recomputing the fused stage is a wide batch's main cost;
+        # for tiny politeness batches the extra job isn't worth it
+        pipe.count()
     fetched_o = pipe.filter(F.col("rec") == "fetch").withColumn(
         "outcome",
         F.when(F.col("status") == 200, F.lit("done"))
