@@ -46,9 +46,10 @@ def fix_url_py(url: str, base_url: str = "https://www.example.com/") -> str:
         u = rx.sub(repl, u)
     if not u.startswith("http") and not _is_non_fetch_scheme(u):
         u = urljoin(base_url, u)
-    u = u.strip()
-    # canonical form: drop fragment, drop trailing slash on path
-    u = u.split("#", 1)[0]
+    # canonical form: drop fragment, then strip (fragment removal can
+    # expose trailing whitespace — strip AFTER so fix∘fix == fix), then
+    # drop trailing slash on path
+    u = u.split("#", 1)[0].strip()
     if u.endswith("/") and u.count("/") > 3:
         u = u.rstrip("/")
     return u
