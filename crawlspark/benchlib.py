@@ -154,9 +154,16 @@ def bench_crawl_batch(spark: SparkSession, warehouse: str, scale: float = 40.0,
         F.lit(1).alias("not_before_batch"), F.lit("article").alias("page_kind"),
         F.lit(None).cast("struct<title:string,date:string,article_url:string>").alias("meta"),
     )
+    # merge the preloaded URLs into the Bloom filter BEFORE committing, to
+    # keep the bloom ⊇ urlseen invariant probe_unseen's negative fast path
+    # relies on (same pattern as init_crawl / enrich_frontier)
+    from crawlspark.operators.urlseen import bloom_delta
+
+    bloom = catalog.load_bloom(manifest)
+    bloom.merge(bloom_delta(spark, frontier, bloom))
     catalog.commit(0, appends={"frontier": frontier,
                                "urlseen": frontier.select("url", "url_hash", F.lit(0).alias("added_batch"))},
-                   bloom=catalog.load_bloom(manifest), state=manifest["state"])
+                   bloom=bloom, state=manifest["state"])
     manifest = catalog.latest()
 
     t0 = time.time()

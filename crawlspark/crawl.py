@@ -333,6 +333,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         )
     for df in (scheduled, pipe, new_frontier, blocked_progress):
         df.unpersist()
+    bloom.release()  # free the batch's Bloom broadcast (state is committed)
     return new_manifest
 
 
@@ -367,6 +368,7 @@ def enrich_frontier(spark: SparkSession, cfg: CrawlConfig, extra_seeds) -> dict:
         state={"hosts": hosts_state},
     )
     new.unpersist()
+    bloom.release()
     return out
 
 

@@ -24,17 +24,46 @@ from pyspark.sql import functions as F
 
 from crawlspark import rules
 
-# (pattern, replacement) pairs — same repair semantics as reference
-# fix_url :832-878, generalized (protocol stutter, scheme typos, www typos)
+# (pattern, replacement) pairs — the reference fix_url repair chain
+# (covid_news_spider.py:832-878) reproduced in its exact order.  Note the
+# reference's catch-all ``^.*https?://`` -> ``https://`` line: it strips any
+# junk prefix before a protocol AND (as a side effect the reference relies
+# on) upgrades plain http:// to https:// — so the http->https upgrade here
+# is reference behavior, not our invention.  Patterns are kept verbatim
+# (including the reference's unescaped dots in a few) so the repair
+# semantics match byte-for-byte; they are valid in Python re, Java regex
+# (Spark regexp_replace) and RE2 (DuckDB, with the 'g' flag — re.sub and
+# Spark replace all occurrences, DuckDB only the first without 'g').
 _REPAIRS: list[tuple[str, str]] = [
-    (r"^https?://https?://", "https://"),
-    (r"^https?://\(https?:?//?", "https://"),
+    (r"^http://link%20to%20microsite%20", ""),
+    (r"https?://https?://", "https://"),
+    (r"https?://\(https?:?//?", "https://"),
+    (r"https?://ttps?//?", "https://"),
+    (r"^http://%22https/", "https:/"),
     (r"^https?https?://", "https://"),
-    (r"^htt?ps?://", "https://"),  # htps:// / htp://
-    (r"^t?t?ps?://", "https://"),  # ttps:// tps:// ps:// s://
-    (r"^https://ww\.", "https://www."),
-    (r"^https?://www\.\.", "https://www."),
+    (r"^https?://www.https?/", "https://"),
+    (r"^https?://www.straitsthttps?/", "https://"),
+    (r"^htps?://", "https://"),
+    (r"^tps?://", "https://"),
+    (r"^ps?://", "https://"),
+    (r"^s?://", "https://"),
+    (r"^.*https?://", "https://"),
+    (r"^ttps?://", "https://"),
+    (r"https://ww\.", "https://www."),
+    (r"https?://www\.\.", "https://www."),
     (r"^https?://wwww", "https://www"),
+    (r"https?://taff\.straitstimes\.com/", "https://www.straitstimes.com/"),
+    (r"https?://wwwf\.straitstimes\.com/", "https://www.straitstimes.com/"),
+    (r"https?://wwwstraitstimes\.com/", "https://www.straitstimes.com/"),
+    (r"https?://lifestyle\.inq@inquirer\.net", "https://lifestyle.inquirer.net"),
+    (r"https?://usiness\.inquirer\.net", "https://business.inquirer.net"),
+    (r"https?://ebudailynews\.inquirer\.net", "https://cebudailynews.inquirer.net"),
+    (r"https?://globnalnation\.inquirer\.net", "https://globalnation.inquirer.net"),
+    (r"https?://www\.bandera\.inquirer\.net", "https://bandera.inquirer.net"),
+    (r"https?://www\.newsinfo\.inquirer\.net", "https://newsinfo.inquirer.net"),
+    (r"https?://nwsinfo\.inquirer\.net", "https://newsinfo.inquirer.net"),
+    (r"https?://www\.cebudailynews\.inquirer\.net", "https://cebudailynews.inquirer.net"),
+    (r"https?://events@thestar\.com\.my/", "https://events.thestar.com.my/"),
 ]
 _COMPILED_REPAIRS = [(re.compile(p), r) for p, r in _REPAIRS]
 

@@ -48,6 +48,34 @@ class BloomState:
         self.k = k
         self.blobs = np.zeros((n_buckets, bits_per_bucket // 8), dtype=np.uint8)
         self.n_items = np.zeros(n_buckets, dtype=np.int64)
+        self._bcast = None  # cached Spark broadcast of the blobs
+        self._bcast_dirty = True
+
+    @property
+    def state_bytes(self) -> int:
+        return int(self.blobs.nbytes)
+
+    # ---- broadcast lifecycle: ONE broadcast per state version, not one
+    # per probe call — unbounded broadcast accumulation at multi-GB blob
+    # sizes was a driver/executor memory leak otherwise.
+    def broadcast(self, spark):
+        if self._bcast is not None and not self._bcast_dirty:
+            return self._bcast
+        self.release()
+        self._bcast = spark.sparkContext.broadcast(
+            (self.n_buckets, self.m, self.k, self.blobs)
+        )
+        self._bcast_dirty = False
+        return self._bcast
+
+    def release(self) -> None:
+        """Unpersist the cached broadcast (frees executor copies; Spark
+        re-ships on demand if a straggler job still references it).  The
+        crawl loop calls this after each batch's commit."""
+        if self._bcast is not None:
+            self._bcast.unpersist(blocking=False)
+            self._bcast = None
+        self._bcast_dirty = True
 
     # -- serialization (persisted per snapshot; see tables.SnapshotCatalog)
     def to_npz(self, path: str) -> None:
@@ -88,6 +116,7 @@ class BloomState:
             self.blobs, (buckets[:, None].repeat(self.k, 1), byte_idx), np.uint8(1) << bit
         )
         np.add.at(self.n_items, buckets, 1)
+        self._bcast_dirty = True
 
     def _positions(self, h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         buckets = (h1 % np.uint64(self.n_buckets)).astype(np.int64)
@@ -115,6 +144,7 @@ class BloomState:
             self.blobs, (buckets[:, None].repeat(self.k, 1), byte_idx), np.uint8(1) << bit
         )
         np.add.at(self.n_items, buckets, 1)
+        self._bcast_dirty = True
 
     def delta_bits(self, urls: list[str]) -> "BloomState":
         """Bits for new keys only, as a fresh state (OR-mergeable)."""
@@ -126,6 +156,7 @@ class BloomState:
         assert (self.n_buckets, self.m, self.k) == (other.n_buckets, other.m, other.k)
         np.bitwise_or(self.blobs, other.blobs, out=self.blobs)
         self.n_items += other.n_items
+        self._bcast_dirty = True
 
     def fpr_estimate(self) -> float:
         """Worst-bucket theoretical FPR (1-e^{-kn/m})^k."""

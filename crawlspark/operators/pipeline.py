@@ -81,7 +81,11 @@ def fetch_parse_stage(
                     continue
                 for p in _parse_row(final_url or r.url, r.host, int(r.depth),
                                     r.page_kind, status, body, meta):
-                    out = {**base, "rec": p["rec"], "link": p["link"],
+                    # parse rows are keyed by the PARSED url (= final_url
+                    # under a redirect), matching the unfused parse_stage —
+                    # link src_url / min_by winners agree fused vs unfused
+                    out = {**base, "rec": p["rec"], "url": final_url or r.url,
+                           "link": p["link"],
                            "link_kind": p["link_kind"], "meta": p["meta"],
                            "title": p["title"], "date_raw": p["date_raw"]}
                     if p["rec"] == "doc":

@@ -97,8 +97,11 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int,
         ).join(hosts, on="host")
     df = df.join(F.broadcast(hosts), on="host", how="inner")
 
-    # robots: Disallow prefix check against the precompiled per-host regex
-    path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+    # robots: Disallow prefix check against the precompiled per-host regex.
+    # Bare-host URLs extract to '' — coalesce to '/' so a 'Disallow: /'
+    # rule blocks them here exactly as in robots_allowed_py (oracle twin).
+    raw_path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     is_blocked = F.col("robots_rx").isNotNull() & F.regexp_like(path, F.col("robots_rx"))
     drop_cols = ["crawl_delay_s", "budget_per_batch", "robots_disallow", "robots_rx"]
     blocked = df.filter(is_blocked).drop(*drop_cols)

@@ -48,8 +48,10 @@ def _u64(s: pd.Series) -> np.ndarray:
 
 def probe_unseen(spark: SparkSession, candidates: DataFrame, urlseen: DataFrame, bloom: BloomState) -> DataFrame:
     """candidates(url, …) → subset whose url was never seen before."""
-    sc = spark.sparkContext
-    b = sc.broadcast((bloom.n_buckets, bloom.m, bloom.k, bloom.blobs))
+    # cached per state version — NOT a fresh broadcast per micro-batch
+    # (that accumulated executor copies unboundedly); the crawl loop calls
+    # bloom.release() after each batch's commit
+    b = bloom.broadcast(spark)
 
     def probe(batches):
         import pyarrow as pa

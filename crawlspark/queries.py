@@ -56,26 +56,24 @@ def q(name: str, sql: str | None = None):
 
 # ================== 1. URL canonicalization (C1; reference :832-878) =====
 
+# Oracle SQL twin of the repair chain is derived from the SAME list the
+# engine uses (urls._REPAIRS — the reference fix_url chain verbatim), so the
+# two can never drift.  DuckDB regexp_replace replaces only the first match
+# without the 'g' flag, while Python re.sub / Spark regexp_replace replace
+# all — pass 'g' to match.
 _CANON_SQL_REPAIRS = ""
-for _pat, _rep in [
-    (r"^https?://https?://", "https://"),
-    (r"^https?://\(https?:?//?", "https://"),
-    (r"^https?https?://", "https://"),
-    (r"^htt?ps?://", "https://"),
-    (r"^t?t?ps?://", "https://"),
-    (r"^https://ww\.", "https://www."),
-    (r"^https?://www\.\.", "https://www."),
-    (r"^https?://wwww", "https://www"),
-]:
+for _pat, _rep in U._REPAIRS:
     _CANON_SQL_REPAIRS = (
-        f"regexp_replace({_CANON_SQL_REPAIRS or 'trim(raw)'}, '{_pat}', '{_rep}')"
+        f"regexp_replace({_CANON_SQL_REPAIRS or 'trim(raw)'}, '{_pat}', '{_rep}', 'g')"
     )
 
 _RAW_URL_SQL = """
-CASE doc_id % 4
+CASE doc_id % 6
   WHEN 0 THEN 'https://https://www.' || source || '.example/news/' || doc_id
   WHEN 1 THEN 'htps://www.' || source || '.example/news/' || doc_id
   WHEN 2 THEN '  https://www.' || source || '.example/news/' || doc_id || '  '
+  WHEN 3 THEN 'http://www.' || source || '.example/news/' || doc_id
+  WHEN 4 THEN 'ps://www.' || source || '.example/news/' || doc_id
   ELSE 'https://www.' || source || '.example/news/' || doc_id || '#frag'
 END
 """
@@ -91,14 +89,17 @@ END
 )
 def url_canonicalize(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    base = F.concat(
-        F.lit("https://www."), F.col("source"), F.lit(".example/news/"),
+    tail = F.concat(
+        F.lit("www."), F.col("source"), F.lit(".example/news/"),
         F.col("doc_id").cast("string"),
     )
+    base = F.concat(F.lit("https://"), tail)
     raw = (
-        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://"), base))
-        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("htps://www."), F.col("source"), F.lit(".example/news/"), F.col("doc_id").cast("string")))
-        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("  "), base, F.lit("  ")))
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("https://"), base))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("htps://"), tail))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("  "), base, F.lit("  ")))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("http://"), tail))
+        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("ps://"), tail))
         .otherwise(F.concat(base, F.lit("#frag")))
     )
     return d.select(

@@ -15,10 +15,15 @@ def _frontier(spark, spec, n=80):
     hosts = sorted(spec.hosts)
     host = F.element_at(F.array(*[F.lit(h) for h in hosts]), (F.col("id") % len(hosts) + 1).cast("int"))
     n_art = min(c["n_articles"] for c in spec.hosts.values())
+    # every 5th URL is an ALIAS form (wrong -s suffix) that the synthetic
+    # web redirects to the canonical article URL — pins fused == unfused
+    # under redirects (link rows must be keyed by final_url on both paths)
+    slug = F.when(
+        F.col("id") % 5 == 0, F.lit("-salias")
+    ).otherwise(F.concat(F.lit("-s"), ((F.col("id") % n_art) % 7).cast("string")))
     return spark.range(n).select(
         F.concat(F.lit("https://"), host, F.lit("/news/"),
-                 (F.col("id") % n_art).cast("string"), F.lit("-s"),
-                 ((F.col("id") % n_art) % 7).cast("string")).alias("url"),
+                 (F.col("id") % n_art).cast("string"), slug).alias("url"),
         F.xxhash64("id").alias("url_hash"), host.alias("host"),
         F.lit(1).alias("depth"), F.lit(0.0).alias("priority"),
         F.lit(0).alias("discovered_batch"), F.lit(0).alias("retry_count"),

@@ -16,6 +16,15 @@ CASES = [
     ("  https://www.cna.example/a  ", "https://www.cna.example/a"),
     ("https://www.cna.example/a#frag", "https://www.cna.example/a"),
     ("https://www.cna.example/path/", "https://www.cna.example/path"),
+    # reference catch-all ^.*https?:// upgrades http->https (spider :850)
+    ("http://www.cna.example/a", "https://www.cna.example/a"),
+    ("junk text https://www.cna.example/a", "https://www.cna.example/a"),
+    ("ps://www.cna.example/a", "https://www.cna.example/a"),
+    ("s://www.cna.example/a", "https://www.cna.example/a"),
+    ("tp://www.cna.example/a", "https://www.cna.example/a"),
+    # reference site-specific domain repairs (spider :855-866)
+    ("https://taff.straitstimes.com/x", "https://www.straitstimes.com/x"),
+    ("http://nwsinfo.inquirer.net/x", "https://newsinfo.inquirer.net/x"),
 ]
 
 
