@@ -29,13 +29,32 @@ def _planes(dim: int, n_planes: int) -> np.ndarray:
     return rng.standard_normal((dim, n_planes))
 
 
-def lsh_signatures(emb: DataFrame, dim: int = 64, n_planes: int = 12) -> DataFrame:
+def rademacher_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes derived from md5 — data-independent
+    constants that a SQL oracle can embed as literals (random projections
+    with Rademacher entries are a valid sign-LSH family)."""
+    import hashlib
+
+    out = np.empty((dim, n_planes), dtype=np.float64)
+    for j in range(n_planes):
+        buf = b""
+        c = 0
+        while len(buf) < dim:
+            buf += hashlib.md5(f"plane-{j}-{c}".encode()).digest()
+            c += 1
+        col = np.frombuffer(buf[:dim], dtype=np.uint8)
+        out[:, j] = np.where(col < 128, 1.0, -1.0)
+    return out
+
+
+def lsh_signatures(emb: DataFrame, dim: int = 64, n_planes: int = 12,
+                   planes: np.ndarray | None = None) -> DataFrame:
     """embeddings(vec_id, embedding, …) → + bucket int (hyperplane signs).
 
     One numpy matmul per Arrow batch — the signature cost is a dense
     GEMM, not per-row Python.
     """
-    planes = _planes(dim, n_planes)
+    planes = _planes(dim, n_planes) if planes is None else planes
 
     @F.pandas_udf("int")
     def bucket_of(embs: pd.Series) -> pd.Series:
@@ -76,11 +95,12 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFram
 
 
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
-                 dim: int = 64, n_planes: int = 12) -> DataFrame:
+                 dim: int = 64, n_planes: int = 12,
+                 planes: np.ndarray | None = None, round_to: int = 6) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine re-rank.  One shuffle (the bucket equi-join)."""
-    sig = lsh_signatures(emb, dim, n_planes)
-    qsig = lsh_signatures(queries, dim, n_planes).select(
+    sig = lsh_signatures(emb, dim, n_planes, planes)
+    qsig = lsh_signatures(queries, dim, n_planes, planes).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         "bucket",
@@ -89,7 +109,7 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     cos = _cosine_expr(F.col("q_emb"), F.col("embedding"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        cand.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"), "bucket")
+        cand.select("query_id", "vec_id", F.round(cos, round_to).alias("cosine"), "bucket")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1055,16 +1056,72 @@ def crawl_documents(spark, sf_dir):
     )
 
 
-@q("ann_lsh_topk")  # approximate NN: random-hyperplane LSH buckets
+def _ann_sql() -> str:
+    """DuckDB twin of the LSH-bucketed ANN: the ±1 hyperplanes are
+    deterministic md5-derived constants (similarity.rademacher_planes)
+    embedded as literals, so both engines compute the same sign buckets."""
+    from crawlspark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(64, 8)
+    terms = []
+    for j in range(8):
+        lit = "[" + ", ".join(f"{v:.1f}" for v in planes[:, j]) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ({lit})[i])) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(terms)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    cand AS (
+      SELECT q.vec_id AS query_id, s.vec_id AS vec_id, s.bucket AS bucket,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i])) AS dot,
+             sqrt(list_sum(list_transform(q.v, x -> x * x))) AS nq,
+             sqrt(list_sum(list_transform(s.v, x -> x * x))) AS ns
+      FROM sig q JOIN sig s ON q.bucket = s.bucket AND s.vec_id != q.vec_id
+      WHERE q.vec_id % 100 = 0),
+    r AS (SELECT query_id, vec_id, round(dot / (nq * ns), 4) AS cosine, bucket,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(dot / (nq * ns), 4) DESC, vec_id) AS rnk
+          FROM cand)
+    SELECT query_id, vec_id, cosine, bucket, rnk FROM r WHERE rnk <= 5
+    """
+
+
+@q("ann_lsh_topk", _ann_sql())  # approximate NN: random-hyperplane LSH buckets
 def ann_lsh_topk_query(spark, sf_dir):
-    from crawlspark.operators.similarity import ann_lsh_topk
+    from crawlspark.operators.similarity import ann_lsh_topk, rademacher_planes
 
     emb = T(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
-    return ann_lsh_topk(emb, queries_df, k=5, n_planes=8)
+    return ann_lsh_topk(
+        emb, queries_df, k=5, n_planes=8,
+        planes=rademacher_planes(64, 8), round_to=4,
+    )
 
 
-@q("media_decode")  # multimodal decode pipeline (deterministic fake codec)
+@q(
+    "media_decode",
+    # the fake decoder's metadata is pure md5 math over the payload bytes —
+    # exactly computable in DuckDB (h0 = first digest byte via hex parse)
+    """
+    WITH t AS (SELECT doc_id::VARCHAR AS doc_id,
+                      'ref://' || doc_id AS media_ref,
+                      substr(text, 1, 100) AS p
+               FROM documents),
+    h AS (SELECT doc_id, media_ref, md5(p) AS hx,
+                 octet_length(encode(p)) AS n_bytes FROM t),
+    b AS (SELECT doc_id, media_ref, hx, n_bytes,
+                 ('0x' || substr(hx, 1, 2))::BIGINT AS h0 FROM h)
+    SELECT doc_id, media_ref,
+           CASE h0 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+           n_bytes::BIGINT AS n_bytes,
+           hx AS content_hash
+    FROM b
+    """,
+)
 def media_decode(spark, sf_dir):
     from crawlspark.operators.multimodal import decode_media
 
@@ -1083,7 +1140,24 @@ def media_decode(spark, sf_dir):
     )
 
 
-@q("stream_rate_limit")  # stateful streaming politeness (applyInPandasWithState)
+@q(
+    "stream_rate_limit",
+    # one parquet file → one trigger → each host's bucket refills once to
+    # budget=20, admits its 20 lexicographically-first URLs, defers the
+    # rest: deterministic per-host row_number vs budget
+    """
+    WITH t AS (
+      SELECT 'h' || (user_id % 10) AS host,
+             'https://h' || (user_id % 10) || '/e/' || event_id AS url
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)),
+    r AS (SELECT host, url,
+                 row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+          FROM t)
+    SELECT host, url,
+           CASE WHEN rn <= 20 THEN 'admit' ELSE 'defer' END AS decision
+    FROM r
+    """,
+)
 def stream_rate_limit_query(spark, sf_dir):
     """Streaming token-bucket politeness decisions over a file-source
     micro-batch; runs the streaming query to completion synchronously."""
@@ -1092,7 +1166,7 @@ def stream_rate_limit_query(spark, sf_dir):
     from crawlspark.streaming.jobs import stream_rate_limiter
 
     src = tempfile.mkdtemp(prefix="rlq-")
-    ev = T(spark, sf_dir, "events").limit(500).select(
+    ev = T(spark, sf_dir, "events").orderBy("event_id").limit(500).select(
         F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")).alias("host"),
         F.concat(F.lit("https://h"), (F.col("user_id") % 10).cast("string"),
                  F.lit("/e/"), F.col("event_id").cast("string")).alias("url"),
@@ -1320,4 +1394,387 @@ def simhash_hamming_pairs(spark, sf_dir):
             F.col("b.doc_id").alias("b_id"),
             ham.cast("int").alias("hamming"),
         )
+    )
+
+
+# ==========================================================================
+# Parse/clean core oracle twins (VERDICT r01 gap: C3/C5/H1-H5 were
+# pytest-only).  Pattern: both engines build the SAME deterministic
+# fixture (HTML / date strings / line lists) from the documents table via
+# a shared recipe; the Spark side runs the REAL parser/cleaner
+# (html_parse.extract_*, dates.parse_date_py, textclean.
+# remove_footnote_lines) inside Arrow-batched stages, while the DuckDB
+# oracle independently computes the recipe-level expected output — so the
+# driver's hash compare pins the actual extraction semantics.
+# ==========================================================================
+
+def _ids(c="doc_id"):
+    return F.col(c).cast("string")
+
+
+# ---- H1 + C8: link extraction (a@href + onclick window.open) -------------
+# Reference: get_next_pages covid_news_spider.py:728-829, onclick :1409-1413.
+
+@q(
+    "html_link_extract",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             ['https://www.cna.example/news/' || doc_id || '-s1']
+             || (CASE WHEN doc_id % 3 = 0
+                 THEN ['/section/' || (doc_id % 4) || '/page/' || (doc_id % 7)]
+                 ELSE []::VARCHAR[] END)
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN ['https://www.cna.example/pop/' || doc_id]
+                 ELSE []::VARCHAR[] END) AS links
+      FROM documents)
+    SELECT doc_id, generate_subscripts(links, 1)::INT AS pos, unnest(links) AS link
+    FROM t
+    """,
+)
+def html_link_extract(spark, sf_dir):
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_links
+
+    d = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="https://www.cna.example/news/'),
+        _ids(), F.lit('-s1">Story '), _ids(), F.lit("</a>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<div class="nav"><a href="/section/'),
+                     (F.col("doc_id") % 4).cast("string"), F.lit("/page/"),
+                     (F.col("doc_id") % 7).cast("string"), F.lit('">More</a></div>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<a onclick=\"window.open('https://www.cna.example/pop/"),
+                     _ids(), F.lit("')\">popup</a>")),
+        ).otherwise(F.lit("")),
+        F.lit('<a name="anchor">no href</a></body></html>'),
+    )
+    src = d.select("doc_id", html.alias("html"))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for i, link in enumerate(extract_links(r.html), start=1):
+                    rows.append({"doc_id": r.doc_id, "pos": i, "link": link})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "pos", "link"])
+
+    return src.mapInPandas(run, schema="doc_id long, pos int, link string")
+
+
+# ---- H2 + F6: listing-card extraction (title/date/link per card) ---------
+# Reference: parse_articles / parse_article :989-1613.
+
+@q(
+    "html_card_extract",
+    """
+    SELECT doc_id, 1 AS pos,
+           'https://www.stimes.example/news/' || doc_id || '-a' AS link,
+           'Title A ' || doc_id AS title,
+           'March ' || (1 + doc_id % 28) || ', 2021' AS date_raw
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 2, '/news/' || doc_id || '-b', 'Title B ' || doc_id, NULL
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def html_card_extract(spark, sf_dir):
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_listing_cards
+
+    d = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="card"><a href="https://www.stimes.example/news/'),
+        _ids(), F.lit('-a">Title A '), _ids(), F.lit('</a><span class="date">March '),
+        (1 + F.col("doc_id") % 28).cast("string"), F.lit(", 2021</span></div>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<div class="card"><a href="/news/'), _ids(),
+                     F.lit('-b">Title B '), _ids(), F.lit("</a></div>")),
+        ).otherwise(F.lit("")),
+        # a card with no anchor and one with no href: both skipped
+        F.lit('<div class="card"><span class="date">June 1, 2021</span></div>'
+              '<div class="card"><a>No href</a></div>'),
+    )
+    src = d.select("doc_id", html.alias("html"))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for i, c in enumerate(extract_listing_cards(r.html), start=1):
+                    rows.append({"doc_id": r.doc_id, "pos": i, "link": c["link"],
+                                 "title": c["title"], "date_raw": c["date"]})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "pos", "link", "title", "date_raw"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, pos int, link string, title string, date_raw string"
+    )
+
+
+# ---- H3 + H4: body → interleaved spans (figure/img/ul/strong/exclusions) -
+# Reference: get_article_content :2060-2377, strong/b decompose :2113-2134,
+# li stitching :2139-2152, articlePhoto exclusion :2283.
+
+@q(
+    "html_article_spans",
+    """
+    WITH d AS (SELECT doc_id,
+                      3 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS o_ul
+               FROM documents)
+    SELECT doc_id, 0 AS "offset", 'text' AS kind,
+           'Lead paragraph ' || doc_id || '.' AS text, NULL AS media_ref FROM d
+    UNION ALL
+    SELECT doc_id, 1, 'text',
+           CASE WHEN doc_id % 4 = 0 THEN 'Second  tail.' ELSE 'Second bold bit tail.' END,
+           NULL FROM d
+    UNION ALL
+    SELECT doc_id, 2, 'media', 'Caption ' || doc_id, 'img://' || doc_id || '/0' FROM d
+    UNION ALL
+    SELECT doc_id, 3, 'media', NULL, 'img://' || doc_id || '/1' FROM d WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, o_ul, 'text', 'item one,', NULL FROM d
+    UNION ALL
+    SELECT doc_id, o_ul + 1, 'text',
+           CASE WHEN doc_id % 2 = 0 THEN 'item two,' ELSE 'item two.' END, NULL FROM d
+    UNION ALL
+    SELECT doc_id, o_ul + 2, 'text', 'item three.', NULL FROM d WHERE doc_id % 2 = 0
+    """,
+)
+def html_article_spans(spark, sf_dir):
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+
+    d = T(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 4 == 0, F.lit("www.inq.example")).otherwise(
+        F.lit("www.cna.example")
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>Headline "), _ids(),
+        F.lit('</h1><span class="pubdate">March 1, 2021</span><div class="article-body">'
+              "<p>Lead paragraph "), _ids(), F.lit(".</p>"),
+        F.lit("<p>Second <strong>bold bit</strong> tail.</p>"),
+        F.lit('<div class="articlePhoto"><p>EXCLUDED CAPTION</p></div>'),
+        F.lit('<figure><img src="img://'), _ids(),
+        F.lit('/0"/><figcaption>Caption '), _ids(), F.lit("</figcaption></figure>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<img src="img://'), _ids(), F.lit('/1"/>'))).otherwise(F.lit("")),
+        F.lit("<ul><li>item one</li><li>item two</li>"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("<li>item three</li>")).otherwise(F.lit("")),
+        F.lit("</ul></div></body></html>"),
+    )
+    src = d.select("doc_id", host.alias("host"), html.alias("html"))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                art = extract_article(r.html, r.host)
+                for i, (kind, text, ref) in enumerate(art["spans"]):
+                    rows.append({"doc_id": r.doc_id, "offset": i, "kind": kind,
+                                 "text": text, "media_ref": ref})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "offset", "kind", "text", "media_ref"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, offset int, kind string, text string, media_ref string"
+    )
+
+
+# ---- H5: empty-body redirect discovery ------------------------------------
+# Reference: 'click here for article' anchors on empty pages :2389-2432.
+
+@q(
+    "html_redirect_discovery",
+    """
+    SELECT doc_id, 'https://www.cna.example/news/' || doc_id || '-r' AS redirect_url
+    FROM documents WHERE doc_id % 10 < 3
+    """,
+)
+def html_redirect_discovery(spark, sf_dir):
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+
+    d = T(spark, sf_dir, "documents")
+    html = F.when(
+        F.col("doc_id") % 10 < 3,
+        F.concat(F.lit('<html><body><div class="article-body"><p>   </p></div>'
+                       '<a href="https://www.cna.example/news/'), _ids(),
+                 F.lit('-r">Click here for article</a></body></html>')),
+    ).otherwise(
+        F.concat(F.lit('<html><body><div class="article-body"><p>Real body '),
+                 _ids(), F.lit(".</p></div></body></html>")),
+    )
+    src = d.select("doc_id", html.alias("html"))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                art = extract_article(r.html, "www.cna.example")
+                if art["redirect_url"]:
+                    rows.append({"doc_id": r.doc_id, "redirect_url": art["redirect_url"]})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "redirect_url"])
+
+    return src.mapInPandas(run, schema="doc_id long, redirect_url string")
+
+
+# ---- C5: messy-date parsing ------------------------------------------------
+# Reference: :2017-2024 strict format, :2480-2492 relative dates, prefix and
+# ' | ' cleanups :2082-2096.  Engine runs the real parse_date_py over Arrow
+# batches; the oracle computes the recipe's expected calendar dates.
+
+_DATE_RAW_SQL = """
+CASE doc_id % 6
+  WHEN 0 THEN '2021-03-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+  WHEN 1 THEN 'March ' || (1 + doc_id % 28) || ', 2021 - 10:30 AM'
+  WHEN 2 THEN 'PUBLISHED: April ' || (1 + doc_id % 28) || ', 2022'
+  WHEN 3 THEN (1 + doc_id % 9) || ' days ago'
+  WHEN 4 THEN 'Jan ' || (1 + doc_id % 28) || ', 2020 | Updated 10:00'
+  ELSE 'no date available'
+END
+"""
+
+
+@q(
+    "date_parse",
+    f"""
+    WITH t AS (SELECT doc_id, {_DATE_RAW_SQL} AS raw FROM documents)
+    SELECT doc_id, raw,
+           strftime(CASE doc_id % 6
+             WHEN 0 THEN make_date(2021, 3, (1 + doc_id % 28)::INT)
+             WHEN 1 THEN make_date(2021, 3, (1 + doc_id % 28)::INT)
+             WHEN 2 THEN make_date(2022, 4, (1 + doc_id % 28)::INT)
+             WHEN 3 THEN DATE '2023-01-01'
+             WHEN 4 THEN make_date(2020, 1, (1 + doc_id % 28)::INT)
+             ELSE NULL
+           END, '%Y-%m-%d') AS parsed
+    FROM t
+    """,
+)
+def date_parse(spark, sf_dir):
+    import pandas as pd
+
+    from crawlspark.functions.dates import parse_date_py
+
+    d = T(spark, sf_dir, "documents")
+    day = (1 + F.col("doc_id") % 28).cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("2021-03-"), F.lpad(day, 2, "0")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("March "), day, F.lit(", 2021 - 10:30 AM")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("PUBLISHED: April "), day, F.lit(", 2022")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat((1 + F.col("doc_id") % 9).cast("string"), F.lit(" days ago")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("Jan "), day, F.lit(", 2020 | Updated 10:00")))
+        .otherwise(F.lit("no date available"))
+    )
+
+    @F.pandas_udf("date")
+    def parse_udf(s: pd.Series) -> pd.Series:
+        return s.map(parse_date_py)
+
+    # emit ISO strings: pandas renders DuckDB DATE as a midnight timestamp,
+    # so raw date values hash-mismatch cross-engine even when equal
+    return d.select(
+        "doc_id", raw.alias("raw"),
+        F.date_format(parse_udf(raw), "yyyy-MM-dd").alias("parsed"),
+    )
+
+
+# ---- C3: footnote truncation (windowed, recursive, monotone phrase idx) ---
+# Reference: remove_footnote :1648-2014 (window size 3, cut at the line
+# holding the phrase start, keep the pre-phrase prefix, recurse with a
+# monotone phrase-index constraint :1926-1931).  Cases: m1 = mid-line cut,
+# m2 = phrase spanning two lines (window join), m3 = two-round recursion
+# ('read this story in' idx 3 then 'Note:' idx 20 inside the kept prefix).
+
+@q(
+    "footnote_truncate",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents)
+    SELECT doc_id, 0 AS line_idx, 'intro ' || doc_id AS line FROM d
+    UNION ALL SELECT doc_id, 1, 'second line ' || doc_id FROM d WHERE m IN (0, 1)
+    UNION ALL SELECT doc_id, 2, 'closing line' FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 2, 'keep me ' FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 1, 'alpha ' FROM d WHERE m IN (2, 3)
+    """,
+)
+def footnote_truncate(spark, sf_dir):
+    import pandas as pd
+
+    from crawlspark.functions.textclean import remove_footnote_lines
+
+    d = T(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    lines = (
+        F.when(m == 0, F.array(F.concat(F.lit("intro "), _ids()),
+                               F.concat(F.lit("second line "), _ids()),
+                               F.lit("closing line")))
+        .when(m == 1, F.array(F.concat(F.lit("intro "), _ids()),
+                              F.concat(F.lit("second line "), _ids()),
+                              F.lit("keep me download our app drop me")))
+        .when(m == 2, F.array(F.concat(F.lit("intro "), _ids()),
+                              F.lit("alpha read this"), F.lit("story in beta")))
+        .otherwise(F.array(F.concat(F.lit("intro "), _ids()),
+                           F.lit("alpha Note: beta read this story in gamma")))
+    )
+
+    @F.pandas_udf("array<string>")
+    def truncate_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda ls: remove_footnote_lines(list(ls)))
+
+    return (
+        d.select("doc_id", truncate_udf(lines).alias("kept"))
+        .select("doc_id", F.posexplode("kept").alias("line_idx", "line"))
+    )
+
+
+# ---- F8: registrable-domain extraction (multi-part suffix aware) ---------
+# Reference: extract_domain_name :702-725 (tldextract).
+
+@q(
+    "url_domain_extract",
+    r"""
+    WITH t AS (SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN 'www.' || source || '.example'
+        WHEN 1 THEN 'sub.' || source || '.com.my'
+        WHEN 2 THEN 'a.b.' || source || '.co.uk'
+        WHEN 3 THEN source || '.org'
+        ELSE 'x.' || source || '.com.sg'
+      END AS host FROM documents)
+    SELECT doc_id, host,
+           CASE WHEN regexp_extract(host, '([^.]+\.(?:com\.my|com\.ph|com\.sg|co\.uk|com\.kh))$', 1) != ''
+                THEN regexp_extract(host, '([^.]+\.(?:com\.my|com\.ph|com\.sg|co\.uk|com\.kh))$', 1)
+                ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+           END AS domain
+    FROM t
+    """,
+)
+def url_domain_extract(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".example")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("sub."), F.col("source"), F.lit(".com.my")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("a.b."), F.col("source"), F.lit(".co.uk")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.col("source"), F.lit(".org")))
+        .otherwise(F.concat(F.lit("x."), F.col("source"), F.lit(".com.sg")))
+    )
+    return d.select(
+        "doc_id", host.alias("host"), U.domain_expr(host).alias("domain")
     )
