@@ -19,15 +19,21 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawlspark import rules, schemas, synthetic
 from crawlspark.functions import urls as U
 from crawlspark.operators import scheduler
-from crawlspark.operators.bloom import BloomState
+from crawlspark.operators.bloom import BloomBucketStore, BloomState
 from crawlspark.operators.pipeline import docs_from_pipe, fetch_parse_stage
-from crawlspark.operators.urlseen import bloom_delta, probe_unseen
+from crawlspark.operators.urlseen import (
+    bloom_delta,
+    probe_unseen,
+    probe_unseen_partitioned,
+    update_buckets_partitioned,
+)
 from crawlspark.tables import SnapshotCatalog
 
 
@@ -43,6 +49,11 @@ class CrawlConfig:
     keep_snapshots: int = 0  # >0: expire_snapshots(keep_last=N) after compaction
     expected_urls: int | None = None  # auto-size the Bloom for this key count
     budget_override: int | None = None  # tests: force small per-host budgets
+    # Bloom state layout: None = auto (partitioned once the configured
+    # state exceeds the broadcast cap — the 10^10-key regime); True/False
+    # force either path (tests force True to run e2e equality on it)
+    bloom_partitioned: bool | None = None
+    bloom_broadcast_cap_bytes: int = 256 << 20
 
     def __post_init__(self):
         if self.expected_urls:
@@ -61,24 +72,39 @@ class CrawlConfig:
     seed_urls: list[str] | None = None
     seed_file: str | None = None
 
+    @property
+    def use_partitioned_bloom(self) -> bool:
+        if self.bloom_partitioned is not None:
+            return self.bloom_partitioned
+        return self.bloom_buckets * (self.bloom_bits // 8) > self.bloom_broadcast_cap_bytes
 
-def _hosts_df(spark: SparkSession, hosts_state: dict, budget_override: int | None) -> DataFrame:
-    from pyspark.sql import types as T
 
-    rows = [
-        (
-            h,
-            float(s["crawl_delay_s"]),
-            int(budget_override or s["budget_per_batch"]),
-            list(s["disallow"]),
-            scheduler.robots_rx_py(s["disallow"]),
+def _hosts_rows(spark: SparkSession, hosts: list[str]) -> DataFrame:
+    """hosts → HOSTS-schema rows (robots fetch+parse per new host; the
+    per-batch new-host set is small — the reference also fetches robots
+    once per host on first contact)."""
+    rows = []
+    for h in sorted(set(hosts)):
+        s = synthetic.robots_for_host(h)
+        rows.append((h, float(s["crawl_delay_s"]), int(s["budget_per_batch"]), list(s["disallow"])))
+    return spark.createDataFrame(rows, schemas.HOSTS)
+
+
+def _hosts_with_rx(hosts: DataFrame, budget_override: int | None) -> DataFrame:
+    """hosts table + precompiled robots regex, computed executor-side via a
+    vectorized pandas UDF — no driver collect, so the hosts dimension can
+    grow to web scale (it is only ever broadcast into the schedule join)."""
+
+    @F.pandas_udf("string")
+    def rx_udf(dis: pd.Series) -> pd.Series:
+        return dis.map(
+            lambda d: scheduler.robots_rx_py(list(d) if d is not None else None)
         )
-        for h, s in sorted(hosts_state.items())
-    ]
-    schema = T.StructType(
-        list(schemas.HOSTS.fields) + [T.StructField("robots_rx", T.StringType(), True)]
-    )
-    return spark.createDataFrame(rows, schema)
+
+    out = hosts.withColumn("robots_rx", rx_udf("robots_disallow"))
+    if budget_override:
+        out = out.withColumn("budget_per_batch", F.lit(int(budget_override)))
+    return out
 
 
 def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
@@ -106,16 +132,20 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     seeds_df = spark.createDataFrame(seeds, schemas.FRONTIER).withColumn(
         "url_hash", F.xxhash64("url")
     )
+    seen_df = seeds_df.select("url", "url_hash", F.lit(0).alias("added_batch"))
+    hosts_df = _hosts_rows(spark, [U.host_of_py(s[0]) for s in seeds])
+    appends = {"frontier": seeds_df, "urlseen": seen_df, "hosts": hosts_df}
+    if cfg.use_partitioned_bloom:
+        # never build full state in one place, even at init: the seed bits
+        # are written per-bucket by the same grouped-map the loop uses
+        store = BloomBucketStore(cfg.bloom_buckets, cfg.bloom_bits, k=7)
+        store = update_buckets_partitioned(
+            spark, seeds_df, store, catalog.bloom_bucket_dir(0)
+        )
+        return catalog.commit(0, appends=appends, bloom_store=store, state={})
     bloom = BloomState(cfg.bloom_buckets, cfg.bloom_bits)
     bloom.merge(bloom_delta(spark, seeds_df, bloom))
-    seen_df = seeds_df.select("url", "url_hash", F.lit(0).alias("added_batch"))
-    hosts_state = {U.host_of_py(s[0]): synthetic.robots_for_host(U.host_of_py(s[0])) for s in seeds}
-    return catalog.commit(
-        0,
-        appends={"frontier": seeds_df, "urlseen": seen_df},
-        bloom=bloom,
-        state={"hosts": hosts_state},
-    )
+    return catalog.commit(0, appends=appends, bloom=bloom, state={})
 
 
 def _bloom_lineage(bloom: BloomState) -> dict:
@@ -142,11 +172,14 @@ def _pending(catalog: SnapshotCatalog, manifest: dict) -> DataFrame:
 def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, manifest: dict) -> dict | None:
     """One micro-batch; returns the new manifest, or None when finished."""
     batch_id = manifest["batch_id"] + 1
-    hosts_state = dict(manifest["state"]["hosts"])
-    bloom = catalog.load_bloom(manifest)
+    # Bloom layout follows the manifest (resume-safe across config edits):
+    # a bloom_store_path means the partitioned per-bucket layout
+    store = catalog.load_bloom_store(manifest)
+    bloom = None if store is not None else catalog.load_bloom(manifest)
 
     pending = _pending(catalog, manifest)
-    hosts_df = _hosts_df(spark, hosts_state, cfg.budget_override)
+    hosts_tbl = catalog.read("hosts", manifest)
+    hosts_df = _hosts_with_rx(hosts_tbl, cfg.budget_override)
     scheduled, robots_blocked = scheduler.schedule(
         pending, hosts_df, batch_id, return_blocked=True
     )
@@ -165,7 +198,6 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         if n_blocked > 0:
             m = catalog.commit(
                 batch_id, appends={"progress": blocked_progress.coalesce(1)},
-                state={"hosts": hosts_state},
             )
             blocked_progress.unpersist()
             return m
@@ -174,7 +206,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         n_future = pending.filter(F.col("not_before_batch") > batch_id).count()
         if n_future == 0:
             return None
-        return catalog.commit(batch_id, appends={}, state={"hosts": hosts_state})
+        return catalog.commit(batch_id, appends={})
 
     # fused fetch→parse→clean: one Python stage, bodies never cross Arrow;
     # partition count sized to the batch (~100 pages/partition) so small
@@ -232,7 +264,10 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         F.col("w.meta").alias("meta"),
     )
     urlseen_all = catalog.read("urlseen", manifest)
-    new_links = probe_unseen(spark, cand, urlseen_all, bloom)
+    if store is not None:
+        new_links = probe_unseen_partitioned(spark, cand, urlseen_all, store)
+    else:
+        new_links = probe_unseen(spark, cand, urlseen_all, bloom)
     new_frontier = new_links.select(
         "url",
         F.xxhash64("url").alias("url_hash"),
@@ -276,13 +311,33 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         )
     )
 
-    # ---- state updates (tiny driver-side collects: hosts + bloom blobs,
-    # piggybacked on one job) --
-    delta, new_hosts = bloom_delta(spark, new_frontier, bloom, collect_hosts=True)
-    bloom.merge(delta)
-    for h in new_hosts:
-        if h not in hosts_state:
-            hosts_state[h] = synthetic.robots_for_host(h)
+    # ---- state updates (tiny driver-side collects: host names + either
+    # bucket summaries (partitioned) or delta blobs (broadcast), all
+    # piggybacked on one job — blob BYTES never reach the driver in
+    # partitioned mode) --
+    if store is not None:
+        store, new_hosts = update_buckets_partitioned(
+            spark, new_frontier, store, catalog.bloom_bucket_dir(batch_id),
+            collect_hosts=True,
+        )
+        lineage = {"bloom_keys": store.bloom_keys(),
+                   "bloom_fpr_estimate": round(store.fpr_estimate(), 8)}
+    else:
+        delta, new_hosts = bloom_delta(spark, new_frontier, bloom, collect_hosts=True)
+        bloom.merge(delta)
+        lineage = _bloom_lineage(bloom)
+    # robots fetch only for genuinely-new hosts (tiny per-batch set)
+    hosts_append = catalog._empty("hosts")
+    if new_hosts:
+        cand_hosts = spark.createDataFrame(
+            [(h,) for h in sorted(new_hosts)], "host string"
+        )
+        unknown = [
+            r["host"]
+            for r in cand_hosts.join(hosts_tbl.select("host"), on="host", how="left_anti").collect()
+        ]
+        if unknown:
+            hosts_append = _hosts_rows(spark, unknown)
 
     # batch-sized appends: coalesce to a file count proportional to the
     # batch so a small politeness batch writes 1 file per table, not
@@ -299,6 +354,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         "progress": progress_new.coalesce(k_files),
         "documents": docs_new.coalesce(k_files),
         "metrics": metrics.coalesce(1),
+        "hosts": hosts_append.coalesce(1),
     }
     if cfg.compact_every and batch_id % cfg.compact_every == 0:
         # compaction: rewrite pending-after-this-batch as the new frontier
@@ -322,18 +378,20 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             appends=compact_appends,
             replace={"frontier": pending_after},
             bloom=bloom,
-            state={"hosts": hosts_state, **_bloom_lineage(bloom)},
+            bloom_store=store,
+            state=lineage,
         )
         if cfg.keep_snapshots:
             catalog.expire_snapshots(keep_last=cfg.keep_snapshots)
     else:
         new_manifest = catalog.commit(
-            batch_id, appends=appends, bloom=bloom,
-            state={"hosts": hosts_state, **_bloom_lineage(bloom)},
+            batch_id, appends=appends, bloom=bloom, bloom_store=store,
+            state=lineage,
         )
     for df in (scheduled, pipe, new_frontier, blocked_progress):
         df.unpersist()
-    bloom.release()  # free the batch's Bloom broadcast (state is committed)
+    if bloom is not None:
+        bloom.release()  # free the batch's Bloom broadcast (state committed)
     return new_manifest
 
 
@@ -346,16 +404,30 @@ def enrich_frontier(spark: SparkSession, cfg: CrawlConfig, extra_seeds) -> dict:
     manifest = catalog.latest()
     if manifest is None:
         manifest = init_crawl(spark, cfg)
-    bloom = catalog.load_bloom(manifest)
+    store = catalog.load_bloom_store(manifest)
+    bloom = None if store is not None else catalog.load_bloom(manifest)
     batch_id = manifest["batch_id"]
     urlseen_all = catalog.read("urlseen", manifest)
-    new = probe_unseen(spark, extra_seeds.dropDuplicates(["url"]), urlseen_all, bloom).persist()
-    delta, new_hosts = bloom_delta(spark, new, bloom, collect_hosts=True)
-    bloom.merge(delta)
-    hosts_state = dict(manifest["state"]["hosts"])
-    for h in new_hosts:
-        if h not in hosts_state:
-            hosts_state[h] = synthetic.robots_for_host(h)
+    seeds = extra_seeds.dropDuplicates(["url"])
+    if store is not None:
+        new = probe_unseen_partitioned(spark, seeds, urlseen_all, store).persist()
+        store, new_hosts = update_buckets_partitioned(
+            spark, new, store, catalog.bloom_bucket_dir(batch_id), collect_hosts=True
+        )
+    else:
+        new = probe_unseen(spark, seeds, urlseen_all, bloom).persist()
+        delta, new_hosts = bloom_delta(spark, new, bloom, collect_hosts=True)
+        bloom.merge(delta)
+    hosts_tbl = catalog.read("hosts", manifest)
+    hosts_append = catalog._empty("hosts")
+    if new_hosts:
+        cand_hosts = spark.createDataFrame([(h,) for h in sorted(new_hosts)], "host string")
+        unknown = [
+            r["host"]
+            for r in cand_hosts.join(hosts_tbl.select("host"), on="host", how="left_anti").collect()
+        ]
+        if unknown:
+            hosts_append = _hosts_rows(spark, unknown)
     out = catalog.commit(
         batch_id,
         appends={
@@ -363,12 +435,14 @@ def enrich_frontier(spark: SparkSession, cfg: CrawlConfig, extra_seeds) -> dict:
             "urlseen": new.select(
                 "url", "url_hash", F.lit(batch_id).alias("added_batch")
             ).coalesce(1),
+            "hosts": hosts_append.coalesce(1),
         },
         bloom=bloom,
-        state={"hosts": hosts_state},
+        bloom_store=store,
     )
     new.unpersist()
-    bloom.release()
+    if bloom is not None:
+        bloom.release()
     return out
 
 

@@ -164,22 +164,81 @@ class BloomState:
         return float((1.0 - np.exp(-self.k * n / self.m)) ** self.k)
 
     # ---- per-bucket file store (the >broadcast-scale probe path) ----
-    def to_bucket_files(self, dir_path: str) -> None:
-        """One .npy per bucket, so a co-partitioned probe task loads only
-        its own bucket's blob (MB-sized at any total scale)."""
+    def to_bucket_store(self, dir_path: str) -> "BloomBucketStore":
+        """Materialize this in-memory state as a BloomBucketStore (one blob
+        file per bucket) — used to seed the partitioned path from a small
+        initial state; steady-state updates go through
+        urlseen.update_buckets_partitioned and never rebuild full state."""
         import os
 
         os.makedirs(dir_path, exist_ok=True)
-        meta = np.array([self.n_buckets, self.m, self.k], dtype=np.int64)
-        np.save(os.path.join(dir_path, "meta.npy"), meta)
+        paths: dict[int, str] = {}
         for b in range(self.n_buckets):
-            np.save(os.path.join(dir_path, f"bucket-{b:05d}.npy"), self.blobs[b])
+            p = os.path.join(dir_path, f"bucket-{b:05d}.npy")
+            np.save(p, self.blobs[b])
+            paths[b] = p
+        n_items = {b: int(self.n_items[b]) for b in range(self.n_buckets)}
+        return BloomBucketStore(self.n_buckets, self.m, self.k, paths, n_items)
 
-    @staticmethod
-    def load_bucket(dir_path: str, bucket: int) -> tuple[np.ndarray, int, int]:
-        """→ (blob, m, k) for one bucket."""
-        import os
 
-        meta = np.load(os.path.join(dir_path, "meta.npy"))
-        blob = np.load(os.path.join(dir_path, f"bucket-{bucket:05d}.npy"))
-        return blob, int(meta[1]), int(meta[2])
+class BloomBucketStore:
+    """Manifest-addressed per-bucket Bloom blobs: the state layout for
+    filters too large to broadcast (the 10^10-key regime, ~12 GB total).
+
+    * ``paths[bucket]`` → an immutable blob file (local FS here; each path
+      would be an object-store key on a real cluster);
+    * a micro-batch's update writes NEW files for only the buckets it
+      touched and re-references the rest, so commit cost scales with the
+      batch — full state never materializes in one place (not on the
+      driver, not in any single task);
+    * older snapshots keep pointing at their own files (snapshot isolation
+      for the Bloom state, same as the parquet tables);
+    * a missing bucket entry ≡ an all-zeros blob (probe: unseen).
+    """
+
+    def __init__(self, n_buckets: int, m: int, k: int,
+                 paths: dict[int, str] | None = None,
+                 n_items: dict[int, int] | None = None):
+        assert n_buckets & (n_buckets - 1) == 0
+        self.n_buckets = n_buckets
+        self.m = m
+        self.k = k
+        self.paths = dict(paths or {})
+        self.n_items = {int(b): int(n) for b, n in (n_items or {}).items()}
+
+    @property
+    def state_bytes(self) -> int:
+        return self.n_buckets * (self.m // 8)
+
+    def bloom_keys(self) -> int:
+        return sum(self.n_items.values())
+
+    def fpr_estimate(self) -> float:
+        n = max(self.n_items.values(), default=0)
+        return float((1.0 - np.exp(-self.k * n / self.m)) ** self.k)
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {"n_buckets": self.n_buckets, "m": self.m, "k": self.k,
+                 "paths": {str(b): p for b, p in self.paths.items()},
+                 "n_items": {str(b): n for b, n in self.n_items.items()}},
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "BloomBucketStore":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            d["n_buckets"], d["m"], d["k"],
+            {int(b): p for b, p in d["paths"].items()},
+            {int(b): n for b, n in d["n_items"].items()},
+        )
+
+    def referenced_files(self) -> set[str]:
+        return set(self.paths.values())

@@ -133,20 +133,25 @@ def bloom_delta(
 
 
 def probe_unseen_partitioned(
-    spark: SparkSession, candidates: DataFrame, urlseen: DataFrame, bucket_dir: str, n_buckets: int
+    spark: SparkSession, candidates: DataFrame, urlseen: DataFrame, store
 ) -> DataFrame:
     """Co-partitioned probe for Bloom state too large to broadcast
     (the 10^10-key regime: ~12 GB total, MBs per bucket).
 
     Candidates shuffle ONCE on bucket = pmod(h1, n_buckets); each task
-    loads only its bucket's blob from ``bucket_dir`` (written by
-    BloomState.to_bucket_files — local FS here, object store on a real
-    cluster) and probes with the same numpy kernel.  Per-task working set
-    is one bucket's blob regardless of total state size.
+    loads only its bucket's blob from the BloomBucketStore manifest (local
+    FS here, object store on a real cluster) and probes with the same
+    numpy kernel.  Per-task working set is one bucket's blob regardless of
+    total state size; only the tiny bucket→path manifest is broadcast.
     """
+    m, k, nb = store.m, store.k, store.n_buckets
+    b_paths = spark.sparkContext.broadcast(dict(store.paths))
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        blob, m, k = BloomState.load_bucket(bucket_dir, int(key[0]))
+        path = b_paths.value.get(int(key[0]))
+        if path is None:  # bucket never written: nothing seen
+            return pdf.assign(maybe_seen=False)
+        blob = np.load(path)
         h1 = _u64(pdf["_h1"])
         h2 = _u64(pdf["_h2"]) | np.uint64(1)
         i = np.arange(k, dtype=np.uint64)[None, :]
@@ -156,7 +161,7 @@ def probe_unseen_partitioned(
         return pdf.assign(maybe_seen=bits.all(axis=1))
 
     withh = _with_hashes(candidates).withColumn(
-        "bucket", F.pmod(F.col("_h1"), F.lit(n_buckets)).cast("int")
+        "bucket", F.pmod(F.col("_h1"), F.lit(nb)).cast("int")
     )
     out_schema = T.StructType(
         list(withh.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
@@ -166,3 +171,65 @@ def probe_unseen_partitioned(
     positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2", "bucket")
     survivors = positives.join(urlseen.select("url"), on="url", how="left_anti")
     return fresh.unionByName(survivors)
+
+
+def update_buckets_partitioned(
+    spark: SparkSession, accepted: DataFrame, store, dst_dir: str,
+    collect_hosts: bool = False,
+):
+    """OR the accepted keys' bits into each touched bucket's blob and write
+    one NEW blob file per touched bucket (old files stay — snapshot
+    isolation); returns a new BloomBucketStore whose manifest re-references
+    every untouched bucket.  The driver only ever sees the tiny
+    (bucket, n, path, hosts) summary rows — never blob bytes — so this is
+    the no-driver-OR-merge counterpart of bloom_delta for the >broadcast
+    regime.  ``collect_hosts`` piggybacks the accepted rows' distinct hosts
+    on the same job (as bloom_delta does).
+    """
+    import os
+    import uuid
+
+    from crawlspark.operators.bloom import BloomBucketStore
+
+    os.makedirs(dst_dir, exist_ok=True)
+    m, k, nb = store.m, store.k, store.n_buckets
+    b_paths = spark.sparkContext.broadcast(dict(store.paths))
+    with_host = collect_hosts and "host" in accepted.columns
+
+    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(key[0])
+        src = b_paths.value.get(b)
+        blob = np.load(src) if src is not None else np.zeros(m // 8, dtype=np.uint8)
+        blob = blob.copy()
+        h1 = _u64(pdf["_h1"])
+        h2 = _u64(pdf["_h2"]) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[None, :]
+        pos = ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+        byte_idx, bit = pos >> 3, (pos & 7).astype(np.uint8)
+        np.bitwise_or.at(blob, byte_idx, np.uint8(1) << bit)
+        out = os.path.join(dst_dir, f"bucket-{b:05d}-{uuid.uuid4().hex[:8]}.npy")
+        np.save(out, blob)
+        hosts = sorted(set(pdf["host"])) if "host" in pdf.columns else []
+        return pd.DataFrame(
+            {"bucket": [b], "n": [len(h1)], "path": [out], "hosts": [hosts]}
+        )
+
+    cols = ["url", "host"] if with_host else ["url"]
+    rows = (
+        _with_hashes(accepted.select(*cols))
+        .withColumn("bucket", F.pmod(F.col("_h1"), F.lit(nb)).cast("int"))
+        .groupBy("bucket")
+        .applyInPandas(per_bucket, schema="bucket int, n long, path string, hosts array<string>")
+        .collect()
+    )
+    new_paths = dict(store.paths)
+    new_items = dict(store.n_items)
+    hosts: set = set()
+    for r in rows:
+        new_paths[r["bucket"]] = r["path"]
+        new_items[r["bucket"]] = new_items.get(r["bucket"], 0) + r["n"]
+        hosts.update(r["hosts"] or [])
+    new_store = BloomBucketStore(nb, m, k, new_paths, new_items)
+    if collect_hosts:
+        return new_store, hosts
+    return new_store

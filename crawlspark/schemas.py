@@ -149,4 +149,8 @@ TABLE_SCHEMAS = {
     "progress": PROGRESS,
     "documents": DOCUMENTS,
     "metrics": METRICS,
+    # hosts politeness state is a snapshot table, NOT manifest JSON: at
+    # web scale (10^6+ hosts) a manifest-resident dict would grow the JSON
+    # parsed on every batch without bound
+    "hosts": HOSTS,
 }

@@ -33,7 +33,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from crawlspark import schemas
-from crawlspark.operators.bloom import BloomState
+from crawlspark.operators.bloom import BloomBucketStore, BloomState
 
 
 class SnapshotCatalog:
@@ -74,6 +74,7 @@ class SnapshotCatalog:
         bloom: BloomState | None = None,
         state: dict | None = None,
         replace: dict[str, DataFrame] | None = None,
+        bloom_store: BloomBucketStore | None = None,
     ) -> dict:
         """Atomic multi-table commit: write deltas, then one manifest swap.
 
@@ -111,6 +112,13 @@ class SnapshotCatalog:
             bloom_path = os.path.join(self.root, "_state", f"bloom-{snap_id:06d}.npz")
             bloom.to_npz(bloom_path)
             new_state["bloom_path"] = bloom_path + ("" if bloom_path.endswith(".npz") else ".npz")
+        if bloom_store is not None:
+            # partitioned Bloom: the snapshot records only the tiny
+            # bucket→file manifest; blob files are written by the batch's
+            # grouped-map update and shared by reference across snapshots
+            bs_path = os.path.join(self.root, "_state", f"bloom-buckets-{snap_id:06d}.json")
+            bloom_store.save(bs_path)
+            new_state["bloom_store_path"] = bs_path
 
         manifest = {
             "snapshot_id": snap_id,
@@ -161,6 +169,10 @@ class SnapshotCatalog:
                 bp = (m.get("state") or {}).get("bloom_path")
                 if bp:
                     out.add(bp if bp.endswith(".npz") else bp + ".npz")
+                bsp = (m.get("state") or {}).get("bloom_store_path")
+                if bsp and os.path.exists(bsp):
+                    out.add(bsp)
+                    out.update(BloomBucketStore.load(bsp).referenced_files())
             return out
 
         live = refs(keep)
@@ -185,3 +197,14 @@ class SnapshotCatalog:
         if not p.endswith(".npz"):
             p += ".npz"
         return BloomState.from_npz(p)
+
+    def load_bloom_store(self, manifest: dict | None = None) -> BloomBucketStore | None:
+        m = manifest or self.latest()
+        p = (m or {}).get("state", {}).get("bloom_store_path")
+        return BloomBucketStore.load(p) if p else None
+
+    def bloom_bucket_dir(self, batch_id: int) -> str:
+        """Per-batch destination dir for new bucket blob files."""
+        d = os.path.join(self.root, "_state", "bloom-buckets", f"b{batch_id:06d}")
+        os.makedirs(d, exist_ok=True)
+        return d

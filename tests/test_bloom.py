@@ -55,14 +55,17 @@ def test_mismatched_merge_rejected():
 
 
 def test_partitioned_probe_equals_broadcast(spark, tmp_path):
-    """The co-partitioned (per-bucket file) probe must accept exactly the
-    same URLs as the broadcast probe + exact fallback."""
+    """The co-partitioned (per-bucket store) probe must accept exactly the
+    same URLs as the broadcast probe + exact fallback, and the grouped-map
+    update must produce the same bits as the driver OR-merge path."""
     from pyspark.sql import functions as F
 
+    from crawlspark.operators.bloom import BloomBucketStore
     from crawlspark.operators.urlseen import (
         bloom_delta,
         probe_unseen,
         probe_unseen_partitioned,
+        update_buckets_partitioned,
     )
 
     bloom = BloomState(n_buckets=16, bits_per_bucket=1 << 14)
@@ -70,8 +73,16 @@ def test_partitioned_probe_equals_broadcast(spark, tmp_path):
         F.concat(F.lit("https://h"), (F.col("id") % 40).cast("string"),
                  F.lit("/p/"), F.col("id").cast("string")).alias("url"))
     bloom.merge(bloom_delta(spark, seen, bloom))
-    bdir = str(tmp_path / "blooms")
-    bloom.to_bucket_files(bdir)
+
+    # store built via the distributed grouped-map update (the crawl path),
+    # starting from an EMPTY store — full state never on the driver
+    store = BloomBucketStore(16, 1 << 14, k=7)
+    store = update_buckets_partitioned(spark, seen, store, str(tmp_path / "b0"))
+    assert store.bloom_keys() == 5000
+    # the update wrote the same bits as the driver OR-merge
+    import numpy as np
+    for b, path in store.paths.items():
+        assert np.array_equal(np.load(path), bloom.blobs[b]), b
 
     cand = spark.range(8000).select(
         F.when(F.col("id") % 3 == 0,
@@ -81,8 +92,23 @@ def test_partitioned_probe_equals_broadcast(spark, tmp_path):
         .alias("url")).dropDuplicates(["url"])
 
     a = {r["url"] for r in probe_unseen(spark, cand, seen, bloom).collect()}
-    b = {r["url"] for r in probe_unseen_partitioned(spark, cand, seen, bdir, 16).collect()}
+    b = {r["url"] for r in probe_unseen_partitioned(spark, cand, seen, store).collect()}
     assert a == b
     # and none of the accepted were actually seen
     seen_set = {r["url"] for r in seen.collect()}
     assert not (a & seen_set)
+
+    # incremental update writes only touched buckets; untouched buckets
+    # keep referencing the prior snapshot's files
+    extra = spark.range(50).select(
+        F.concat(F.lit("https://new/q/"), F.col("id").cast("string")).alias("url"))
+    store2 = update_buckets_partitioned(spark, extra, store, str(tmp_path / "b1"))
+    touched = {b for b in store2.paths if store2.paths[b] != store.paths.get(b)}
+    assert 0 < len(touched) <= 16
+    untouched = set(store.paths) - touched
+    assert all(store2.paths[b] == store.paths[b] for b in untouched)
+    assert store2.bloom_keys() == 5050
+    # round-trip through the JSON manifest
+    store2.save(str(tmp_path / "m.json"))
+    loaded = BloomBucketStore.load(str(tmp_path / "m.json"))
+    assert loaded.paths == store2.paths and loaded.n_items == store2.n_items

@@ -106,6 +106,33 @@ def test_retries_and_outcomes_present(engine_run):
         assert any(p[0] == u and p[2] == a + 1 for p in prog), u
 
 
+def test_partitioned_bloom_crawl_equals_broadcast(spark, tmp_path, engine_run):
+    """Force the partitioned per-bucket Bloom path (the 10^10-key layout)
+    through the FULL crawl loop: final tables must equal the broadcast
+    run's (which the other tests pin to the oracle), the manifest must
+    carry the bucket-store manifest instead of blob state, and hosts
+    politeness must live in the hosts TABLE, not the manifest JSON."""
+    wh = str(tmp_path / "whp")
+    spec = synthetic.WebSpec(scale=SCALE)
+    run_crawl(
+        spark,
+        CrawlConfig(warehouse=wh, spec=spec, max_batches=MAX_BATCHES,
+                    budget_override=BUDGET, compact_every=4,
+                    bloom_partitioned=True),
+    )
+    assert _tables(spark, wh) == _tables(spark, engine_run[1])
+
+    cat = SnapshotCatalog(spark, wh)
+    m = cat.latest()
+    assert m["state"].get("bloom_store_path") and not m["state"].get("bloom_path")
+    store = cat.load_bloom_store(m)
+    assert store.bloom_keys() == len(_tables(spark, wh)[0])  # == |urlseen|
+    # manifest JSON carries no per-host state and stays O(bucket manifest)
+    assert "hosts" not in m["state"]
+    hosts_tbl = cat.read("hosts", m)
+    assert hosts_tbl.count() == hosts_tbl.select("host").distinct().count() > 0
+
+
 def test_bloom_autosizing_and_lineage(spark, tmp_path):
     from crawlspark import synthetic
     from crawlspark.crawl import CrawlConfig, run_crawl
