@@ -54,6 +54,9 @@ class CrawlConfig:
     # force either path (tests force True to run e2e equality on it)
     bloom_partitioned: bool | None = None
     bloom_broadcast_cap_bytes: int = 256 << 20
+    # serve previously-fetched articles from the fetched-cache log instead
+    # of refetching (re-crawl mode; see reset_for_recrawl)
+    use_fetch_cache: bool = False
 
     def __post_init__(self):
         if self.expected_urls:
@@ -107,10 +110,9 @@ def _hosts_with_rx(hosts: DataFrame, budget_override: int | None) -> DataFrame:
     return out
 
 
-def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
-    """Seed the frontier (reference start_requests :560-699) and commit
-    snapshot 0."""
-    catalog = SnapshotCatalog(spark, cfg.warehouse)
+def _seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    """Seed rows (reference start_requests :560-699): canonicalize, skip-
+    filter, in-list dedup; FRONTIER schema with url_hash."""
     raw_seeds = (
         list(cfg.seed_urls) if cfg.seed_urls is not None else synthetic.seed_urls(cfg.spec)
     )
@@ -129,12 +131,15 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         seeds.append(
             (cu, 0, host, 0, scheduler.priority_py(0, kind, cu), 0, 0, 0, kind, None)
         )
-    seeds_df = spark.createDataFrame(seeds, schemas.FRONTIER).withColumn(
+    return spark.createDataFrame(seeds, schemas.FRONTIER).withColumn(
         "url_hash", F.xxhash64("url")
     )
-    seen_df = seeds_df.select("url", "url_hash", F.lit(0).alias("added_batch"))
-    hosts_df = _hosts_rows(spark, [U.host_of_py(s[0]) for s in seeds])
-    appends = {"frontier": seeds_df, "urlseen": seen_df, "hosts": hosts_df}
+
+
+def _seed_bloom(spark: SparkSession, cfg: CrawlConfig, catalog: SnapshotCatalog,
+                seeds_df: DataFrame) -> dict:
+    """→ commit kwargs ({'bloom': ...} or {'bloom_store': ...}) for a fresh
+    filter seeded with the seed URLs."""
     if cfg.use_partitioned_bloom:
         # never build full state in one place, even at init: the seed bits
         # are written per-bucket by the same grouped-map the loop uses
@@ -142,10 +147,55 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
         store = update_buckets_partitioned(
             spark, seeds_df, store, catalog.bloom_bucket_dir(0)
         )
-        return catalog.commit(0, appends=appends, bloom_store=store, state={})
+        return {"bloom_store": store}
     bloom = BloomState(cfg.bloom_buckets, cfg.bloom_bits)
     bloom.merge(bloom_delta(spark, seeds_df, bloom))
-    return catalog.commit(0, appends=appends, bloom=bloom, state={})
+    return {"bloom": bloom}
+
+
+def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
+    """Seed the frontier (reference start_requests :560-699) and commit
+    snapshot 0."""
+    catalog = SnapshotCatalog(spark, cfg.warehouse)
+    seeds_df = _seed_frontier(spark, cfg)
+    seen_df = seeds_df.select("url", "url_hash", F.lit(0).alias("added_batch"))
+    hosts_df = _hosts_rows(spark, [r["host"] for r in seeds_df.select("host").distinct().collect()])
+    appends = {"frontier": seeds_df, "urlseen": seen_df, "hosts": hosts_df}
+    return catalog.commit(0, appends=appends, state={}, **_seed_bloom(spark, cfg, catalog, seeds_df))
+
+
+def reset_for_recrawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
+    """Begin a NEW crawl epoch in an existing warehouse: frontier, urlseen,
+    Bloom state and progress are reset to the seeds; documents, metrics,
+    hosts and the fetched cache are RETAINED — the reference's HTTPCACHE
+    re-run semantics (settings.py:84-89: the dupefilter starts fresh, the
+    HTTP cache persists).  With cfg.use_fetch_cache=True the re-crawl
+    refetches listings (the link-discovery surface) but serves previously-
+    fetched articles from the cache log as terminal 'cached' records."""
+    catalog = SnapshotCatalog(spark, cfg.warehouse)
+    assert catalog.latest() is not None, "reset_for_recrawl needs an existing crawl"
+    seeds_df = _seed_frontier(spark, cfg)
+    seen_df = seeds_df.select("url", "url_hash", F.lit(0).alias("added_batch"))
+    hosts_tbl = catalog.read("hosts")
+    seed_hosts = [r["host"] for r in seeds_df.select("host").distinct()
+                  .join(hosts_tbl.select("host"), on="host", how="left_anti").collect()]
+    appends = {}
+    if seed_hosts:
+        appends["hosts"] = _hosts_rows(spark, seed_hosts)
+    return catalog.commit(
+        0,
+        appends=appends,
+        replace={
+            "frontier": seeds_df,
+            "urlseen": seen_df,
+            "progress": catalog._empty("progress"),
+        },
+        # clear BOTH bloom layouts from the carried-over state; the kwarg
+        # below re-sets whichever layout this epoch uses (run_batch picks
+        # the layout from the manifest, so a stale path would be wrong)
+        state={"bloom_path": None, "bloom_store_path": None},
+        **_seed_bloom(spark, cfg, catalog, seeds_df),
+    )
 
 
 def _bloom_lineage(bloom: BloomState) -> dict:
@@ -183,14 +233,39 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     scheduled, robots_blocked = scheduler.schedule(
         pending, hosts_df, batch_id, return_blocked=True
     )
+    # fetched-cache skip (reference HTTPCACHE re-run semantics, settings.py
+    # :84-89): in a re-crawl epoch, ARTICLE pages already in the fetched
+    # log are served from cache — retired with a terminal 'cached' record
+    # instead of refetched.  Listings are always refetched (they are the
+    # link-discovery surface; a refresh crawl must see new articles).
+    cached_progress = None
+    if cfg.use_fetch_cache:
+        fetched_cache = catalog.read("fetched", manifest).select("url").distinct()
+        cached_progress = (
+            scheduled.filter(F.col("page_kind") == "article")
+            .join(fetched_cache, on="url", how="left_semi")
+            .select(
+                "url", F.xxhash64("url").alias("url_hash"),
+                F.lit(batch_id).alias("batch_id"), F.lit(200).alias("status"),
+                F.lit("cached").alias("outcome"),
+                F.col("retry_count").alias("attempt"),
+            )
+        )
+        scheduled = scheduled.join(
+            cached_progress.select("url"), on="url", how="left_anti"
+        )
     scheduled = scheduled.persist()
-    # retire robots-disallowed rows with a terminal progress record so they
-    # leave the pending set instead of being re-scanned every batch
+    # retire robots-disallowed rows (and cache hits) with a terminal
+    # progress record so they leave the pending set instead of being
+    # re-scanned every batch
     blocked_progress = robots_blocked.select(
         "url", F.xxhash64("url").alias("url_hash"), F.lit(batch_id).alias("batch_id"),
         F.lit(0).alias("status"), F.lit("robots_blocked").alias("outcome"),
         F.col("retry_count").alias("attempt"),
-    ).persist()
+    )
+    if cached_progress is not None:
+        blocked_progress = blocked_progress.unionByName(cached_progress)
+    blocked_progress = blocked_progress.persist()
     n_sched = scheduled.count()
     n_blocked = blocked_progress.count()
     if n_sched == 0:
@@ -221,7 +296,15 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         pipe.count()
     fetched_o = pipe.filter(F.col("rec") == "fetch").withColumn(
         "outcome",
-        F.when(F.col("status") == 200, F.lit("done"))
+        # corrupt transfer stream (gzip decode failure) retries like a 5xx
+        # (reference GzipRetryMiddleware, middlewares.py:36-52)
+        F.when(
+            (F.col("status") == 200) & F.col("decode_error")
+            & (F.col("retry_count") < rules.MAX_RETRIES),
+            F.lit("retry"),
+        )
+        .when((F.col("status") == 200) & F.col("decode_error"), F.lit("failed"))
+        .when(F.col("status") == 200, F.lit("done"))
         .when(F.col("status").isin(rules.SKIP_STATUSES), F.lit("skipped"))
         .when(
             F.col("status").isin(rules.RETRYABLE_STATUSES)
@@ -348,6 +431,11 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     new_seen = new_frontier.select(
         "url", "url_hash", F.lit(batch_id).alias("added_batch")
     ).coalesce(k_files)
+    # per-fetch cache log (S9): url + transfer encoding + decoded-body hash
+    fetch_log = fetched_o.filter(F.col("outcome") == "done").select(
+        "url", F.xxhash64("url").alias("url_hash"), "status",
+        "content_encoding", "body_hash", F.lit(batch_id).alias("batch_id"),
+    )
     appends = {
         "frontier": frontier_append,
         "urlseen": new_seen,
@@ -355,6 +443,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         "documents": docs_new.coalesce(k_files),
         "metrics": metrics.coalesce(1),
         "hosts": hosts_append.coalesce(1),
+        "fetched": fetch_log.coalesce(k_files),
     }
     if cfg.compact_every and batch_id % cfg.compact_every == 0:
         # compaction: rewrite pending-after-this-batch as the new frontier
@@ -466,5 +555,6 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> di
         "n_fetched": progress.filter(F.col("outcome") == "done").count(),
         "n_progress": progress.count(),
         "n_frontier": frontier.count(),
+        "refetch_skipped": progress.filter(F.col("outcome") == "cached").count(),
         "manifest": manifest,
     }

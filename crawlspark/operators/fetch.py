@@ -18,23 +18,34 @@ from pyspark.sql import functions as F
 
 from crawlspark import schemas, synthetic
 
-FetchFn = Callable[[str, int], tuple[int, str, str, int]]
+FetchFn = Callable[[str, int], tuple[int, str, bytes | None, str | None, int]]
 
 
 def fetch_stage(scheduled: DataFrame, spec: synthetic.WebSpec, fetch_fn: FetchFn | None = None) -> DataFrame:
-    """scheduled(FRONTIER) → FETCHED; one fetch per row, batched via Arrow."""
-    fn = fetch_fn or (lambda url, attempt: synthetic.fetch(spec, url, attempt))
+    """scheduled(FRONTIER) → FETCHED; one fetch per row, batched via Arrow.
+
+    The fetcher works at the TRANSFER level (raw bytes + content-encoding);
+    this stage applies the decode middleware (functions.transfer — gzip
+    decompress, forgiving fallback, retry on corrupt streams, reference
+    middlewares.py:42-61) so downstream stages see decoded text bodies.
+    """
+    from crawlspark.functions.transfer import decode_body_py
+
+    fn = fetch_fn or (lambda url, attempt: synthetic.fetch_encoded(spec, url, attempt))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             res = [fn(u, a) for u, a in zip(pdf["url"], pdf["retry_count"])]
+            decoded = [decode_body_py(r[2], r[3]) for r in res]
             out = pdf.copy()
             out["status"] = [r[0] for r in res]
             out["final_url"] = [r[1] for r in res]
-            out["body"] = [r[2] for r in res]
-            out["elapsed_ms"] = [r[3] for r in res]
+            out["body"] = [d[0] for d in decoded]
+            out["elapsed_ms"] = [r[4] for r in res]
+            out["content_encoding"] = [r[3] for r in res]
+            out["decode_error"] = [bool(d[1]) for d in decoded]
             yield out
 
     # Partition by (host, salt): keeps per-host locality for connection

@@ -38,6 +38,9 @@ PIPE = T.StructType(
         T.StructField("retry_count", T.IntegerType(), False),
         T.StructField("status", T.IntegerType(), True),
         T.StructField("elapsed_ms", T.LongType(), True),
+        T.StructField("content_encoding", T.StringType(), True),
+        T.StructField("body_hash", T.StringType(), True),
+        T.StructField("decode_error", T.BooleanType(), True),
         T.StructField("link", T.StringType(), True),
         T.StructField("link_kind", T.StringType(), True),
         T.StructField("meta", schemas.META, True),
@@ -62,22 +65,34 @@ def fetch_parse_stage(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawlspark.functions.transfer import body_hash_py, decode_body_py
+
         for pdf in batches:
             rows: list[dict] = []
             for r in pdf.itertuples(index=False):
-                status, final_url, body, elapsed = synthetic.fetch(spec, r.url, r.retry_count)
+                status, final_url, raw, enc, elapsed = synthetic.fetch_encoded(
+                    spec, r.url, r.retry_count
+                )
+                body, decode_error = decode_body_py(raw, enc)
                 meta = r.meta if isinstance(r.meta, dict) else None
                 base = {
                     "url": r.url, "final_url": final_url, "host": r.host,
                     "depth": int(r.depth), "page_kind": r.page_kind,
                     "priority": float(r.priority), "retry_count": int(r.retry_count),
                     "status": int(status), "elapsed_ms": int(elapsed),
+                    "content_encoding": None, "body_hash": None,
+                    "decode_error": None,
                     "link": None, "link_kind": None,
                     "meta": None, "title": None, "date_raw": None,
                     "published_date": None, "spans": None,
                 }
-                rows.append({**base, "rec": "fetch", "meta": meta})
-                if status != 200:
+                rows.append({
+                    **base, "rec": "fetch", "meta": meta,
+                    "content_encoding": enc,
+                    "body_hash": body_hash_py(body) if status == 200 and not decode_error else None,
+                    "decode_error": bool(decode_error),
+                })
+                if status != 200 or decode_error:
                     continue
                 for p in _parse_row(final_url or r.url, r.host, int(r.depth),
                                     r.page_kind, status, body, meta):

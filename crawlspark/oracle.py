@@ -18,6 +18,7 @@ from crawlspark import html_parse, rules, synthetic
 from crawlspark.functions import urls as U
 from crawlspark.functions.dates import parse_date_py
 from crawlspark.functions.textclean import clean_spans
+from crawlspark.functions.transfer import decode_body_py
 from crawlspark.operators.docs import doc_id_py
 from crawlspark.operators.scheduler import priority_py, robots_allowed_py
 
@@ -94,8 +95,13 @@ def crawl_oracle(
         candidates: dict[str, dict] = {}  # link url -> winner record
         for r in scheduled:
             del pending[r["url"]]
-            status, final_url, body, _ = synthetic.fetch(spec, r["url"], r["retry_count"])
-            if status == 200:
+            status, final_url, raw, enc, _ = synthetic.fetch_encoded(spec, r["url"], r["retry_count"])
+            body, decode_error = decode_body_py(raw, enc)
+            if status == 200 and decode_error and r["retry_count"] < rules.MAX_RETRIES:
+                outcome = "retry"  # corrupt transfer stream (GzipRetryMiddleware)
+            elif status == 200 and decode_error:
+                outcome = "failed"
+            elif status == 200:
                 outcome = "done"
             elif status in rules.SKIP_STATUSES:
                 outcome = "skipped"

@@ -1778,3 +1778,98 @@ def url_domain_extract(spark, sf_dir):
     return d.select(
         "doc_id", host.alias("host"), U.domain_expr(host).alias("domain")
     )
+
+
+# ---- S9: fetched-cache anti-join (refetch skip; reference HTTPCACHE) -----
+
+@q(
+    "fetched_cache_antijoin",
+    """
+    WITH cache AS (
+      SELECT 'https://www.cna.example/news/' || doc_id || '-s' || (doc_id % 7) AS url,
+             md5(substr(text, 1, 64)) AS body_hash
+      FROM documents WHERE doc_id % 3 = 0),
+    cand AS (
+      SELECT doc_id,
+             'https://www.cna.example/news/' || doc_id || '-s' || (doc_id % 7) AS url,
+             CASE WHEN doc_id % 2 = 0 THEN 'article' ELSE 'listing' END AS page_kind
+      FROM documents)
+    SELECT c.doc_id, c.url, c.page_kind
+    FROM cand c
+    WHERE c.page_kind = 'listing'
+       OR c.url NOT IN (SELECT url FROM cache)
+    """,
+)
+def fetched_cache_antijoin(spark, sf_dir):
+    """The re-crawl refetch decision as a standalone query: listings always
+    refetch; articles refetch only when absent from the fetched-cache log
+    (crawl.run_batch's cache-skip anti-join, reference settings.py:84-89)."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://www.cna.example/news/"), _ids(), F.lit("-s"),
+                   (F.col("doc_id") % 7).cast("string"))
+    cache = d.filter(F.col("doc_id") % 3 == 0).select(
+        url.alias("url"), F.md5(F.substring("text", 1, 64)).alias("body_hash")
+    )
+    cand = d.select(
+        "doc_id", url.alias("url"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("article")).otherwise(F.lit("listing")).alias("page_kind"),
+    )
+    articles = cand.filter(F.col("page_kind") == "article").join(
+        cache.select("url"), on="url", how="left_anti"
+    )
+    listings = cand.filter(F.col("page_kind") == "listing")
+    return articles.unionByName(listings).select("doc_id", "url", "page_kind")
+
+
+# ---- Transfer decoding (gzip middleware; reference middlewares.py:42-61) --
+
+@q(
+    "transfer_decode",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'gzip' WHEN 2 THEN 'gzip' WHEN 3 THEN 'gzip'
+             ELSE NULL END AS content_encoding,
+           CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE substr(text, 1, 40) END AS body,
+           doc_id % 4 = 3 AS decode_error
+    FROM documents
+    """,
+)
+def transfer_decode(spark, sf_dir):
+    """decode_body_py over recipe-built transfer payloads: m0 = real gzip
+    (decompressed), m1 = identity, m2 = 'gzip' header on a plain body
+    (ForgivingHttpCompression passthrough), m3 = truncated gzip stream
+    (decode_error → the crawl loop retries; GzipRetryMiddleware)."""
+    import gzip as _gzip
+
+    from crawlspark.functions.transfer import decode_body_py
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("payload"),
+        (F.col("doc_id") % 4).alias("m"),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                plain = r.payload.encode("utf-8")
+                m = int(r.m)
+                if m == 0:
+                    raw, enc = _gzip.compress(plain, mtime=0), "gzip"
+                elif m == 1:
+                    raw, enc = plain, None
+                elif m == 2:
+                    raw, enc = plain, "gzip"  # lying header
+                else:
+                    raw, enc = _gzip.compress(plain, mtime=0)[:6], "gzip"
+                body, err = decode_body_py(raw, enc)
+                rows.append({"doc_id": r.doc_id, "content_encoding": enc,
+                             "body": body, "decode_error": bool(err)})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "content_encoding", "body", "decode_error"])
+
+    return d.mapInPandas(
+        run, schema="doc_id long, content_encoding string, body string, decode_error boolean"
+    )

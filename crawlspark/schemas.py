@@ -79,8 +79,26 @@ FETCHED = T.StructType(
     + [
         T.StructField("final_url", T.StringType(), True),
         T.StructField("status", T.IntegerType(), False),
-        T.StructField("body", T.StringType(), True),
+        T.StructField("body", T.StringType(), True),  # transfer-DECODED
         T.StructField("elapsed_ms", T.LongType(), False),
+        T.StructField("content_encoding", T.StringType(), True),
+        T.StructField("decode_error", T.BooleanType(), False),
+    ]
+)
+
+# --- fetched_cache: persistent per-fetch log (reference HTTPCACHE,
+# settings.py:84-89): what was fetched, how it was transfer-encoded, and
+# the decoded body's content hash.  Bodies themselves are NOT persisted
+# (at 10^10 URLs the body store is an object-store concern); a re-crawl
+# anti-joins this table to skip refetching unchanged articles.
+FETCHED_CACHE = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("content_encoding", T.StringType(), True),
+        T.StructField("body_hash", T.StringType(), True),
+        T.StructField("batch_id", T.IntegerType(), False),
     ]
 )
 
@@ -153,4 +171,5 @@ TABLE_SCHEMAS = {
     # web scale (10^6+ hosts) a manifest-resident dict would grow the JSON
     # parsed on every batch without bound
     "hosts": HOSTS,
+    "fetched": FETCHED_CACHE,
 }

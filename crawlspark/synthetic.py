@@ -327,3 +327,37 @@ def fetch(spec: WebSpec, url: str, attempt: int = 0) -> tuple[int, str, str, int
         return 404, url, "", elapsed
     final = article_url(host, aid)  # redirect: query/alias forms collapse
     return 200, final, article_html(spec, host, aid), elapsed
+
+
+def fetch_encoded(spec: WebSpec, url: str, attempt: int = 0) -> tuple[int, str, bytes | None, str | None, int]:
+    """Deterministic fetch at the TRANSFER level →
+    (status, final_url, raw_body bytes, content_encoding, elapsed_ms).
+
+    Transfer-encoding variants (reference middlewares.py:42-61):
+      * ~8% of 200s arrive gzip-encoded (``content_encoding='gzip'``);
+      * one hash slot is a CORRUPT gzip on attempt 0 (truncated stream)
+        that succeeds on retry — GzipRetryMiddleware semantics;
+      * one hash slot declares ``gzip`` but carries a plain body —
+        ForgivingHttpCompressionMiddleware semantics (decode as-is).
+    ``fetch`` above remains the decoded application-level view (same
+    bodies); the engine pipeline and the oracle consume THIS function plus
+    functions.transfer.decode_body_py so the middleware policy is a
+    tested, shared code path.
+    """
+    import gzip as _gzip
+
+    status, final, body, elapsed = fetch(spec, url, attempt)
+    if status != 200:
+        return status, final, (body or "").encode("utf-8"), None, elapsed
+    ev = _h("enc", url) % 100
+    raw = body.encode("utf-8")
+    if ev < 8:
+        return status, final, _gzip.compress(raw, mtime=0), "gzip", elapsed
+    if ev == 8:
+        good = _gzip.compress(raw, mtime=0)
+        if attempt == 0:
+            return status, final, good[: max(4, len(good) // 2)], "gzip", elapsed
+        return status, final, good, "gzip", elapsed
+    if ev == 9:
+        return status, final, raw, "gzip", elapsed  # header lies: plain body
+    return status, final, raw, None, elapsed

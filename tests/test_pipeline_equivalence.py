@@ -46,7 +46,9 @@ def test_fused_equals_unfused(spark):
     }
 
     fetched = fetch_stage(frontier, spec)
-    parsed = parse_stage(fetched.filter(F.col("status") == 200))
+    parsed = parse_stage(
+        fetched.filter((F.col("status") == 200) & ~F.col("decode_error"))
+    )
     unfused_docs = {
         r["doc_id"]: tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"])
         for r in docs_stage(parsed.filter(F.col("rec") == "doc"), 7).collect()
