@@ -57,6 +57,11 @@ def main():
         queries["dedup_4m"] = round(d["sec"], 3)
         extra["dedup_ops_per_sec"] = round(d["ops_per_sec"], 0)
 
+        dp = benchlib.bench_dedup(spark, n_candidates=4_000_000, n_seen=500_000,
+                                  partitioned=True)
+        queries["dedup_partitioned_4m"] = round(dp["sec"], 3)
+        extra["dedup_partitioned_ops_per_sec"] = round(dp["ops_per_sec"], 0)
+
         p = benchlib.bench_fetch_parse(spark, n_pages=20_000)
         queries["fetch_parse_20k"] = round(p["sec"], 3)
         extra["fetch_parse_pages_per_sec"] = round(p["pages_per_sec"], 1)

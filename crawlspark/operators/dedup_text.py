@@ -23,28 +23,45 @@ from pyspark.sql import functions as F
 
 MINHASH_K = 12
 BANDS = 4  # rows per band = MINHASH_K // BANDS
+_P = 2147483647  # Mersenne prime 2^31-1
+_A = [131071, 524287, 8191, 1048573, 262139, 65521,
+      2097143, 4194301, 524269, 999983, 131063, 65519]
+_B = [7, 101, 9001, 12345, 31337, 271, 17, 4099, 90001, 333667, 57, 7919]
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
-    """df → (id, band0..band{BANDS-1}); row-local, no shuffle."""
-    words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(words) - 2)
+    """df → (id, band0..band{BANDS-1}); row-local, no shuffle.
+
+    One md5 per shingle + K universal-hash mixes (mh_j = (A_j*h+B_j) mod p)
+    instead of K md5 passes.  The word array is pre-projected — a split()
+    referenced inside a higher-order lambda re-evaluates per element
+    (lambdas are interpreted), which dominated the round-1 cost.
+    """
+    w = F.col("_w")
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_w")
+    ).filter(F.size("_w") >= 3)
     sh = F.transform(
-        idx,
+        F.sequence(F.lit(1), F.size(w) - 2),
         lambda i: F.concat_ws(
-            "_", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+            "_", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
         ),
     )
-    t = df.filter(F.size(words) >= 3).select(F.col(id_col).alias("id"), sh.alias("sh"))
+    hs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _P
+    )
+    t = base.select("id", hs.alias("hs"))
 
-    def mh(j: int):
-        prefix = f"{j}:"
-        return F.array_min(F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s))))
+    def _mix(j):  # factory, NOT a j=j default (2-arg lambdas get (elem, idx))
+        return lambda h: (_A[j] * h + _B[j]) % _P
 
-    sig = t.select("id", *[mh(j).alias(f"mh{j}") for j in range(MINHASH_K)])
+    sig = t.select(
+        "id", *[F.array_min(F.transform(F.col("hs"), _mix(j))).alias(f"mh{j}")
+                for j in range(MINHASH_K)]
+    )
     r = MINHASH_K // BANDS
     bands = [
-        F.md5(F.concat(*[F.col(f"mh{b * r + i}") for i in range(r)])).alias(f"band{b}")
+        F.md5(F.concat_ws("_", *[F.col(f"mh{b * r + i}") for i in range(r)])).alias(f"band{b}")
         for b in range(BANDS)
     ]
     return sig.select("id", *bands)
@@ -93,44 +110,70 @@ def verified_neardup_pairs(
     )
 
 
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") over an
+    undirected edge list (a_id, b_id) → star mapping (id, root) for every
+    NON-ROOT member of each component, with root = the component minimum.
+
+    Converges in O(log n) rounds (vs O(component diameter) for min-label
+    propagation — a 64-link dup chain takes ~7 rounds, not 64); each round
+    is two groupBy shuffles on node id, nothing driver-resident.  Rounds
+    are lineage-truncated with localCheckpoint — without it the iterated
+    plan nests ~6 copies of itself per round and Catalyst analysis goes
+    exponential (on a cluster with an HDFS checkpoint dir, swap in
+    ``checkpoint()`` for executor-loss resilience).
+    """
+    E = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(64):  # safety cap ≫ log2 of any real corpus
+        # large-star: every neighbor v > u attaches to min(Γ(u) ∪ {u})
+        bidir = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        gmin = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+        large = (
+            bidir.join(gmin, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("cu"), F.least("u", "mv").alias("cv"))
+            .filter(F.col("cu") != F.col("cv"))
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .distinct()
+        )
+        # small-star: orient u > v; every small neighbor (and u) attaches
+        # to the minimum small neighbor
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smin = oriented.groupBy("u").agg(F.min("v").alias("mv"))
+        withm = oriented.join(smin, on="u")
+        small = (
+            withm.select(F.col("v").alias("cu"), F.col("mv").alias("cv"))
+            .unionByName(withm.select(F.col("u").alias("cu"), F.col("mv").alias("cv")))
+            .filter(F.col("cu") != F.col("cv"))
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint: the star edge set stopped changing (set equality via
+        # count + one-sided difference)
+        n_new = small.count()
+        stable = n_new == E.count() and small.exceptAll(E).limit(1).count() == 0
+        E = small
+        if stable:
+            break
+    return E.select(F.col("u").alias("id"), F.col("v").alias("root"))
+
+
 def dedup_keep_first(df: DataFrame, id_col: str = "id", text_col: str = "text",
                      threshold: float = 0.7) -> DataFrame:
     """Drop near-duplicates, keeping the smallest id of each dup cluster
-    (single-link via pairs; at corpus scale run connected components —
-    here the transitive step is iterated min-propagation)."""
+    (single-link over verified pairs + distributed connected components)."""
     pairs = verified_neardup_pairs(df, id_col, text_col, threshold).persist()
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    # min-label propagation to a FIXPOINT: each round advances the min id
-    # one hop (Bellman-Ford), so iterate until no label changes (capped at
-    # 32 rounds — dup-cluster diameters beyond that don't occur in text
-    # dedup; the cap guards against pathological inputs, not correctness)
-    rep = base.select("id", F.col("id").alias("root")).persist()
-    edges = pairs.select("a_id", "b_id").unionByName(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).persist()
-    for _ in range(32):
-        prop = (
-            edges.join(rep.withColumnRenamed("id", "b_id"), on="b_id")
-            .groupBy(F.col("a_id").alias("id"))
-            .agg(F.min("root").alias("nroot"))
-        )
-        new_rep = (
-            rep.join(prop, on="id", how="left")
-            .select("id", F.least(F.col("root"), F.coalesce("nroot", F.col("root"))).alias("root"))
-            .persist()
-        )
-        changed = (
-            new_rep.alias("n")
-            .join(rep.alias("o"), on="id")
-            .filter(F.col("n.root") != F.col("o.root"))
-            .limit(1)
-            .count()
-        )
-        rep.unpersist()
-        rep = new_rep
-        if changed == 0:
-            break
-    keep = rep.filter(F.col("id") == F.col("root")).select("id")
-    out = base.join(keep, on="id", how="left_semi")
+    non_roots = connected_components(pairs).select("id")
+    out = base.join(non_roots, on="id", how="left_anti")
     pairs.unpersist()
     return out

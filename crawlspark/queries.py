@@ -514,8 +514,17 @@ def _shingles_sql() -> str:
     )
 
 
+# Universal-hash minhash (shared Spark/DuckDB): ONE md5 per shingle
+# (base 60-bit key from the hex prefix), then K cheap integer mixes
+# mh_j = (A_j*h + B_j) mod p — 6x fewer md5 passes than hashing each
+# shingle K times (the round-1 scheme's cost center).
+_MH_P = 2147483647  # Mersenne prime 2^31-1
+_MH_A = [131071, 524287, 8191, 1048573, 262139, 65521]
+_MH_B = [7, 101, 9001, 12345, 31337, 271]
+
 _MH_COLS_SQL = ",\n       ".join(
-    f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS mh{j}" for j in range(_MINHASH_K)
+    f"list_min(list_transform(hs, h -> ({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P})) AS mh{j}"
+    for j in range(_MINHASH_K)
 )
 
 @q(
@@ -523,41 +532,55 @@ _MH_COLS_SQL = ",\n       ".join(
     f"""
     WITH t AS (SELECT doc_id, {_shingles_sql()} AS sh FROM documents
                WHERE len(string_split(text,' ')) >= 3),
-    m AS (SELECT doc_id, {_MH_COLS_SQL} FROM t)
+    hbase AS (SELECT doc_id,
+                     list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_P}) AS hs
+              FROM t),
+    m AS (SELECT doc_id, {_MH_COLS_SQL} FROM hbase)
     SELECT doc_id, mh0, mh5,
-           md5(mh0 || mh1) AS band0, md5(mh2 || mh3) AS band1, md5(mh4 || mh5) AS band2
+           md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS band0,
+           md5(mh2::VARCHAR || '_' || mh3::VARCHAR) AS band1,
+           md5(mh4::VARCHAR || '_' || mh5::VARCHAR) AS band2
     FROM m
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash over word 3-shingles with md5 string-min hashing (portable
-    across engines), banded into LSH keys.  Everything is row-local
-    (array_min over transform) — signatures need ZERO shuffle; the only
-    shuffle in the full dedup pipeline is the tiny band-key self-join."""
+    """MinHash over word 3-shingles — one md5 per shingle, K universal-hash
+    mixes (portable across engines), banded into LSH keys.  Everything is
+    row-local (array_min over transform) — signatures need ZERO shuffle;
+    the only shuffle in the full dedup pipeline is the band-key self-join.
+
+    Perf note: the word array is PRE-PROJECTED into its own column —
+    referencing split(text) directly inside the shingle lambda re-evaluates
+    the split per array element (higher-order lambdas are interpreted, not
+    codegen'd), which was ~5x the cost of the whole rest of the query.
+    """
     d = T(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.size(words) - 2)
+    w = F.col("w")
+    base = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 3)
     sh = F.transform(
-        idx,
+        F.sequence(F.lit(1), F.size(w) - 2),
         lambda i: F.concat_ws(
-            "_", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+            "_", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
         ),
     )
-    t = d.filter(F.size(words) >= 3).select("doc_id", sh.alias("sh"))
-    def _mh_fn(j):
-        prefix = f"{j}:"
-        return lambda sh_el: F.md5(F.concat(F.lit(prefix), sh_el))
+    hs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _MH_P
+    )
+    t = base.select("doc_id", hs.alias("hs"))
+
+    def _mix(j):  # factory, NOT a j=j default (2-arg lambdas get (elem, idx))
+        return lambda h: (_MH_A[j] * h + _MH_B[j]) % _MH_P
 
     mh = [
-        F.array_min(F.transform(F.col("sh"), _mh_fn(j))).alias(f"mh{j}")
+        F.array_min(F.transform(F.col("hs"), _mix(j))).alias(f"mh{j}")
         for j in range(_MINHASH_K)
     ]
     m = t.select("doc_id", *mh)
     return m.select(
         "doc_id", "mh0", "mh5",
-        F.md5(F.concat("mh0", "mh1")).alias("band0"),
-        F.md5(F.concat("mh2", "mh3")).alias("band1"),
-        F.md5(F.concat("mh4", "mh5")).alias("band2"),
+        F.md5(F.concat_ws("_", "mh0", "mh1")).alias("band0"),
+        F.md5(F.concat_ws("_", "mh2", "mh3")).alias("band1"),
+        F.md5(F.concat_ws("_", "mh4", "mh5")).alias("band2"),
     )
 
 

@@ -54,3 +54,49 @@ def test_signatures_row_local_no_shuffle(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = sigs._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in plan
+
+
+def test_connected_components_64_link_chain(spark):
+    """The clustering must handle dup-cluster diameters far beyond any
+    fixed propagation-round cap: a 64-link chain is ONE cluster rooted at
+    its minimum (alternating star converges in O(log n) rounds)."""
+    from crawlspark.operators.dedup_text import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "a_id long, b_id long"
+    )
+    roots = {r["id"]: r["root"] for r in connected_components(chain).collect()}
+    assert set(roots) == set(range(1, 65))  # every non-root member mapped
+    assert set(roots.values()) == {0}
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Property check vs a plain-Python union-find on a random graph with
+    many components of mixed shapes."""
+    from crawlspark.operators.dedup_text import connected_components
+
+    rng = random.Random(7)
+    n = 400
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(260)})
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for x in (a, b):
+            r = find(x)
+            if x != r:
+                expected[x] = r
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["id"]: r["root"] for r in connected_components(df).collect()}
+    assert got == expected
