@@ -55,24 +55,33 @@ _PIPE_COLS = [f.name for f in PIPE.fields]
 
 
 def fetch_parse_stage(
-    scheduled: DataFrame, spec: synthetic.WebSpec, num_partitions: int | None = None
+    scheduled: DataFrame, spec: synthetic.WebSpec, num_partitions: int | None = None,
+    fetch_fn=None,
 ) -> DataFrame:
     """scheduled(FRONTIER rows) → PIPE union rows (fetch/link/doc).
 
     ``num_partitions``: pass the caller's known row count derived value so
     tiny batches don't fan out to shuffle-partitions-many Python workers
     (a 32-worker spin-up for an 8-row batch costs more than the batch).
+
+    ``fetch_fn(url, attempt) -> (status, final_url, raw_bytes, encoding,
+    elapsed_ms)`` is the pluggable fetcher seam (reference S3/S4: the
+    Selenium/Playwright downloader middlewares, middlewares.py:63-117,
+    plug in here on a real deployment — one browser/HTTP-pool per Python
+    worker, rows arrive (host, salt)-partitioned for keep-alive reuse).
+    Default: the deterministic synthetic web at the transfer level.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from crawlspark.functions.transfer import body_hash_py, decode_body_py
 
+        fetcher = fetch_fn or (
+            lambda url, attempt: synthetic.fetch_encoded(spec, url, attempt)
+        )
         for pdf in batches:
             rows: list[dict] = []
             for r in pdf.itertuples(index=False):
-                status, final_url, raw, enc, elapsed = synthetic.fetch_encoded(
-                    spec, r.url, r.retry_count
-                )
+                status, final_url, raw, enc, elapsed = fetcher(r.url, r.retry_count)
                 body, decode_error = decode_body_py(raw, enc)
                 meta = r.meta if isinstance(r.meta, dict) else None
                 base = {

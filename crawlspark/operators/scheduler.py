@@ -87,9 +87,16 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int,
     if "robots_rx" not in hosts.columns:
         from pyspark.sql import types as T
 
-        rx_map = {
-            r["host"]: robots_rx_py(r["robots_disallow"]) for r in hosts.collect()
-        }
+        # convenience fallback for callers that pass a bare HOSTS frame
+        # (tests / ad-hoc). It collects the hosts dimension to the driver,
+        # so it is capped: the crawl loop precompiles robots_rx executor-
+        # side (crawl._hosts_with_rx) and never takes this branch.
+        rows = hosts.limit(100_001).collect()
+        assert len(rows) <= 100_000, (
+            "schedule() fallback collects hosts driver-side; pass a "
+            "robots_rx column (crawl._hosts_with_rx) for large host dims"
+        )
+        rx_map = {r["host"]: robots_rx_py(r["robots_disallow"]) for r in rows}
         hosts = hosts.sparkSession.createDataFrame(
             [(h, rx) for h, rx in sorted(rx_map.items())],
             T.StructType([T.StructField("host", T.StringType()),

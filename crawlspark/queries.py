@@ -645,6 +645,10 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def ngram_jaccard_adjacent(spark, sf_dir):
+    # ORACLE TWIN ONLY — the adjacent-id candidate generator exists to be
+    # DuckDB-checkable; it is NOT a production candidate generator (zipfian
+    # word keys would skew a real self-join).  The scale path is
+    # operators/dedup_text.py: banded MinHash candidates, Σ bucket² cost.
     """Exact word-set Jaccard for candidate pairs (adjacent doc_ids as the
     deterministic candidate generator; in the LSH pipeline the candidates
     come from band buckets instead).  Integer-exact until one final
@@ -721,6 +725,10 @@ def embed_cosine_topk(spark, sf_dir):
     """,
 )
 def embed_neardup_pairs(spark, sf_dir):
+    # ORACLE TWIN ONLY — within-label all-pairs is O(label_size²) and
+    # exists to be DuckDB-checkable on the sampled (vec_id % 5) slice.
+    # The scale path is operators/similarity.py (LSH buckets / IVF cells:
+    # one equi-join shuffle, no all-pairs).
     e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = e.select("vec_id", "label", emb_d.alias("e"))

@@ -60,3 +60,40 @@ def test_fused_equals_unfused(spark):
     assert fused_docs == unfused_docs and len(fused_docs) > 0
     assert fused_links == unfused_links and len(fused_links) > 0
     frontier.unpersist()
+
+
+def test_fused_stage_pluggable_fetcher(spark):
+    """S3/S4 seam: a custom fetcher (stand-in for the Selenium/Playwright
+    middlewares) plugs into the SAME fused stage — rows flow through the
+    identical decode→parse→clean path."""
+    spec = synthetic.WebSpec(scale=0.2)
+    frontier = _frontier(spark, spec, n=12)
+
+    frontier = frontier.withColumn(
+        "page_kind",
+        F.when(F.col("url").endswith("-s1"), F.lit("listing")).otherwise(F.lit("article")),
+    )
+
+    def js_rendered_fetch(url, attempt):
+        html = (
+            '<html><body><h1>Rendered '
+            + url.rsplit("/", 1)[1]
+            + '</h1><div class="article-body"><p>JS rendered body for '
+            + url
+            + '.</p></div><a href="https://www.cna.example/news/0-s0">next</a>'
+            + "</body></html>"
+        )
+        return 200, url, html.encode(), None, 5
+
+    pipe = fetch_parse_stage(frontier, spec, fetch_fn=js_rendered_fetch)
+    rows = pipe.collect()
+    docs = [r for r in rows if r["rec"] == "doc"]
+    links = [r for r in rows if r["rec"] == "link"]
+    n_listing = frontier.filter("page_kind = 'listing'").count()
+    # article rows parse to docs; listing rows emit the rendered page's links
+    assert len(docs) == 12 - n_listing > 0
+    assert all("JS rendered body" in d["spans"][0]["text"] for d in docs)
+    assert len(links) == n_listing > 0
+    assert all(l["link"] == "https://www.cna.example/news/0-s0" for l in links)
+    fetches = [r for r in rows if r["rec"] == "fetch"]
+    assert all(r["status"] == 200 and not r["decode_error"] for r in fetches)
