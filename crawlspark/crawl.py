@@ -208,10 +208,21 @@ def _bloom_lineage(bloom: BloomState) -> dict:
 
 
 def _pending(catalog: SnapshotCatalog, manifest: dict) -> DataFrame:
+    """MERGE-style pending set: a frontier row is pending until a progress
+    row exists for the same (url, attempt).
+
+    Manifest-level pruning: the compacted frontier base (the replace file
+    at snapshot S) already excludes everything fetched through S — only
+    progress DELTAS committed after S can retire current frontier rows, so
+    the anti-join's right side is those delta files, not the full
+    append-only log (which grows with total fetches ever: 10^10-scale).
+    """
+    fpaths = manifest.get("tables", {}).get("frontier", [])
+    ppaths = manifest.get("tables", {}).get("progress", [])
+    base_snap = min((catalog.snap_of(p) for p in fpaths), default=0)
+    recent = [p for p in ppaths if catalog.snap_of(p) > base_snap]
     frontier = catalog.read("frontier", manifest)
-    progress = catalog.read("progress", manifest)
-    # MERGE-style: a frontier row is pending until a progress row exists
-    # for the same (url, attempt).  Both sides hash-partition on url.
+    progress = catalog.read_files("progress", recent)
     return frontier.join(
         progress.select("url", F.col("attempt").alias("retry_count")).distinct(),
         on=["url", "retry_count"],
@@ -346,11 +357,17 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         F.col("w.link_kind").alias("page_kind"),
         F.col("w.meta").alias("meta"),
     )
+    # small_positives: a batch's Bloom-positive sliver is bounded by its
+    # extracted links, so the exact check broadcast-SCANS urlseen instead
+    # of shuffling it (at 10^10 seen rows the shuffle, not the sliver, is
+    # what would dominate every micro-batch)
     urlseen_all = catalog.read("urlseen", manifest)
     if store is not None:
-        new_links = probe_unseen_partitioned(spark, cand, urlseen_all, store)
+        new_links = probe_unseen_partitioned(
+            spark, cand, urlseen_all, store, small_positives=True
+        )
     else:
-        new_links = probe_unseen(spark, cand, urlseen_all, bloom)
+        new_links = probe_unseen(spark, cand, urlseen_all, bloom, small_positives=True)
     new_frontier = new_links.select(
         "url",
         F.xxhash64("url").alias("url_hash"),
@@ -455,7 +472,15 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         # parquet column pruning keeps cheap.
         frontier_all = catalog.read("frontier", manifest)
         full_frontier = frontier_all.unionByName(frontier_append)
-        full_progress = catalog.read("progress", manifest).unionByName(progress_new)
+        # same manifest-level pruning as _pending: the previous base
+        # already excludes progress up to its snapshot
+        fpaths = manifest.get("tables", {}).get("frontier", [])
+        base_prev = min((catalog.snap_of(p) for p in fpaths), default=0)
+        recent_prev = [
+            p for p in manifest.get("tables", {}).get("progress", [])
+            if catalog.snap_of(p) > base_prev
+        ]
+        full_progress = catalog.read_files("progress", recent_prev).unionByName(progress_new)
         pending_after = full_frontier.join(
             full_progress.select("url", F.col("attempt").alias("retry_count")).distinct(),
             on=["url", "retry_count"],

@@ -46,7 +46,28 @@ def _u64(s: pd.Series) -> np.ndarray:
     return s.to_numpy(dtype=np.int64).view(np.uint64)
 
 
-def probe_unseen(spark: SparkSession, candidates: DataFrame, urlseen: DataFrame, bloom: BloomState) -> DataFrame:
+def _exact_unseen(positives: DataFrame, urlseen: DataFrame,
+                  small_positives: bool) -> DataFrame:
+    """Exact check for the Bloom-positive sliver.
+
+    ``small_positives=True`` (the crawl loop): the sliver is batch-bounded
+    (≤ links-per-batch), so BROADCAST it and verify with a broadcast
+    LEFT SEMI **scan** of urlseen followed by a broadcast anti-join — the
+    10^10-row seen table is only ever SCANNED (column-pruned to url, no
+    shuffle, no shuffle files), never repartitioned.  The default
+    plan (plain LEFT ANTI) shuffles BOTH sides, which at web scale means
+    re-shuffling the full seen set every micro-batch.
+    """
+    if not small_positives:
+        return positives.join(urlseen.select("url"), on="url", how="left_anti")
+    seen_hits = urlseen.select("url").join(
+        F.broadcast(positives.select("url").distinct()), on="url", how="left_semi"
+    )
+    return positives.join(F.broadcast(seen_hits), on="url", how="left_anti")
+
+
+def probe_unseen(spark: SparkSession, candidates: DataFrame, urlseen: DataFrame,
+                 bloom: BloomState, small_positives: bool = False) -> DataFrame:
     """candidates(url, …) → subset whose url was never seen before."""
     # cached per state version — NOT a fresh broadcast per micro-batch
     # (that accumulated executor copies unboundedly); the crawl loop calls
@@ -82,7 +103,7 @@ def probe_unseen(spark: SparkSession, candidates: DataFrame, urlseen: DataFrame,
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2")
     positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2")
     # exact check only for the Bloom-positive sliver
-    survivors = positives.join(urlseen.select("url"), on="url", how="left_anti")
+    survivors = _exact_unseen(positives, urlseen, small_positives)
     return fresh.unionByName(survivors)
 
 
@@ -133,7 +154,8 @@ def bloom_delta(
 
 
 def probe_unseen_partitioned(
-    spark: SparkSession, candidates: DataFrame, urlseen: DataFrame, store
+    spark: SparkSession, candidates: DataFrame, urlseen: DataFrame, store,
+    small_positives: bool = False,
 ) -> DataFrame:
     """Co-partitioned probe for Bloom state too large to broadcast
     (the 10^10-key regime: ~12 GB total, MBs per bucket).
@@ -169,7 +191,7 @@ def probe_unseen_partitioned(
     probed = withh.groupBy("bucket").applyInPandas(per_bucket, schema=out_schema)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2", "bucket")
     positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2", "bucket")
-    survivors = positives.join(urlseen.select("url"), on="url", how="left_anti")
+    survivors = _exact_unseen(positives, urlseen, small_positives)
     return fresh.unionByName(survivors)
 
 

@@ -63,9 +63,23 @@ class SnapshotCatalog:
     def read(self, table: str, manifest: dict | None = None) -> DataFrame:
         m = manifest or self.latest()
         paths = (m or {}).get("tables", {}).get(table, [])
+        return self.read_files(table, paths)
+
+    def read_files(self, table: str, paths: list[str]) -> DataFrame:
+        """Read an explicit file-set of a table (manifest-level pruning —
+        e.g. only the progress deltas newer than the frontier base)."""
         if not paths:
             return self._empty(table)
         return self.spark.read.schema(schemas.TABLE_SCHEMAS[table]).parquet(*paths)
+
+    @staticmethod
+    def snap_of(path: str) -> int:
+        """Snapshot id a delta file-set was committed at (encoded in the
+        path by commit(): .../table/snapNNNNNN-xxxx)."""
+        import re as _re
+
+        m = _re.search(r"snap(\d+)-", path)
+        return int(m.group(1)) if m else 0
 
     def commit(
         self,

@@ -103,3 +103,69 @@ def test_pending_antijoin_prunes_progress_columns(spark, tmp_path):
     assert progress_scans, "no pruned progress scan found"
     for line in progress_scans:
         assert "status" not in line and "outcome" not in line, line
+
+
+def test_exact_unseen_small_positives_never_shuffles_urlseen(spark):
+    """crawl-loop dedup: with small_positives the exact check must be two
+    BROADCAST joins (semi-scan of urlseen + anti vs the hit set) — zero
+    SortMergeJoin even when auto-broadcast is disabled, i.e. the 10^10-row
+    seen table is scanned, never repartitioned."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.urlseen import _exact_unseen
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pos = spark.range(100).select(
+            F.concat(F.lit("https://h/p/"), F.col("id").cast("string")).alias("url"),
+            F.lit(1).alias("depth"),
+        )
+        seen = spark.range(100000).select(
+            F.concat(F.lit("https://h/p/"), (F.col("id") * 2).cast("string")).alias("url")
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+        fast = _exact_unseen(pos, seen, small_positives=True)
+        plan = fast._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" not in plan
+        # formatted mode lists every node twice (tree + details): 2 joins
+        assert plan.count("BroadcastHashJoin") >= 2
+
+        slow = _exact_unseen(pos, seen, small_positives=False)
+        plan2 = slow._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" in plan2  # the default shape this replaces
+
+        # and the two shapes agree
+        a = {r["url"] for r in fast.collect()}
+        b = {r["url"] for r in slow.collect()}
+        assert a == b and len(a) == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_pending_reads_only_progress_deltas_after_frontier_base(spark, tmp_path):
+    """Manifest-level pruning: after a compaction at snapshot S, _pending's
+    anti-join right side must be only the progress files committed AFTER S
+    (the append-only log grows with total fetches ever; re-reading it every
+    batch is the 10^10-scale killer the compacted base exists to avoid)."""
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, _pending, run_crawl
+    from crawlspark.tables import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    run_crawl(spark, CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=0.05),
+                                 max_batches=10, budget_override=15, compact_every=3))
+    cat = SnapshotCatalog(spark, wh)
+    m = cat.latest()
+    fpaths = m["tables"]["frontier"]
+    ppaths = m["tables"]["progress"]
+    base = min(cat.snap_of(p) for p in fpaths)
+    assert base > 1  # a compaction happened
+    stale = [p for p in ppaths if cat.snap_of(p) <= base]
+    assert stale, "expected progress deltas older than the frontier base"
+    # the pruned pending set equals the unpruned reference computation
+    ref = cat.read("frontier", m).join(
+        cat.read("progress", m).selectExpr("url", "attempt as retry_count").distinct(),
+        on=["url", "retry_count"], how="left_anti")
+    got = _pending(cat, m)
+    assert {r["url"] for r in got.collect()} == {r["url"] for r in ref.collect()}
