@@ -487,10 +487,28 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             how="left_anti",
         )
         compact_appends = {k: v for k, v in appends.items() if k != "frontier"}
+        # tiered small-file merge for the append-only logs: fold the delta
+        # files accumulated since the last merge into one file per table —
+        # per-batch read cost then scales with compaction count, not batch
+        # count (merge input is bounded by the inter-compaction window)
+        rewrite = {}
+        merged_th = manifest["state"].get("merged_through_snap", 0)
+        for tbl in ("urlseen", "progress", "fetched", "metrics", "hosts"):
+            deltas = [
+                p for p in manifest.get("tables", {}).get(tbl, [])
+                if catalog.snap_of(p) > merged_th
+            ]
+            if len(deltas) >= 2:
+                rewrite[tbl] = (deltas, catalog.read_files(tbl, deltas).coalesce(1))
+        # the new commit's snapshot id = prev + 1; recording THAT id keeps
+        # the merged output (written at the new snap) out of future merges,
+        # so each merge's input is only the inter-compaction delta window
+        lineage = {**lineage, "merged_through_snap": manifest["snapshot_id"] + 1}
         new_manifest = catalog.commit(
             batch_id,
             appends=compact_appends,
             replace={"frontier": pending_after},
+            rewrite=rewrite,
             bloom=bloom,
             bloom_store=store,
             state=lineage,

@@ -89,11 +89,17 @@ class SnapshotCatalog:
         state: dict | None = None,
         replace: dict[str, DataFrame] | None = None,
         bloom_store: BloomBucketStore | None = None,
+        rewrite: dict[str, tuple[list[str], DataFrame]] | None = None,
     ) -> dict:
         """Atomic multi-table commit: write deltas, then one manifest swap.
 
         ``appends`` tables gain a delta file-set; ``replace`` tables get
-        their file list reset to just the new data (compaction).
+        their file list reset to just the new data (compaction);
+        ``rewrite`` = {table: (paths_to_drop, merged_df)} swaps a subset of
+        a table's files for their merged rewrite (tiered small-file
+        compaction of append-only logs) — older manifests keep referencing
+        the dropped files, so snapshot isolation holds and expire_snapshots
+        garbage-collects them once no surviving manifest needs them.
         """
         prev = self.latest() or {"snapshot_id": 0, "tables": {}, "state": {}}
         snap_id = prev["snapshot_id"] + 1
@@ -114,6 +120,13 @@ class SnapshotCatalog:
             p = write(table, df)
             tables[table] = [p] if p else []
             lineage[table] = {"mode": "replace", "path": p}
+        for table, (drop, df) in (rewrite or {}).items():
+            p = write(table, df)
+            dropset = set(drop)
+            tables[table] = [x for x in tables.get(table, []) if x not in dropset]
+            if p:
+                tables[table].append(p)
+            lineage[table] = {"mode": "rewrite", "path": p, "merged_files": len(drop)}
         for table, df in appends.items():
             p = write(table, df)
             if p:

@@ -115,3 +115,32 @@ def test_crawl_with_expiry_still_resumes(spark, tmp_path):
     b = {r["url"] for r in cat2.read("urlseen").collect()}
     assert a == b
     assert full["n_documents"] == resumed["n_documents"]
+
+
+def test_compaction_merges_append_only_delta_files(spark, tmp_path):
+    """Per-batch read cost must scale with compaction count, not batch
+    count: after a crawl with several compactions, each append-only log's
+    file count stays far below the batch count, and the merged tables'
+    contents equal what pure appends would have produced (e2e tests pin
+    the values; here we pin the file-count bound + row preservation)."""
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, run_crawl
+    from crawlspark.tables import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    s = run_crawl(spark, CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=0.1),
+                                     max_batches=24, budget_override=10, compact_every=3))
+    cat = SnapshotCatalog(spark, wh)
+    m = cat.latest()
+    assert s["batches"] >= 9
+    n_compactions = s["batches"] // 3
+    for tbl in ("urlseen", "progress", "fetched"):
+        n_files = len(m["tables"].get(tbl, []))
+        # ≤ ~2 files per compaction window (the merged window + the
+        # compaction commit's own append), never one per batch
+        assert n_files <= 2 * n_compactions + 2, (tbl, n_files, s["batches"])
+    assert n_compactions * 2 + 2 < s["batches"] or s["batches"] < 12  # sublinear once batches grow
+    # row-level preservation: urlseen row count equals the seen-set size
+    # (no rows lost or duplicated by merges)
+    seen = cat.read("urlseen", m)
+    assert seen.count() == seen.select("url").distinct().count()
