@@ -1904,3 +1904,61 @@ def transfer_decode(spark, sf_dir):
     return d.mapInPandas(
         run, schema="doc_id long, content_encoding string, body string, decode_error boolean"
     )
+
+
+# ---- IVF coarse assignment (ANN scale path; deterministic centroids) ------
+
+def _ivf_sql() -> str:
+    """DuckDB twin of ivf_assign with the same ±1 md5-derived centroids
+    embedded as literals (cell = argmin squared distance, first-min wins)."""
+    from crawlspark.operators.similarity import rademacher_planes
+
+    cens = rademacher_planes(64, 8).T  # 8 centroids × 64 dims, ±1
+    dists = ", ".join(
+        "list_sum(list_transform(range(1, 65), i -> (v[i] - ("
+        + "[" + ", ".join(f"{x:.1f}" for x in c) + "]::DOUBLE[])[i]) ** 2))"
+        for c in cens
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT vec_id, [{dists}] AS ds FROM e)
+    SELECT vec_id, (list_position(ds, list_min(ds)) - 1)::INT AS cell FROM d
+    """
+
+
+@q("ann_ivf_assign", _ivf_sql())
+def ann_ivf_assign(spark, sf_dir):
+    """IVF coarse quantizer assignment (operators/similarity.ivf_assign)
+    with deterministic centroids, so the vectorized numpy argmin matches a
+    pure-SQL argmin — pins the operator the IVF ANN path is built on."""
+    from crawlspark.operators.similarity import ivf_assign, rademacher_planes
+
+    emb = T(spark, sf_dir, "embeddings")
+    cens = [list(c) for c in rademacher_planes(64, 8).T]
+    return ivf_assign(emb, cens).select("vec_id", "cell")
+
+
+# ---- Distributed connected components (dedup clustering) ------------------
+
+@q(
+    "dedup_cluster_roots",
+    """
+    SELECT doc_id AS id, doc_id - (doc_id % 4) AS root
+    FROM documents WHERE doc_id % 4 != 0
+    """,
+)
+def dedup_cluster_roots(spark, sf_dir):
+    """Alternating large-star/small-star connected components
+    (operators/dedup_text.connected_components) over planted 4-link chains
+    (edges i→i+1 within each doc_id//4 group): every non-root member must
+    map to its group minimum — the distributed clustering the
+    dedup-keep-first pipeline relies on, pinned by a closed-form oracle."""
+    from crawlspark.operators.dedup_text import connected_components
+
+    d = T(spark, sf_dir, "documents")
+    edges = d.filter(F.col("doc_id") % 4 < 3).select(
+        F.col("doc_id").alias("a_id"), (F.col("doc_id") + 1).alias("b_id")
+    ).join(  # a truncated last group must not edge to a nonexistent id
+        d.select(F.col("doc_id").alias("b_id")), on="b_id", how="left_semi"
+    )
+    return connected_components(edges).select("id", "root")
