@@ -31,6 +31,15 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed-file", default=None)
     ap.add_argument("--compact-every", type=int, default=8)
+    ap.add_argument("--expected-urls", type=int, default=None,
+                    help="auto-size the Bloom filter (switches to the "
+                         "partitioned per-bucket layout past the broadcast cap)")
+    ap.add_argument("--bloom-partitioned", action="store_true",
+                    help="force the partitioned Bloom layout")
+    ap.add_argument("--recrawl", action="store_true",
+                    help="start a new epoch retaining documents + fetch "
+                         "cache; articles already fetched are served from "
+                         "the cache log")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,8 +61,17 @@ def main():
         budget_override=args.budget,
         compact_every=args.compact_every,
         seed_file=args.seed_file,
+        expected_urls=args.expected_urls,
+        bloom_partitioned=True if args.bloom_partitioned else None,
+        use_fetch_cache=args.recrawl,
     )
-    summary = run_crawl(spark, cfg, resume=args.resume)
+    if args.recrawl:
+        from crawlspark.crawl import reset_for_recrawl
+
+        reset_for_recrawl(spark, cfg)
+        summary = run_crawl(spark, cfg, resume=True)
+    else:
+        summary = run_crawl(spark, cfg, resume=args.resume)
     summary.pop("manifest", None)
     print(json.dumps(summary))
     spark.stop()
