@@ -278,8 +278,11 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         blocked_progress = blocked_progress.unionByName(cached_progress)
     blocked_progress = blocked_progress.persist()
     n_sched = scheduled.count()
-    n_blocked = blocked_progress.count()
     if n_sched == 0:
+        # rare branch: only here is the blocked count needed (the common
+        # path unions blocked rows into the progress append unconditionally
+        # — counting them every batch was one whole Spark job per batch)
+        n_blocked = blocked_progress.count()
         scheduled.unpersist()
         if n_blocked > 0:
             m = catalog.commit(
@@ -382,9 +385,15 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     ).persist()
 
     # ---- docs path ----
+    # same broadcast-scan inversion as the urlseen exact check: the batch's
+    # doc ids are bounded, the documents table grows with the crawl — scan
+    # it against the broadcast batch ids instead of shuffling it
     docs_new = docs_from_pipe(parsed.filter(F.col("rec") == "doc"), batch_id)
     existing_docs = catalog.read("documents", manifest)
-    docs_new = docs_new.join(existing_docs.select("doc_id"), on="doc_id", how="left_anti")
+    doc_hits = existing_docs.select("doc_id").join(
+        F.broadcast(docs_new.select("doc_id").distinct()), on="doc_id", how="left_semi"
+    )
+    docs_new = docs_new.join(F.broadcast(doc_hits), on="doc_id", how="left_anti")
 
     # ---- metrics (per batch × host lineage; SURVEY §2.4 A2) ----
     parsed_counts = parsed.groupBy("host").agg(
@@ -427,17 +436,15 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         bloom.merge(delta)
         lineage = _bloom_lineage(bloom)
     # robots fetch only for genuinely-new hosts (tiny per-batch set)
-    hosts_append = catalog._empty("hosts")
+    unknown_hosts: list[str] = []
     if new_hosts:
         cand_hosts = spark.createDataFrame(
             [(h,) for h in sorted(new_hosts)], "host string"
         )
-        unknown = [
+        unknown_hosts = [
             r["host"]
             for r in cand_hosts.join(hosts_tbl.select("host"), on="host", how="left_anti").collect()
         ]
-        if unknown:
-            hosts_append = _hosts_rows(spark, unknown)
 
     # batch-sized appends: coalesce to a file count proportional to the
     # batch so a small politeness batch writes 1 file per table, not
@@ -459,9 +466,13 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         "progress": progress_new.coalesce(k_files),
         "documents": docs_new.coalesce(k_files),
         "metrics": metrics.coalesce(1),
-        "hosts": hosts_append.coalesce(1),
         "fetched": fetch_log.coalesce(k_files),
     }
+    if unknown_hosts:
+        # only spend a write job on the hosts table when the batch actually
+        # discovered new hosts (each per-table write is a full Spark job —
+        # empty writes were ~1 wasted job per batch)
+        appends["hosts"] = _hosts_rows(spark, unknown_hosts).coalesce(1)
     if cfg.compact_every and batch_id % cfg.compact_every == 0:
         # compaction: rewrite pending-after-this-batch as the new frontier
         # base so the per-batch frontier read stays flat as the crawl

@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # snapshot commits write many small per-table delta files; skip the
+        # _SUCCESS marker FS round-trips on every one
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # spill-awareness: cap scan partition size so a partition of wide
         # document rows (spans arrays) stays well inside executor memory at
