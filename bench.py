@@ -66,6 +66,12 @@ def main():
         queries["fetch_parse_20k"] = round(p["sec"], 3)
         extra["fetch_parse_pages_per_sec"] = round(p["pages_per_sec"], 1)
 
+        # decode-off twin: isolates the S9 transfer-decode + cache-hash
+        # cost so pipeline numbers stay comparable across rounds
+        pn = benchlib.bench_fetch_parse(spark, n_pages=20_000, decode=False)
+        queries["fetch_parse_20k_nodecode"] = round(pn["sec"], 3)
+        extra["fetch_parse_nodecode_pages_per_sec"] = round(pn["pages_per_sec"], 1)
+
         wh2 = tempfile.mkdtemp(prefix="benchwb-")
         try:
             wb = benchlib.bench_crawl_batch(spark, wh2, scale=40.0)

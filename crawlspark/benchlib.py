@@ -86,9 +86,15 @@ def bench_dedup(spark: SparkSession, n_candidates: int = 1_000_000, n_seen: int 
     return {"sec": dt, "ops_per_sec": n_candidates / dt, "n_fresh": n_fresh}
 
 
-def bench_fetch_parse(spark: SparkSession, n_pages: int = 20_000) -> dict:
+def bench_fetch_parse(spark: SparkSession, n_pages: int = 20_000,
+                      decode: bool = True) -> dict:
     """pages/sec through the fetch→parse→clean pipeline (the crawl's
-    throughput-bound stages; politeness-free so it saturates all cores)."""
+    throughput-bound stages; politeness-free so it saturates all cores).
+
+    ``decode=False`` serves plain (never gzip) transfer bodies, so the
+    pipeline number isolates fetch+parse+clean from the S9 transfer-decode
+    + cache-hashing work added in round 2 — the round-over-round
+    comparability toggle (r01 measured without decoding, r02+ with)."""
     spec = synthetic.WebSpec(scale=5.0)
     hosts = sorted(spec.hosts)
     n_h = len(hosts)
@@ -108,8 +114,13 @@ def bench_fetch_parse(spark: SparkSession, n_pages: int = 20_000) -> dict:
         F.lit("article").alias("page_kind"),
         F.lit(None).cast("struct<title:string,date:string,article_url:string>").alias("meta"),
     )
+    fetch_fn = None
+    if not decode:
+        def fetch_fn(url, attempt):  # plain transfer: no gzip on the wire
+            status, final, body, elapsed = synthetic.fetch(spec, url, attempt)
+            return status, final, (body or "").encode("utf-8"), None, elapsed
     t0 = time.time()
-    pipe = fetch_parse_stage(frontier, spec)
+    pipe = fetch_parse_stage(frontier, spec, fetch_fn=fetch_fn)
     docs = docs_from_pipe(pipe.filter(F.col("rec") == "doc"), 0)
     n_docs = docs.count()
     dt = time.time() - t0

@@ -17,6 +17,8 @@ which the pytest oracle comparison asserts.
 
 from __future__ import annotations
 
+import os
+import time as _time
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -57,6 +59,12 @@ class CrawlConfig:
     # serve previously-fetched articles from the fetched-cache log instead
     # of refetching (re-crawl mode; see reset_for_recrawl)
     use_fetch_cache: bool = False
+    # cache staleness (reference HTTPCACHE_EXPIRATION_SECS, settings.py:85):
+    # a cache entry is served only while (current_snap - entry.snap_id) <=
+    # max_age; None = serve forever.  Snapshot ids are the global monotone
+    # commit clock (per-epoch batch ids reset on recrawl; snapshots don't),
+    # and at one commit per batch, N snapshots ≈ N batches of age.
+    fetch_cache_max_age_snaps: int | None = None
 
     def __post_init__(self):
         if self.expected_urls:
@@ -82,15 +90,28 @@ class CrawlConfig:
         return self.bloom_buckets * (self.bloom_bits // 8) > self.bloom_broadcast_cap_bytes
 
 
-def _hosts_rows(spark: SparkSession, hosts: list[str]) -> DataFrame:
-    """hosts → HOSTS-schema rows (robots fetch+parse per new host; the
-    per-batch new-host set is small — the reference also fetches robots
-    once per host on first contact)."""
-    rows = []
-    for h in sorted(set(hosts)):
-        s = synthetic.robots_for_host(h)
-        rows.append((h, float(s["crawl_delay_s"]), int(s["budget_per_batch"]), list(s["disallow"])))
-    return spark.createDataFrame(rows, schemas.HOSTS)
+def _hosts_frame(hosts_df: DataFrame) -> DataFrame:
+    """New-host frame → HOSTS politeness rows (robots.txt fetch+parse per
+    host).  The robots acquisition runs EXECUTOR-side via mapInPandas —
+    the per-row loop inside the generator IS the fetch work, per-host by
+    nature, same justification as the fused fetch stage — so no host list
+    is ever collected to the driver and a 10^5+-host seed bootstrap is one
+    distributed job (the reference fetches robots once per host on first
+    contact; ROBOTSTXT_OBEY settings.py:20)."""
+
+    def gen(batches):
+        cols = ["host", "crawl_delay_s", "budget_per_batch", "robots_disallow"]
+        for pdf in batches:
+            recs = []
+            for h in pdf["host"]:
+                s = synthetic.robots_for_host(h)
+                recs.append(
+                    (h, float(s["crawl_delay_s"]), int(s["budget_per_batch"]),
+                     list(s["disallow"]))
+                )
+            yield pd.DataFrame(recs, columns=cols)
+
+    return hosts_df.select("host").distinct().mapInPandas(gen, schema=schemas.HOSTS)
 
 
 def _hosts_with_rx(hosts: DataFrame, budget_override: int | None) -> DataFrame:
@@ -143,10 +164,11 @@ def _seed_bloom(spark: SparkSession, cfg: CrawlConfig, catalog: SnapshotCatalog,
     if cfg.use_partitioned_bloom:
         # never build full state in one place, even at init: the seed bits
         # are written per-bucket by the same grouped-map the loop uses
-        store = BloomBucketStore(cfg.bloom_buckets, cfg.bloom_bits, k=7)
+        seed_store = BloomBucketStore(cfg.bloom_buckets, cfg.bloom_bits, k=7)
         store = update_buckets_partitioned(
-            spark, seeds_df, store, catalog.bloom_bucket_dir(0)
+            spark, seeds_df, seed_store, catalog.bloom_bucket_dir(0)
         )
+        seed_store.release()
         return {"bloom_store": store}
     bloom = BloomState(cfg.bloom_buckets, cfg.bloom_bits)
     bloom.merge(bloom_delta(spark, seeds_df, bloom))
@@ -159,7 +181,7 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     catalog = SnapshotCatalog(spark, cfg.warehouse)
     seeds_df = _seed_frontier(spark, cfg)
     seen_df = seeds_df.select("url", "url_hash", F.lit(0).alias("added_batch"))
-    hosts_df = _hosts_rows(spark, [r["host"] for r in seeds_df.select("host").distinct().collect()])
+    hosts_df = _hosts_frame(seeds_df)
     appends = {"frontier": seeds_df, "urlseen": seen_df, "hosts": hosts_df}
     return catalog.commit(0, appends=appends, state={}, **_seed_bloom(spark, cfg, catalog, seeds_df))
 
@@ -177,11 +199,12 @@ def reset_for_recrawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     seeds_df = _seed_frontier(spark, cfg)
     seen_df = seeds_df.select("url", "url_hash", F.lit(0).alias("added_batch"))
     hosts_tbl = catalog.read("hosts")
-    seed_hosts = [r["host"] for r in seeds_df.select("host").distinct()
-                  .join(hosts_tbl.select("host"), on="host", how="left_anti").collect()]
-    appends = {}
-    if seed_hosts:
-        appends["hosts"] = _hosts_rows(spark, seed_hosts)
+    new_hosts_df = seeds_df.select("host").distinct().join(
+        hosts_tbl.select("host"), on="host", how="left_anti"
+    )
+    # once-per-epoch path: always append (commit tolerates a 0-row file);
+    # no host names cross the driver
+    appends = {"hosts": _hosts_frame(new_hosts_df)}
     return catalog.commit(
         0,
         appends=appends,
@@ -230,13 +253,37 @@ def _pending(catalog: SnapshotCatalog, manifest: dict) -> DataFrame:
     )
 
 
-def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, manifest: dict) -> dict | None:
-    """One micro-batch; returns the new manifest, or None when finished."""
+def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, manifest: dict,
+              known_hosts: set | None = None) -> dict | None:
+    """One micro-batch; returns the new manifest, or None when finished.
+
+    ``known_hosts``: optional driver-side cache of host names verified
+    present in the hosts table (run_crawl threads one across its batches).
+    The per-batch "any genuinely-new hosts?" membership check is a whole
+    Spark job (~0.5-1s of a politeness batch's fixed cost); with the cache,
+    steady-state batches — whose accepted links revisit known hosts — skip
+    it entirely.  Only host NAMES the driver already saw (via the state
+    piggyback) are cached, never robots state, and the cache is an
+    optimization only: a cold/absent cache falls back to the anti-join.
+
+    Set CRAWLSPARK_PROF=1 to print a per-batch wall-time breakdown of the
+    batch's Spark ACTIONS (schedule-count, pipeline materialization, state
+    update, commit) — the politeness-bound loop's fixed cost is job count
+    × fixed job overhead, so this is the first thing to look at when a
+    batch is slower than its page count explains."""
+    prof: dict | None = {} if os.environ.get("CRAWLSPARK_PROF") else None
+
+    def _tick(tag: str, t0: float) -> None:
+        if prof is not None:
+            prof[tag] = prof.get(tag, 0.0) + (_time.time() - t0)
+
     batch_id = manifest["batch_id"] + 1
     # Bloom layout follows the manifest (resume-safe across config edits):
     # a bloom_store_path means the partitioned per-bucket layout
     store = catalog.load_bloom_store(manifest)
     bloom = None if store is not None else catalog.load_bloom(manifest)
+    probe_store = store  # pre-update version: its manifest broadcast is
+    # shared by this batch's probe + update jobs and released post-commit
 
     pending = _pending(catalog, manifest)
     hosts_tbl = catalog.read("hosts", manifest)
@@ -251,7 +298,16 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # link-discovery surface; a refresh crawl must see new articles).
     cached_progress = None
     if cfg.use_fetch_cache:
-        fetched_cache = catalog.read("fetched", manifest).select("url").distinct()
+        fetched_tbl = catalog.read("fetched", manifest)
+        if cfg.fetch_cache_max_age_snaps is not None:
+            # refresh-if-older-than-N: keep only entries whose write commit
+            # is within the age window; a url with ANY fresh row is served
+            # (row-level filter before distinct ≡ max(snap_id) per url)
+            cur_snap = manifest["snapshot_id"] + 1
+            fetched_tbl = fetched_tbl.filter(
+                F.col("snap_id") >= cur_snap - cfg.fetch_cache_max_age_snaps
+            )
+        fetched_cache = fetched_tbl.select("url").distinct()
         cached_progress = (
             scheduled.filter(F.col("page_kind") == "article")
             .join(fetched_cache, on="url", how="left_semi")
@@ -266,6 +322,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             cached_progress.select("url"), on="url", how="left_anti"
         )
     scheduled = scheduled.persist()
+    _t = _time.time()
     # retire robots-disallowed rows (and cache hits) with a terminal
     # progress record so they leave the pending set instead of being
     # re-scanned every batch
@@ -278,6 +335,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         blocked_progress = blocked_progress.unionByName(cached_progress)
     blocked_progress = blocked_progress.persist()
     n_sched = scheduled.count()
+    _tick("schedule_count", _t)
     if n_sched == 0:
         # rare branch: only here is the blocked count needed (the common
         # path unions blocked rows into the progress append unconditionally
@@ -303,11 +361,13 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     pipe = fetch_parse_stage(
         scheduled, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100)
     ).persist()
+    _t = _time.time()
     if n_sched > 1000:
         # eager: downstream jobs (probe branches, writes) must all read the
         # cache — recomputing the fused stage is a wide batch's main cost;
         # for tiny politeness batches the extra job isn't worth it
         pipe.count()
+        _tick("pipe_count", _t)
     fetched_o = pipe.filter(F.col("rec") == "fetch").withColumn(
         "outcome",
         # corrupt transfer stream (gzip decode failure) retries like a 5xx
@@ -424,6 +484,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # bucket summaries (partitioned) or delta blobs (broadcast), all
     # piggybacked on one job — blob BYTES never reach the driver in
     # partitioned mode) --
+    _t = _time.time()
     if store is not None:
         store, new_hosts = update_buckets_partitioned(
             spark, new_frontier, store, catalog.bloom_bucket_dir(batch_id),
@@ -435,16 +496,27 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         delta, new_hosts = bloom_delta(spark, new_frontier, bloom, collect_hosts=True)
         bloom.merge(delta)
         lineage = _bloom_lineage(bloom)
-    # robots fetch only for genuinely-new hosts (tiny per-batch set)
+    _tick("state_update", _t)
+    # robots fetch only for genuinely-new hosts (tiny per-batch set); the
+    # known-hosts cache skips the membership JOB outright when every
+    # accepted host was already verified present in an earlier batch
+    _t = _time.time()
     unknown_hosts: list[str] = []
     if new_hosts:
-        cand_hosts = spark.createDataFrame(
-            [(h,) for h in sorted(new_hosts)], "host string"
-        )
-        unknown_hosts = [
-            r["host"]
-            for r in cand_hosts.join(hosts_tbl.select("host"), on="host", how="left_anti").collect()
-        ]
+        cand = set(new_hosts) if known_hosts is None else set(new_hosts) - known_hosts
+        if cand:
+            cand_hosts = spark.createDataFrame(
+                [(h,) for h in sorted(cand)], "host string"
+            )
+            unknown_hosts = [
+                r["host"]
+                for r in cand_hosts.join(hosts_tbl.select("host"), on="host", how="left_anti").collect()
+            ]
+        if known_hosts is not None and len(known_hosts) < 2_000_000:
+            # names only (~60 B/host): 10^6 hosts ≈ 60 MB of driver memory,
+            # capped — past the cap we just fall back to the per-batch join
+            known_hosts.update(new_hosts)
+    _tick("unknown_hosts", _t)
 
     # batch-sized appends: coalesce to a file count proportional to the
     # batch so a small politeness batch writes 1 file per table, not
@@ -459,6 +531,9 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     fetch_log = fetched_o.filter(F.col("outcome") == "done").select(
         "url", F.xxhash64("url").alias("url_hash"), "status",
         "content_encoding", "body_hash", F.lit(batch_id).alias("batch_id"),
+        # this batch's commit will be snapshot prev+1 — the entry's global
+        # write-time clock for cache staleness
+        F.lit(manifest["snapshot_id"] + 1).alias("snap_id"),
     )
     appends = {
         "frontier": frontier_append,
@@ -471,8 +546,13 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     if unknown_hosts:
         # only spend a write job on the hosts table when the batch actually
         # discovered new hosts (each per-table write is a full Spark job —
-        # empty writes were ~1 wasted job per batch)
-        appends["hosts"] = _hosts_rows(spark, unknown_hosts).coalesce(1)
+        # empty writes were ~1 wasted job per batch); only the tiny name
+        # list touches the driver (it already did, via the state piggyback)
+        # — the robots fetch+parse itself runs distributed
+        appends["hosts"] = _hosts_frame(
+            spark.createDataFrame([(h,) for h in sorted(unknown_hosts)], "host string")
+        ).coalesce(1)
+    _t = _time.time()
     if cfg.compact_every and batch_id % cfg.compact_every == 0:
         # compaction: rewrite pending-after-this-batch as the new frontier
         # base so the per-batch frontier read stays flat as the crawl
@@ -526,15 +606,22 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         )
         if cfg.keep_snapshots:
             catalog.expire_snapshots(keep_last=cfg.keep_snapshots)
+        _tick("commit_compact", _t)
     else:
         new_manifest = catalog.commit(
             batch_id, appends=appends, bloom=bloom, bloom_store=store,
             state=lineage,
         )
+        _tick("commit", _t)
+    if prof is not None:
+        print(f"[prof] batch {batch_id} n_sched={n_sched}: "
+              + ", ".join(f"{k}={v:.2f}s" for k, v in prof.items()))
     for df in (scheduled, pipe, new_frontier, blocked_progress):
         df.unpersist()
     if bloom is not None:
         bloom.release()  # free the batch's Bloom broadcast (state committed)
+    if probe_store is not None:
+        probe_store.release()  # free the batch's manifest broadcast
     return new_manifest
 
 
@@ -549,6 +636,7 @@ def enrich_frontier(spark: SparkSession, cfg: CrawlConfig, extra_seeds) -> dict:
         manifest = init_crawl(spark, cfg)
     store = catalog.load_bloom_store(manifest)
     bloom = None if store is not None else catalog.load_bloom(manifest)
+    probe_store = store
     batch_id = manifest["batch_id"]
     urlseen_all = catalog.read("urlseen", manifest)
     seeds = extra_seeds.dropDuplicates(["url"])
@@ -570,7 +658,9 @@ def enrich_frontier(spark: SparkSession, cfg: CrawlConfig, extra_seeds) -> dict:
             for r in cand_hosts.join(hosts_tbl.select("host"), on="host", how="left_anti").collect()
         ]
         if unknown:
-            hosts_append = _hosts_rows(spark, unknown)
+            hosts_append = _hosts_frame(
+                spark.createDataFrame([(h,) for h in sorted(unknown)], "host string")
+            )
     out = catalog.commit(
         batch_id,
         appends={
@@ -586,6 +676,8 @@ def enrich_frontier(spark: SparkSession, cfg: CrawlConfig, extra_seeds) -> dict:
     new.unpersist()
     if bloom is not None:
         bloom.release()
+    if probe_store is not None:
+        probe_store.release()
     return out
 
 
@@ -595,8 +687,9 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> di
     manifest = catalog.latest() if resume else None
     if manifest is None:
         manifest = init_crawl(spark, cfg)
+    known_hosts: set = set()  # per-run cache; see run_batch docstring
     while manifest["batch_id"] < cfg.max_batches:
-        nxt = run_batch(spark, catalog, cfg, manifest)
+        nxt = run_batch(spark, catalog, cfg, manifest, known_hosts=known_hosts)
         if nxt is None:
             break
         manifest = nxt

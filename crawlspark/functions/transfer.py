@@ -26,7 +26,7 @@ def decode_body_py(raw: bytes | None, content_encoding: str | None) -> tuple[str
         return None, False
     if content_encoding and "gzip" in content_encoding:
         try:
-            return gzip.decompress(raw).decode("utf-8"), False
+            plain = gzip.decompress(raw)
         except gzip.BadGzipFile:
             # forgiving: the header lies, the body is already plain
             try:
@@ -35,6 +35,12 @@ def decode_body_py(raw: bytes | None, content_encoding: str | None) -> tuple[str
                 return None, True
         except (OSError, EOFError):
             return None, True  # truncated/corrupt stream → retry upstream
+        # decompressed fine but isn't UTF-8: same decode_error contract as
+        # the plain-body path (a real fetcher can hand us any bytes here)
+        try:
+            return plain.decode("utf-8"), False
+        except UnicodeDecodeError:
+            return None, True
     try:
         return raw.decode("utf-8"), False
     except UnicodeDecodeError:

@@ -128,16 +128,42 @@ def extract_links(html: str) -> list[str]:
     return out
 
 
-def extract_listing_cards(html: str) -> list[dict]:
+def _first_match(root: Node, chain) -> Node | None:
+    """Ordered selector-fallback resolution: the FIRST selector in the
+    chain with a match wins — the reference's `css(a) or css(b)` /
+    or-chained XPath structure (e.g. khmertimes title fallback h1 →
+    h2.entry-title, :2331-2332) as data."""
+    for tag, cls in chain:
+        el = next(root.find_all(tag, cls=cls), None)
+        if el is not None:
+            return el
+    return None
+
+
+def extract_listing_cards(html: str, host: str = "") -> list[dict]:
     """Listing-card (title, date, link) triples (reference parse_articles /
-    parse_article :989-1613: per-card selector chains with fallbacks)."""
+    parse_article :989-1613).  Card selectors come from the host's rule
+    table with UNION semantics in document order (the reference's `a, b, c`
+    CSS selector groups, :1070-1101); the per-card date element resolves
+    through an ordered fallback chain."""
+    from crawlspark.extract_rules import rules_for_host
+
+    r = rules_for_host(host)
     root = parse_html(html)
+    card_sels = set(r.card_selectors)
     cards = []
-    for card in root.find_all("div", cls="card"):
-        a = next(card.find_all("a"), None)
+    for node in root.iter():
+        if not isinstance(node, Node):
+            continue
+        if not any(
+            node.tag == tag and (cls is None or cls in node.classes())
+            for tag, cls in card_sels
+        ):
+            continue
+        a = next(node.find_all("a"), None)
         if a is None or not a.attrs.get("href"):
             continue
-        date_el = next(card.find_all("span", cls="date"), None)
+        date_el = _first_match(node, r.card_date_chain)
         cards.append(
             {
                 "link": a.attrs["href"],
@@ -148,14 +174,12 @@ def extract_listing_cards(html: str) -> list[dict]:
     return cards
 
 
-_EXCLUDED_DIV_CLASSES = {"ad", "related", "articlePhoto", "promo"}
-
-
-def _excluded(node: Node, host: str) -> bool:
+def _excluded(node: Node, excluded_classes) -> bool:
     """Structural exclusions (ads/related everywhere; photo-wrapper divs —
-    reference bangkokpost branch :2283, article-photo :2270)."""
+    reference bangkokpost branch :2283, article-photo :2270; khmertimes
+    entry-navigation :2325)."""
     def bad(p):
-        return isinstance(p, Node) and p.tag == "div" and (p.classes() & _EXCLUDED_DIV_CLASSES)
+        return isinstance(p, Node) and p.tag == "div" and (p.classes() & excluded_classes)
     return node.has_ancestor(bad) or bad(node)
 
 
@@ -163,32 +187,37 @@ def extract_article(html: str, host: str) -> dict:
     """Article page → title, raw date, ordered interleaved spans,
     redirect_url (for empty-body pages, reference :2389-2432).
 
+    ALL per-domain behavior is data in extract_rules.DOMAIN_RULES: body /
+    title / date resolve through ordered fallback chains
+    (first-match-wins), div exclusions and paragraph text-drops come from
+    the host's rule row, as does the strong/b decompose flag (:2113-2134).
+
     Span semantics: walk the body container in document order; <p> text →
     kind='text'; <figure>/<img> → kind='media' with media_ref=src and the
     figcaption text as the span text; <ul>/<ol> items → text spans with
-    the reference's punctuation stitching (',' between items, '.' last);
-    <strong>/<b> content dropped for the inquirer-analog host (:2113-2134).
+    the reference's punctuation stitching (',' between items, '.' last).
     """
+    from crawlspark.extract_rules import rules_for_host
+
+    r = rules_for_host(host)
     root = parse_html(html)
-    title_el = next(root.find_all("h1"), None)
+    title_el = _first_match(root, r.title_chain)
     title = title_el.text().strip() if title_el is not None else None
-    date_el = next(root.find_all("span", cls="pubdate"), None)
+    date_el = _first_match(root, r.date_chain)
     date_raw = date_el.text().strip() if date_el is not None else None
 
-    body = next(root.find_all("div", cls="article-body"), None)
-    if body is None:
-        body = next(root.find_all("div", cls="article-content"), None)  # ktimes alt branch
+    body = _first_match(root, r.body_chain)
     spans: list[tuple[str, str | None, str | None]] = []
     redirect_url = None
 
     if body is not None:
-        drop_strong = "inq.example" in host
+        drop_strong = r.drop_strong
         for node in body.iter():
-            if not isinstance(node, Node) or _excluded(node, host):
+            if not isinstance(node, Node) or _excluded(node, r.excluded_classes):
                 continue
             if node.tag == "p":
                 txt = _para_text(node, drop_strong).strip()
-                if txt:
+                if txt and not any(n in txt for n in r.drop_text_containing):
                     spans.append(("text", txt, None))
             elif node.tag == "figure":
                 img = next(node.find_all("img"), None)

@@ -205,6 +205,24 @@ class BloomBucketStore:
         self.k = k
         self.paths = dict(paths or {})
         self.n_items = {int(b): int(n) for b, n in (n_items or {}).items()}
+        self._bcast = None  # cached broadcast of the bucket→path manifest
+
+    # ---- manifest broadcast lifecycle: ONE broadcast per store version
+    # (paths are immutable per instance — updates build a NEW store), not
+    # one per probe/update call: a fresh broadcast every micro-batch
+    # accumulated driver/executor bookkeeping unboundedly over long crawls.
+    def broadcast(self, spark):
+        if self._bcast is None:
+            self._bcast = spark.sparkContext.broadcast(dict(self.paths))
+        return self._bcast
+
+    def release(self) -> None:
+        """Unpersist the cached manifest broadcast (driver re-ships on
+        demand if a straggler still references it); the crawl loop calls
+        this once the batch's commit has landed."""
+        if self._bcast is not None:
+            self._bcast.unpersist(blocking=False)
+            self._bcast = None
 
     @property
     def state_bytes(self) -> int:

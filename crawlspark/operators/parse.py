@@ -34,7 +34,7 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
     if status != 200 or not body:
         return out
     if page_kind == "listing":
-        cards = html_parse.extract_listing_cards(body)
+        cards = html_parse.extract_listing_cards(body, host)
         card_links = set()
         for c in cards:
             canon = U.fix_url_py(c["link"], url)

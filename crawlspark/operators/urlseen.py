@@ -167,7 +167,8 @@ def probe_unseen_partitioned(
     total state size; only the tiny bucket→path manifest is broadcast.
     """
     m, k, nb = store.m, store.k, store.n_buckets
-    b_paths = spark.sparkContext.broadcast(dict(store.paths))
+    # cached per store version; the crawl loop release()s it post-commit
+    b_paths = store.broadcast(spark)
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
         path = b_paths.value.get(int(key[0]))
@@ -215,7 +216,8 @@ def update_buckets_partitioned(
 
     os.makedirs(dst_dir, exist_ok=True)
     m, k, nb = store.m, store.k, store.n_buckets
-    b_paths = spark.sparkContext.broadcast(dict(store.paths))
+    # same cached broadcast the probe used (store versions are immutable)
+    b_paths = store.broadcast(spark)
     with_host = collect_hosts and "host" in accepted.columns
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -120,7 +120,7 @@ def crawl_oracle(
                 continue
             page_url = final_url or r["url"]
             if r["kind"] == "listing":
-                cards = html_parse.extract_listing_cards(body)
+                cards = html_parse.extract_listing_cards(body, r["host"])
                 card_links = set()
                 for c in cards:
                     canon = U.fix_url_py(c["link"], page_url)

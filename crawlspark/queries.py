@@ -1852,6 +1852,63 @@ def fetched_cache_antijoin(spark, sf_dir):
     return articles.unionByName(listings).select("doc_id", "url", "page_kind")
 
 
+@q(
+    "fetched_cache_staleness",
+    """
+    WITH cache AS (
+      SELECT 'https://www.cna.example/news/' || doc_id || '-s' || (doc_id % 7) AS url,
+             (doc_id % 10) + 1 AS snap_id
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'https://www.cna.example/news/' || doc_id || '-s' || (doc_id % 7) AS url,
+             (doc_id % 3) + 8 AS snap_id
+      FROM documents WHERE doc_id % 12 = 0),
+    fresh AS (SELECT DISTINCT url FROM cache WHERE snap_id >= 11 - 4),
+    cand AS (
+      SELECT doc_id,
+             'https://www.cna.example/news/' || doc_id || '-s' || (doc_id % 7) AS url,
+             CASE WHEN doc_id % 2 = 0 THEN 'article' ELSE 'listing' END AS page_kind
+      FROM documents)
+    SELECT c.doc_id, c.url, c.page_kind
+    FROM cand c
+    WHERE c.page_kind = 'listing'
+       OR c.url NOT IN (SELECT url FROM fresh)
+    """,
+)
+def fetched_cache_staleness(spark, sf_dir):
+    """The refetch decision WITH cache expiry (reference
+    HTTPCACHE_EXPIRATION_SECS, settings.py:85; crawl.run_batch's
+    fetch_cache_max_age_snaps filter): an article is served from cache only
+    if SOME cache row for its url was written within the last ``max_age``
+    commits (current snap 11, max_age 4 here); stale-only urls refetch.
+    The second cache slice plants fresh duplicate rows for some urls so the
+    any-fresh-row (= max(snap_id) per url) semantics is exercised."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://www.cna.example/news/"), _ids(), F.lit("-s"),
+                   (F.col("doc_id") % 7).cast("string"))
+    cache = d.filter(F.col("doc_id") % 3 == 0).select(
+        url.alias("url"), ((F.col("doc_id") % 10) + 1).alias("snap_id")
+    ).unionByName(
+        d.filter(F.col("doc_id") % 12 == 0).select(
+            url.alias("url"), ((F.col("doc_id") % 3) + 8).alias("snap_id")
+        )
+    )
+    cur_snap, max_age = 11, 4
+    # row-level age filter before distinct ≡ "any row in the window" — the
+    # exact shape run_batch uses, so expiry never shuffles the cache log on
+    # anything but the tiny distinct-url projection
+    fresh = cache.filter(F.col("snap_id") >= cur_snap - max_age).select("url").distinct()
+    cand = d.select(
+        "doc_id", url.alias("url"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("article")).otherwise(F.lit("listing")).alias("page_kind"),
+    )
+    articles = cand.filter(F.col("page_kind") == "article").join(
+        fresh, on="url", how="left_anti"
+    )
+    listings = cand.filter(F.col("page_kind") == "listing")
+    return articles.unionByName(listings).select("doc_id", "url", "page_kind")
+
+
 # ---- Transfer decoding (gzip middleware; reference middlewares.py:42-61) --
 
 @q(
@@ -1962,3 +2019,304 @@ def dedup_cluster_roots(spark, sf_dir):
         d.select(F.col("doc_id").alias("b_id")), on="b_id", how="left_semi"
     )
     return connected_components(edges).select("id", "root")
+
+
+# ---- J3: redirect detection (reference :2389-2432 final-url semantics) ----
+
+@q(
+    "redirect_flag",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             'https://www.cna.example/news/' || doc_id ||
+               CASE doc_id % 4 WHEN 0 THEN '?from=rss'
+                               WHEN 1 THEN '-alias' ELSE '' END AS url,
+             CASE WHEN doc_id % 5 = 4 THEN 404 ELSE 200 END AS status
+      FROM documents)
+    SELECT doc_id, url, status,
+           CASE WHEN status = 200
+                THEN 'https://www.cna.example/news/' || doc_id END AS final_url,
+           coalesce(CASE WHEN status = 200
+                         THEN 'https://www.cna.example/news/' || doc_id END,
+                    url) AS parse_url,
+           status = 200 AND
+             'https://www.cna.example/news/' || doc_id != url AS redirected
+    FROM f
+    """,
+)
+def redirect_flag(spark, sf_dir):
+    """J3 redirect detection as a standalone query: the fetch stage returns
+    (url, final_url); a page redirected iff final_url differs, and all
+    parse rows are keyed by coalesce(final_url, url) — exactly the fused
+    stage's keying (operators/pipeline.py:104-121; reference alias/query
+    urls collapsing to the canonical article url, :2389-2432)."""
+    d = T(spark, sf_dir, "documents")
+    base = F.concat(F.lit("https://www.cna.example/news/"), _ids())
+    url = F.concat(
+        base,
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?from=rss"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("-alias"))
+        .otherwise(F.lit("")),
+    )
+    status = F.when(F.col("doc_id") % 5 == 4, F.lit(404)).otherwise(F.lit(200))
+    f = d.select("doc_id", url.alias("url"), status.alias("status"),
+                 base.alias("_base"))
+    final_url = F.when(F.col("status") == 200, F.col("_base"))
+    return f.select(
+        "doc_id", "url", "status",
+        final_url.alias("final_url"),
+        F.coalesce(final_url, F.col("url")).alias("parse_url"),
+        ((F.col("status") == 200) & (F.col("_base") != F.col("url"))).alias("redirected"),
+    )
+
+
+# ---- F5: empty-body drop (finalize_documents:99; reference :2530-2531) ----
+
+@q(
+    "empty_body_drop",
+    _SPANS_SQL + """
+    , b AS (SELECT doc_id, "offset", kind, media_ref,
+                   CASE WHEN doc_id % 7 = 0 AND kind = 'text' THEN '  '
+                        ELSE span_text END AS span_text
+            FROM e)
+    SELECT doc_id,
+           CAST(count(*) FILTER (kind = 'text' AND length(trim(span_text)) > 0) AS INT) AS n_text,
+           CAST(count(*) FILTER (kind = 'media') AS INT) AS n_media
+    FROM b GROUP BY doc_id
+    HAVING count(*) FILTER (kind = 'text' AND length(trim(span_text)) > 0) > 0
+    """,
+)
+def empty_body_drop(spark, sf_dir):
+    """F5 empty-body drop over the span shape: every 7th doc's text spans
+    are blanked (the synthetic web's empty-body redirect pages, reference
+    :2389-2432); a document survives only with >=1 non-whitespace text span
+    — finalize_documents:99's filter with the whitespace edge made
+    explicit.  Media-only docs must drop even though spans is non-empty."""
+    sp = _spans_df(spark, sf_dir)
+    blanked = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"] == F.lit("text"), F.lit("  "))
+                .otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    ).otherwise(F.col("spans"))
+    live_text = F.filter(
+        F.col("_spans"),
+        lambda s: (s["kind"] == F.lit("text")) & (F.length(F.trim(s["text"])) > 0),
+    )
+    media = F.filter(F.col("_spans"), lambda s: s["kind"] == F.lit("media"))
+    return (
+        sp.select("doc_id", blanked.alias("_spans"))
+        .select(
+            "doc_id",
+            F.size(live_text).alias("n_text"),
+            F.size(media).alias("n_media"),
+        )
+        .filter(F.col("n_text") > 0)
+    )
+
+
+# ---- S1: seed-file union (manual_scrape.txt analog; reference :276-295) ---
+
+@q(
+    "seed_file_union",
+    f"""
+    WITH lines AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'https://www.cna.example/news/' || (doc_id % 40) || '-s1'
+               WHEN 1 THEN '  https://www.cna.example/news/' || (doc_id % 40) || '-s1  '
+               WHEN 2 THEN 'htps://www.stimes.example/section/1/page/' || (doc_id % 20)
+               WHEN 3 THEN ''
+               WHEN 4 THEN '# seed list comment'
+               ELSE 'https://shop.cna.example/deals/' || doc_id
+             END AS raw
+      FROM documents),
+    kept AS (SELECT raw FROM lines
+             WHERE length(trim(raw)) > 0 AND trim(raw) NOT LIKE '#%'),
+    canon AS (SELECT regexp_replace({_CANON_SQL_REPAIRS}, '#.*$', '') AS url FROM kept),
+    h AS (SELECT url, lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host FROM canon),
+    d AS (SELECT url, host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain FROM h)
+    SELECT DISTINCT url FROM d
+    WHERE NOT (
+      length(trim(url)) = 0
+      OR regexp_matches(lower(url), '{SKIP_RX}')
+      OR regexp_matches(lower(url), '{EXT_RX}')
+      OR regexp_matches(lower(url), '{SUBDOM_RX}')
+      OR url IN ({", ".join(repr(u) for u in rules.INCOMPLETE_ARTICLES)})
+      OR domain NOT IN ({ALLOWED_IN})
+    )
+    """,
+)
+def seed_file_union(spark, sf_dir):
+    """S1 seed-file intake (the reference's manual_scrape.txt, :276-295):
+    raw lines -> drop blanks/comments -> fix_url canonicalize -> skip
+    filter -> distinct, i.e. crawl._seed_frontier's file branch as a
+    set-level query (the engine reads the real file with spark.read.text;
+    the line fixture here stands in for the file so the DuckDB twin can
+    run on the same tables)."""
+    d = T(spark, sf_dir, "documents")
+    a40 = (F.col("doc_id") % 40).cast("string")
+    a20 = (F.col("doc_id") % 20).cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("https://www.cna.example/news/"), a40, F.lit("-s1")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("  https://www.cna.example/news/"), a40, F.lit("-s1  ")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("htps://www.stimes.example/section/1/page/"), a20))
+        .when(F.col("doc_id") % 6 == 3, F.lit(""))
+        .when(F.col("doc_id") % 6 == 4, F.lit("# seed list comment"))
+        .otherwise(F.concat(F.lit("https://shop.cna.example/deals/"), _ids()))
+    )
+    lines = d.select(raw.alias("raw"))
+    kept = lines.filter(
+        (F.length(F.trim("raw")) > 0) & ~F.trim(F.col("raw")).startswith("#")
+    )
+    canon = kept.select(U.fix_url_expr(F.col("raw")).alias("url"))
+    host = U.host_expr(F.col("url"))
+    dom = U.domain_expr(host)
+    return canon.filter(~U.skip_filter_expr(F.col("url"), host, dom)).distinct()
+
+
+# ---- F6/H2/H3 breadth: per-domain rule-table extraction -------------------
+
+@q(
+    "html_domain_fallbacks",
+    """
+    WITH d AS (SELECT doc_id,
+                      CASE doc_id % 3 WHEN 0 THEN 'www.ktimes.example'
+                                      WHEN 1 THEN 'www.bpost.example'
+                                      ELSE 'www.cna.example' END AS host
+               FROM documents)
+    SELECT doc_id, host, 'Headline ' || doc_id AS title,
+           'March 1, 2021' AS date_raw,
+           0 AS "offset", 'text' AS kind,
+           'Lead paragraph ' || doc_id || '.' AS text, NULL AS media_ref
+    FROM d
+    UNION ALL
+    SELECT doc_id, host, 'Headline ' || doc_id, 'March 1, 2021',
+           1, 'media', 'Caption ' || doc_id, 'img://' || doc_id || '/0'
+    FROM d
+    """,
+)
+def html_domain_fallbacks(spark, sf_dir):
+    """Per-domain selector-fallback chains as data (extract_rules
+    DOMAIN_RULES; reference 4-branch bodies :1249-1286/:2325-2340): each
+    doc's body container class cycles through its host's WHOLE fallback
+    chain, ktimes docs rotate the h1 → h2.entry-title / span.pubdate →
+    time.entry-time header fallbacks and plant 'Also Read:' +
+    entry-navigation content that must drop, bpost plants an excluded
+    articlePhoto div.  The oracle is closed-form: every doc yields the
+    SAME two spans and header fields no matter which branch matched — any
+    broken fallback loses rows/turns title null and hash-fails."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+
+    d = T(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.ktimes.example"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www.bpost.example"))
+        .otherwise(F.lit("www.cna.example"))
+    )
+    src = d.select("doc_id", host.alias("host"))
+
+    KT = ["entry-content", "article-content", "content-main", "article-body"]
+    BP = [("div", "articl-content"), ("section", "article-body"),
+          ("div", "article-content"), ("div", "article-body")]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                title = f"Headline {i}"
+                if r.host == "www.ktimes.example" and i % 5 == 0:
+                    header = (f"<h2 class='entry-title'>{title}</h2>"
+                              f"<time class='entry-time'>March 1, 2021</time>")
+                else:
+                    header = f"<h1>{title}</h1><span class='pubdate'>March 1, 2021</span>"
+                inner = f"<p>Lead paragraph {i}.</p>"
+                if r.host == "www.ktimes.example":
+                    tag, cls = "div", KT[(i // 3) % 4]
+                    inner += ("<p>Also Read: skip this entirely</p>"
+                              "<div class='entry-navigation'><p>nav text</p></div>")
+                elif r.host == "www.bpost.example":
+                    tag, cls = BP[(i // 3) % 4]
+                    inner += "<div class='articlePhoto'><p>EXCLUDED GALLERY</p></div>"
+                else:
+                    tag, cls = "div", "article-body"
+                inner += (f"<figure><img src=\"img://{i}/0\"/>"
+                          f"<figcaption>Caption {i}</figcaption></figure>")
+                html = (f"<html><body>{header}<{tag} class='{cls}'>{inner}"
+                        f"</{tag}></body></html>")
+                art = extract_article(html, r.host)
+                for off, (kind, text, ref) in enumerate(art["spans"]):
+                    rows.append({"doc_id": i, "host": r.host,
+                                 "title": art["title"], "date_raw": art["date_raw"],
+                                 "offset": off, "kind": kind, "text": text,
+                                 "media_ref": ref})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "host", "title",
+                                                  "date_raw", "offset", "kind",
+                                                  "text", "media_ref"])
+
+    return src.mapInPandas(
+        run,
+        schema=("doc_id long, host string, title string, date_raw string, "
+                "offset int, kind string, text string, media_ref string"),
+    )
+
+
+@q(
+    "html_card_union",
+    """
+    SELECT doc_id, i AS slot,
+           'https://www.mnow.example/news/' || doc_id || '-v' || i AS link,
+           'Story ' || doc_id || ' v' || i AS title,
+           CASE WHEN i < 2 THEN '2021-0' || (i + 1) || '-01' END AS date
+    FROM documents, unnest([0, 1, 2]) AS t(i)
+    """,
+)
+def html_card_union(spark, sf_dir):
+    """Listing-card selector UNION (mnow rule row; reference nst selector
+    groups :1070-1101): each doc's listing carries one div.card, one
+    div.article-teaser (time-tag date fallback) and one dateless li.story —
+    all three must surface as cards in document order; a default-rules
+    host would see only the first."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_listing_cards
+
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                u = f"https://www.mnow.example/news/{i}"
+                html = (
+                    f"<div class='card'><a href=\"{u}-v0\">Story {i} v0</a>"
+                    f"<span class='date'>2021-01-01</span></div>"
+                    f"<div class='article-teaser'><a href=\"{u}-v1\">Story {i} v1</a>"
+                    f"<time>2021-02-01</time></div>"
+                    f"<li class='story'><a href=\"{u}-v2\">Story {i} v2</a></li>"
+                )
+                for slot, c in enumerate(extract_listing_cards(html, "www.mnow.example")):
+                    rows.append({"doc_id": i, "slot": slot, "link": c["link"],
+                                 "title": c["title"], "date": c["date"]})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "slot", "link", "title", "date"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, slot int, link string, title string, date string"
+    )

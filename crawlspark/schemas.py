@@ -99,6 +99,10 @@ FETCHED_CACHE = T.StructType(
         T.StructField("content_encoding", T.StringType(), True),
         T.StructField("body_hash", T.StringType(), True),
         T.StructField("batch_id", T.IntegerType(), False),
+        # global monotone commit counter at write time (snapshot ids never
+        # reset, unlike per-epoch batch ids) — the cache-staleness clock
+        # (reference HTTPCACHE_EXPIRATION_SECS, settings.py:85)
+        T.StructField("snap_id", T.IntegerType(), False),
     ]
 )
 

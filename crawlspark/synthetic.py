@@ -193,10 +193,22 @@ def listing_html(spec: WebSpec, host: str, section: int, page: int) -> str:
         href = _mangle_link(rng, url) if rng.random() < 0.3 else url
         title = _article_title(host, aid)
         date = _article_date(host, aid)
-        parts.append(
-            f"<div class='card'><a href=\"{href}\">{title}</a>"
-            f"<span class='date'>{date}</span></div>"
-        )
+        if "mnow.example" in host:
+            # card-markup variants the mnow rule row's selector UNION must
+            # cover (reference nst card selector groups :1070-1101)
+            parts.append([
+                f"<div class='card'><a href=\"{href}\">{title}</a>"
+                f"<span class='date'>{date}</span></div>",
+                f"<div class='article-teaser'><a href=\"{href}\">{title}</a>"
+                f"<time>{date}</time></div>",
+                f"<li class='story'><a href=\"{href}\">{title}</a>"
+                f"<time>{date}</time></li>",
+            ][slot % 3])
+        else:
+            parts.append(
+                f"<div class='card'><a href=\"{href}\">{title}</a>"
+                f"<span class='date'>{date}</span></div>"
+            )
     # junk + blocked links (exercise the skip filter)
     for _ in range(2):
         parts.append(f"<a href=\"{_junk_link(rng, host)}\">more</a>")
@@ -251,6 +263,12 @@ def article_html(spec: WebSpec, host: str, aid: int) -> str:
         paras.append(f"<ul>{items}</ul>")
     if "bpost.example" in host and rng.random() < 0.4:
         paras.append("<div class='articlePhoto'><p>PHOTO GALLERY ignore me</p></div>")
+    if "ktimes.example" in host:
+        # paragraphs the khmertimes rule row must DROP (reference :2325)
+        if rng.random() < 0.3:
+            paras.append(f"<p>Also Read: {_sentence(rng, 6)}</p>")
+        if rng.random() < 0.3:
+            paras.append("<div class='entry-navigation'><p>prev | next</p></div>")
     paras.append("<div class='ad'><p>SPONSORED buy now</p></div>")
     # boilerplate footer (reference phrase list :1658-1889)
     if rng.random() < 0.4:
@@ -262,9 +280,32 @@ def article_html(spec: WebSpec, host: str, aid: int) -> str:
             else:
                 paras.append(f"<p>{phrase.capitalize()} today.</p>")
     body = "".join(paras)
+    # per-host container + header variants: each host's pages rotate
+    # through its rule row's selector-fallback branches (reference: the
+    # per-site DOM variance the 4-branch XPaths exist for)
+    if "ktimes.example" in host:
+        container = ["entry-content", "article-content", "content-main",
+                     "article-body"][aid % 4]
+        open_t, close_t = f"<div class='{container}'>", "</div>"
+        if aid % 5 == 0:  # h2.entry-title + time.entry-time variant
+            header = (f"<h2 class='entry-title'>{title}</h2>"
+                      f"<time class='entry-time'>{date}</time>")
+        else:
+            header = f"<h1>{title}</h1><span class='pubdate'>{date}</span>"
+    elif "bpost.example" in host:
+        open_t, close_t = [
+            ("<div class='articl-content'>", "</div>"),
+            ("<section class='article-body'>", "</section>"),
+            ("<div class='article-content'>", "</div>"),
+            ("<div class='article-body'>", "</div>"),
+        ][aid % 4]
+        header = f"<h1>{title}</h1><span class='pubdate'>{date}</span>"
+    else:
+        open_t, close_t = "<div class='article-body'>", "</div>"
+        header = f"<h1>{title}</h1><span class='pubdate'>{date}</span>"
     return (
-        f"<html><body><h1>{title}</h1><span class='pubdate'>{date}</span>"
-        f"<div class='article-body'>{body}</div>"
+        f"<html><body>{header}"
+        f"{open_t}{body}{close_t}"
         f"<div class='related'><a href=\"{article_url(host, (aid * 7 + 1) % cfg['n_articles'])}\">rel</a></div>"
         f"</body></html>"
     )

@@ -74,11 +74,14 @@ class SnapshotCatalog:
 
     @staticmethod
     def snap_of(path: str) -> int:
-        """Snapshot id a delta file-set was committed at (encoded in the
-        path by commit(): .../table/snapNNNNNN-xxxx)."""
+        """Snapshot id a delta file-set was committed at (encoded by
+        commit() in the LEAF dir name: .../table/snapNNNNNN-xxxx).  Matched
+        against the basename only, anchored — a warehouse root that happens
+        to contain 'snapN-' in a parent dir must not shadow every file's
+        real snapshot id (that would corrupt _pending's manifest pruning)."""
         import re as _re
 
-        m = _re.search(r"snap(\d+)-", path)
+        m = _re.match(r"snap(\d+)-", os.path.basename(path.rstrip("/")))
         return int(m.group(1)) if m else 0
 
     def commit(
@@ -224,6 +227,19 @@ class SnapshotCatalog:
 
         live = refs(keep)
         dead = refs(drop) - live
+        # Bloom bucket blobs are written as a side effect inside
+        # applyInPandas, so a Spark task retry / speculative duplicate
+        # writes a second file that NO manifest ever references — sweep the
+        # bucket dirs for such orphans too (safe here: expire runs only
+        # right after a commit, so every file of the in-flight batch is
+        # referenced by the LATEST manifest, which is always in ``keep``).
+        bucket_root = os.path.join(self.root, "_state", "bloom-buckets")
+        if os.path.isdir(bucket_root):
+            for dirpath, _dirs, files in os.walk(bucket_root):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    if fn.endswith(".npy") and p not in live:
+                        dead.add(p)
         n_files = 0
         for p in sorted(dead):
             if os.path.isdir(p):

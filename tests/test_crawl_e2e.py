@@ -172,6 +172,58 @@ def test_recrawl_serves_articles_from_fetch_cache(spark, tmp_path):
     assert any(u not in cache1 for u in done2)  # genuinely new fetches
 
 
+def test_fetch_cache_staleness_refetches_old_entries(spark, tmp_path):
+    """Cache expiry (reference HTTPCACHE_EXPIRATION_SECS, settings.py:85):
+    with fetch_cache_max_age_snaps set, re-crawl serves only cache entries
+    written within the last N commits — stale articles REFETCH (which the
+    no-expiry test above asserts can never happen), fresh ones still serve
+    from cache, and nothing stale-only is ever served."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.crawl import reset_for_recrawl
+
+    wh = str(tmp_path / "whs")
+    spec = synthetic.WebSpec(scale=0.1)
+    cfg1 = CrawlConfig(warehouse=wh, spec=spec, max_batches=20,
+                       budget_override=20, compact_every=4)
+    run_crawl(spark, cfg1)
+    cat = SnapshotCatalog(spark, wh)
+    cache1 = {r["url"]: r["snap_id"]
+              for r in cat.read("fetched").groupBy("url")
+              .agg(F.max("snap_id").alias("snap_id")).collect()}
+    assert len(set(cache1.values())) > 2, "need fetches spread over snapshots"
+
+    art1 = {u for u in cache1 if "/news/" in u}
+    assert art1
+
+    # epoch 2, TIGHT window (age 2 < the reset-commit gap alone): every
+    # epoch-1 entry is expired from batch 1 on — articles REFETCH, which
+    # the no-expiry test above asserts can never happen
+    cfg2 = CrawlConfig(warehouse=wh, spec=spec, max_batches=30,
+                       budget_override=20, compact_every=4,
+                       use_fetch_cache=True, fetch_cache_max_age_snaps=2)
+    reset_for_recrawl(spark, cfg2)
+    s2 = run_crawl(spark, cfg2, resume=True)
+    prog2 = cat.read("progress")
+    done2 = {r["url"] for r in prog2.filter("outcome = 'done'").collect()}
+    assert s2["refetch_skipped"] == 0
+    assert done2 & art1, "stale cache entries must refetch"
+
+    # epoch 3, LOOSE window: everything (epoch 1 + 2 entries) is fresh —
+    # articles serve from cache through the same snap_id filter path
+    cache12 = {r["url"] for r in cat.read("fetched").select("url").collect()}
+    cfg3 = CrawlConfig(warehouse=wh, spec=spec, max_batches=30,
+                       budget_override=20, compact_every=4,
+                       use_fetch_cache=True, fetch_cache_max_age_snaps=10_000)
+    reset_for_recrawl(spark, cfg3)
+    s3 = run_crawl(spark, cfg3, resume=True)
+    prog3 = cat.read("progress")
+    done3 = {r["url"] for r in prog3.filter("outcome = 'done'").collect()}
+    cached3 = {r["url"] for r in prog3.filter("outcome = 'cached'").collect()}
+    assert s3["refetch_skipped"] > 0 and cached3 <= cache12
+    assert not (done3 & {u for u in cache12 if "/news/" in u})
+
+
 def test_bloom_autosizing_and_lineage(spark, tmp_path):
     from crawlspark import synthetic
     from crawlspark.crawl import CrawlConfig, run_crawl

@@ -76,3 +76,91 @@ def test_onclick_window_open_extraction():
     assert hp.extract_links(html) == [
         "/news/1-s1", "https://www.cna.example/news/9-s2"
     ]
+
+
+# ---- per-domain rule-table dispatch (F6/H2/H3 breadth) --------------------
+
+KTIMES = """
+<html><body><h2 class='entry-title'>Kh headline</h2>
+<time class='entry-time'>May 4, 2021</time>
+<div class='entry-content'>
+<p>Real para.</p>
+<p>Also Read: some other story</p>
+<div class='entry-navigation'><p>prev next</p></div>
+<ul><li>point a</li><li>point b</li></ul>
+</div></body></html>
+"""
+
+
+def test_ktimes_fallback_chain_and_drops():
+    """khmertimes analog (reference :2325-2340): entry-content body,
+    h1→h2.entry-title title fallback, time.entry-time date fallback,
+    'Also Read:' paragraph drop, entry-navigation exclusion."""
+    art = hp.extract_article(KTIMES, "www.ktimes.example")
+    assert art["title"] == "Kh headline"
+    assert art["date_raw"] == "May 4, 2021"
+    assert art["spans"] == [
+        ("text", "Real para.", None),
+        ("text", "point a,", None),
+        ("text", "point b.", None),
+    ]
+
+
+def test_ktimes_standard_page_still_works():
+    """A ktimes page in the default shape resolves through the chain's
+    last fallback — per-domain rules never break the common case."""
+    art = hp.extract_article(ARTICLE, "www.ktimes.example")
+    assert art["title"] == "Covid cases fall"
+    assert ("text", "First para.", None) in art["spans"]
+
+
+def test_bpost_body_fallback_chain():
+    """bangkokpost analog: 4-branch body fallback (reference :1249-1286)
+    — the typo'd 'articl-content' branch wins when present, and the
+    articlePhoto exclusion still applies inside it (:2283)."""
+    html = """
+    <h1>BP</h1><span class='pubdate'>June 1, 2021</span>
+    <div class='articl-content'><p>bp para.</p>
+      <div class='articlePhoto'><p>gallery</p></div></div>
+    <div class='article-body'><p>WRONG container.</p></div>
+    """
+    art = hp.extract_article(html, "www.bpost.example")
+    assert art["spans"] == [("text", "bp para.", None)]
+    # with the preferred containers absent it falls through to article-body
+    art2 = hp.extract_article(ARTICLE, "www.bpost.example")
+    assert ("text", "First para.", None) in art2["spans"]
+
+
+def test_card_selector_union_mnow():
+    """nst analog (reference :1070-1101): card selectors are a UNION —
+    div.card, div.article-teaser and li.story all yield cards, in document
+    order, with a time-tag date fallback."""
+    html = """
+    <div class='card'><a href="/news/1-s1">A</a><span class='date'>2021-01-01</span></div>
+    <div class='article-teaser'><a href="/news/2-s2">B</a><time>2021-02-02</time></div>
+    <li class='story'><a href="/news/3-s3">C</a></li>
+    <div class='other'><a href="/news/4-s4">D</a></div>
+    """
+    cards = hp.extract_listing_cards(html, "www.mnow.example")
+    assert [c["link"] for c in cards] == ["/news/1-s1", "/news/2-s2", "/news/3-s3"]
+    assert cards[1] == {"link": "/news/2-s2", "title": "B", "date": "2021-02-02"}
+    assert cards[2]["date"] is None
+    # default hosts see only div.card
+    assert [c["link"] for c in hp.extract_listing_cards(html, "www.cna.example")] == ["/news/1-s1"]
+
+
+def test_adding_a_domain_is_table_only():
+    """Adding a site == adding a DomainRules row; the dispatcher picks it
+    up with no code change (the round-2 verdict's 'a real user adding a
+    new site hits this first')."""
+    from unittest import mock
+
+    from crawlspark import extract_rules as er
+
+    new = er.DomainRules(host_key="newsite.example",
+                         body_chain=(("main", "story"),),
+                         drop_strong=True)
+    with mock.patch.object(er, "DOMAIN_RULES", er.DOMAIN_RULES + (new,)):
+        html = "<h1>t</h1><main class='story'><p>hi <b>drop</b> there.</p></main>"
+        art = hp.extract_article(html, "www.newsite.example")
+        assert art["spans"] == [("text", "hi  there.", None)]
