@@ -48,6 +48,11 @@ def main():
 
     wh = tempfile.mkdtemp(prefix="benchwh-")
     try:
+        # warmup: first Spark job of a session pays JVM codegen + python
+        # worker-pool spin-up (~4-8s); pay it here so crawl_e2e measures
+        # the crawl loop, not session startup
+        benchlib.bench_fetch_parse(spark, n_pages=1000)
+
         c = benchlib.bench_crawl(spark, wh, scale=0.5)
         queries["crawl_e2e"] = round(c["sec"], 3)
         extra["crawl_pages_per_sec"] = round(c["pages_per_sec"], 1)

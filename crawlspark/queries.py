@@ -2320,3 +2320,89 @@ def html_card_union(spark, sf_dir):
     return src.mapInPandas(
         run, schema="doc_id long, slot int, link string, title string, date string"
     )
+
+
+# ---- C4: whitespace cleanup (reference :1650-1651) ------------------------
+
+@q(
+    "whitespace_cleanup",
+    """
+    WITH t AS (SELECT doc_id,
+                      chr(160) || 'a' || chr(160) || chr(8203) || 'b' ||
+                      CASE doc_id % 3 WHEN 0 THEN '<200b>' WHEN 1 THEN chr(160) ELSE '  ' END
+                      || 'tail ' || doc_id || '  ' AS raw
+               FROM documents)
+    SELECT doc_id, raw,
+           trim(replace(replace(replace(raw, chr(160), ' '), chr(8203), ' '),
+                        '<200b>', ' ')) AS cleaned
+    FROM t
+    """,
+)
+def whitespace_cleanup(spark, sf_dir):
+    """C4 whitespace cleanup (textclean.clean_ws; reference :1650-1651):
+    NBSP / zero-width-space / literal '<200b>' -> space, then strip — run
+    through the SAME shared Python function the parse/clean stages use,
+    over an Arrow batch."""
+    import pandas as pd
+
+    from crawlspark.functions.textclean import clean_ws
+
+    d = T(spark, sf_dir, "documents")
+    mid = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("<200b>"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("\xa0"))
+        .otherwise(F.lit("  "))
+    )
+    raw = F.concat(
+        F.lit("\xa0a\xa0\u200bb"), mid, F.lit("tail "), _ids(), F.lit("  ")
+    )
+    src = d.select("doc_id", raw.alias("raw"))
+
+    def run(batches):
+        for pdf in batches:
+            yield pdf.assign(cleaned=pdf["raw"].map(clean_ws))
+
+    return src.mapInPandas(run, schema="doc_id long, raw string, cleaned string")
+
+
+# ---- J2: meta pass-through (reference :1601 → :2035-2037) -----------------
+
+@q(
+    "meta_passthrough",
+    """
+    WITH t AS (SELECT doc_id,
+      CASE WHEN doc_id % 3 != 0 THEN 'Card title ' || doc_id END AS meta_title,
+      CASE WHEN doc_id % 3 != 0 THEN 'May ' || ((doc_id % 27) + 1) || ', 2021' END AS meta_date,
+      CASE WHEN doc_id % 2 = 0 THEN 'Page title ' || doc_id END AS page_title,
+      CASE WHEN doc_id % 4 = 0 THEN 'June 1, 2021' END AS page_date
+      FROM documents)
+    SELECT doc_id,
+           coalesce(page_title, meta_title) AS title,
+           coalesce(page_date, meta_date) AS date_raw
+    FROM t
+    """,
+)
+def meta_passthrough(spark, sf_dir):
+    """J2 meta pass-through: the listing card's {title, date} struct rides
+    the frontier row through the fetch hop and backfills the article's
+    missing fields — operators/parse.py:62-63's coalesce (reference: meta=
+    at :1601, consumed :2035-2037).  The fixture exercises all four
+    present/absent combinations; the meta really is a STRUCT column so the
+    pass-through shape matches the engine's."""
+    d = T(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.when(F.col("doc_id") % 3 != 0,
+               F.concat(F.lit("Card title "), _ids())).alias("title"),
+        F.when(F.col("doc_id") % 3 != 0,
+               F.concat(F.lit("May "), ((F.col("doc_id") % 27) + 1).cast("string"),
+                        F.lit(", 2021"))).alias("date"),
+    )
+    page_title = F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("Page title "), _ids()))
+    page_date = F.when(F.col("doc_id") % 4 == 0, F.lit("June 1, 2021"))
+    t = d.select("doc_id", meta.alias("meta"), page_title.alias("page_title"),
+                 page_date.alias("page_date"))
+    return t.select(
+        "doc_id",
+        F.coalesce("page_title", F.col("meta.title")).alias("title"),
+        F.coalesce("page_date", F.col("meta.date")).alias("date_raw"),
+    )

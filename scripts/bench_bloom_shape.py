@@ -86,10 +86,13 @@ open(os.path.join(ready_dir, f"ready-{widx}"), "w").close()
 while not os.path.exists(os.path.join(ready_dir, "go")):
     time.sleep(0.05)
 t0 = time.time()
-n_fresh = probe_unseen_partitioned(spark, cand, urlseen, store).count()
+# NOTE: with the exact table empty, Bloom positives (~0.5^7 = 0.8%% of
+# candidates at random-bit fill) survive the exact check, so the output
+# count equals n_shard — the measured path is the bucket-shuffle probe +
+# negative filter + the sliver's (trivial) join, which is what scales.
+n_out = probe_unseen_partitioned(spark, cand, urlseen, store).count()
 dt = time.time() - t0
-print("RESULT " + json.dumps({"widx": widx, "sec": dt, "n_fresh": n_fresh,
-                              "fpr": 1.0 - n_fresh / n_shard}))
+print("RESULT " + json.dumps({"widx": widx, "sec": dt, "n_out": n_out}))
 spark.stop()
 """
 
@@ -122,8 +125,7 @@ def run_emulation(n_workers: int, n_shard: int, store_dir: str,
     assert len(res) == n_workers, f"workers failed: {len(res)}/{n_workers}"
     wall = max(r["sec"] for r in res)
     return {"workers": n_workers, "wall_sec": wall,
-            "ops_per_sec": n_workers * n_shard / wall,
-            "fpr": sum(r["fpr"] for r in res) / len(res)}
+            "ops_per_sec": n_workers * n_shard / wall}
 
 
 def main():

@@ -144,3 +144,47 @@ def test_compaction_merges_append_only_delta_files(spark, tmp_path):
     # (no rows lost or duplicated by merges)
     seen = cat.read("urlseen", m)
     assert seen.count() == seen.select("url").distinct().count()
+
+
+def test_snap_of_anchored_to_basename(tmp_path):
+    """A warehouse root whose OWN path contains 'snapN-' must not shadow
+    every file's real snapshot id (that would corrupt _pending's
+    manifest-level pruning and tiered-merge input selection)."""
+    assert SnapshotCatalog.snap_of("/wh/urlseen/snap000007-abcd1234") == 7
+    assert SnapshotCatalog.snap_of("/wh/urlseen/snap000007-abcd1234/") == 7
+    # poisoned parent dir: leaf has no snap marker -> 0, not the parent's 1
+    assert SnapshotCatalog.snap_of("/data/snap1-test/wh/urlseen/part-0.parquet") == 0
+    # poisoned parent + real leaf: the LEAF id wins
+    assert SnapshotCatalog.snap_of("/data/snap1-test/wh/urlseen/snap000009-ff00aa11") == 9
+
+
+def test_expire_sweeps_orphaned_bloom_blobs(spark, tmp_path):
+    """Bloom bucket blobs are written as applyInPandas side effects, so a
+    Spark task retry can leave a duplicate file no manifest references —
+    expire_snapshots must sweep those orphans while keeping every blob any
+    surviving manifest needs (ADVICE r2: orphaned blobs leak disk forever)."""
+    import numpy as np
+
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, run_crawl
+    from crawlspark.tables import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    run_crawl(spark, CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=0.05),
+                                 max_batches=6, budget_override=10,
+                                 compact_every=3, bloom_partitioned=True))
+    cat = SnapshotCatalog(spark, wh)
+    m = cat.latest()
+    store = cat.load_bloom_store(m)
+    live_before = set(store.referenced_files())
+    assert live_before
+    # plant a fake retry-orphan next to a real blob
+    bucket_dir = os.path.dirname(next(iter(live_before)))
+    orphan = os.path.join(bucket_dir, "bucket-99999-deadbeef.npy")
+    np.save(orphan, np.zeros(4, dtype=np.uint8))
+    res = cat.expire_snapshots(keep_last=1)
+    assert not os.path.exists(orphan), "orphan blob must be swept"
+    # every blob the surviving manifest references is still there
+    for p in cat.load_bloom_store(cat.latest()).referenced_files():
+        assert os.path.exists(p), p
+    assert res["files_removed"] >= 1
