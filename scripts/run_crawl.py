@@ -40,6 +40,10 @@ def main():
                     help="start a new epoch retaining documents + fetch "
                          "cache; articles already fetched are served from "
                          "the cache log")
+    ap.add_argument("--cache-max-age", type=int, default=None, metavar="N",
+                    help="with --recrawl: refetch cache entries older than "
+                         "N commits (HTTPCACHE_EXPIRATION_SECS analog); "
+                         "default serves cached articles forever")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,6 +68,7 @@ def main():
         expected_urls=args.expected_urls,
         bloom_partitioned=True if args.bloom_partitioned else None,
         use_fetch_cache=args.recrawl,
+        fetch_cache_max_age_snaps=args.cache_max_age,
     )
     if args.recrawl:
         from crawlspark.crawl import reset_for_recrawl
