@@ -49,6 +49,11 @@ class DomainRules:
     # <strong>/<b> content removed from paragraph text (reference inquirer
     # DOM surgery :2113-2134)
     drop_strong: bool = False
+    # "shallow tail": for the LAST n eligible paragraphs, additionally drop
+    # content of the listed tags — the khmertimes XPath takes //text() for
+    # all but the last two paragraphs but only /text() | /*[not(self::em)]
+    # /text() for those two (reference :2325-2328: em-tag footers)
+    shallow_tail: tuple | None = None  # (n, ("em", ...))
     # listing-card selectors — UNION semantics, all matches in document
     # order (reference `a, b, c` CSS selector groups, :1070-1101)
     card_selectors: tuple = (("div", "card"),)
@@ -76,6 +81,7 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
         date_chain=(("span", "pubdate"), ("time", "entry-time")),
         excluded_classes=DEFAULT_EXCLUDED | {"entry-navigation"},
         drop_text_containing=("Also Read:", "Also read:"),
+        shallow_tail=(2, ("em",)),
     ),
     # bangkokpost analog — 4-branch body fallback + photo-div exclusion
     # (reference :1249-1286, :2270, :2283)

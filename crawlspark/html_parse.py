@@ -211,12 +211,32 @@ def extract_article(html: str, host: str) -> dict:
     redirect_url = None
 
     if body is not None:
-        drop_strong = r.drop_strong
+        base_drop = frozenset(("strong", "b")) if r.drop_strong else frozenset()
+        # shallow tail (reference khmertimes :2325-2328): the LAST n
+        # eligible paragraphs additionally drop the listed tags' content
+        # — position is computed over the filtered paragraph set, like the
+        # reference's XPath position()=last() predicates
+        shallow_ids: set[int] = set()
+        shallow_drop = frozenset()
+        if r.shallow_tail:
+            n_tail, tags = r.shallow_tail
+            shallow_drop = base_drop | frozenset(tags)
+            elig = []
+            for node in body.iter():
+                if not isinstance(node, Node) or node.tag != "p":
+                    continue
+                if _excluded(node, r.excluded_classes):
+                    continue
+                t = _para_text(node, base_drop).strip()
+                if t and not any(x in t for x in r.drop_text_containing):
+                    elig.append(node)
+            shallow_ids = {id(n) for n in elig[-n_tail:]}
         for node in body.iter():
             if not isinstance(node, Node) or _excluded(node, r.excluded_classes):
                 continue
             if node.tag == "p":
-                txt = _para_text(node, drop_strong).strip()
+                drop = shallow_drop if id(node) in shallow_ids else base_drop
+                txt = _para_text(node, drop).strip()
                 if txt and not any(n in txt for n in r.drop_text_containing):
                     spans.append(("text", txt, None))
             elif node.tag == "figure":
@@ -250,7 +270,9 @@ def extract_article(html: str, host: str) -> dict:
     return {"title": title, "date_raw": date_raw, "spans": spans, "redirect_url": redirect_url}
 
 
-def _para_text(p: Node, drop_strong: bool) -> str:
+def _para_text(p: Node, drop_tags: frozenset) -> str:
+    """Paragraph text with the given tags' subtrees removed (rule-driven:
+    strong/b decompose :2113-2134; em-tail drops :2325-2328)."""
     out: list[str] = []
 
     def walk(n):
@@ -259,8 +281,8 @@ def _para_text(p: Node, drop_strong: bool) -> str:
                 out.append(c)
             elif c.tag in ("ul", "ol", "figure"):
                 continue  # handled as their own spans
-            elif drop_strong and c.tag in ("strong", "b"):
-                continue  # decompose (reference :2113-2134)
+            elif c.tag in drop_tags:
+                continue  # decompose per the host's rule row
             else:
                 walk(c)
 

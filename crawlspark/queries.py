@@ -2406,3 +2406,52 @@ def meta_passthrough(spark, sf_dir):
         F.coalesce("page_title", F.col("meta.title")).alias("title"),
         F.coalesce("page_date", F.col("meta.date")).alias("date_raw"),
     )
+
+
+@q(
+    "html_shallow_tail",
+    """
+    SELECT doc_id, 0 AS "offset",
+           'Lead para ' || doc_id || ' with emphasis kept.' AS text FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'Middle para ' || doc_id || '.' FROM documents
+    UNION ALL
+    SELECT doc_id, 2, 'Tail one ' || doc_id || ' .' FROM documents
+    UNION ALL
+    SELECT doc_id, 3, 'Tail two ' || doc_id || '  end.' FROM documents
+    """,
+)
+def html_shallow_tail(spark, sf_dir):
+    """khmertimes shallow-tail extraction (extract_rules shallow_tail;
+    reference :2325-2328): the last two eligible paragraphs drop <em>
+    subtrees (footers), earlier ones keep them, and 'Also Read:'
+    paragraphs neither emit nor shift the tail positions.  Closed-form
+    oracle: em text survives ONLY at offset 0."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                html = (
+                    "<div class='entry-content'>"
+                    f"<p>Lead para {i} with <em>emphasis kept</em>.</p>"
+                    f"<p>Middle para {i}.</p>"
+                    f"<p>Tail one {i} <em>FOOTER DROPPED</em>.</p>"
+                    "<p>Also Read: never emitted</p>"
+                    f"<p>Tail two {i} <em>ALSO DROPPED</em> end.</p>"
+                    "</div>"
+                )
+                art = extract_article(html, "www.ktimes.example")
+                for off, (kind, text, _ref) in enumerate(art["spans"]):
+                    rows.append({"doc_id": i, "offset": off, "text": text})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "offset", "text"])
+
+    return src.mapInPandas(run, schema="doc_id long, offset int, text string")

@@ -164,3 +164,26 @@ def test_adding_a_domain_is_table_only():
         html = "<h1>t</h1><main class='story'><p>hi <b>drop</b> there.</p></main>"
         art = hp.extract_article(html, "www.newsite.example")
         assert art["spans"] == [("text", "hi  there.", None)]
+
+
+def test_ktimes_shallow_tail_drops_trailing_em():
+    """khmertimes (reference :2325-2328): the LAST TWO eligible paragraphs
+    take only non-<em> content (em-tag footers dropped); earlier
+    paragraphs keep em text.  Position counts over the FILTERED paragraph
+    set ('Also Read:' paragraphs don't shift it)."""
+    html = """
+    <div class='entry-content'>
+    <p>First with <em>kept emphasis</em> text.</p>
+    <p>Second body para.</p>
+    <p>Third with <em> DROPPED FOOTER </em>tail.</p>
+    <p>Also Read: excluded entirely</p>
+    <p>Fourth <em>DROPPED</em> last.</p>
+    </div>
+    """
+    art = hp.extract_article(html, "www.ktimes.example")
+    assert art["spans"] == [
+        ("text", "First with kept emphasis text.", None),
+        ("text", "Second body para.", None),
+        ("text", "Third with tail.", None),
+        ("text", "Fourth  last.", None),
+    ]
