@@ -2455,3 +2455,36 @@ def html_shallow_tail(spark, sf_dir):
                 yield pd.DataFrame(rows, columns=["doc_id", "offset", "text"])
 
     return src.mapInPandas(run, schema="doc_id long, offset int, text string")
+
+
+@q(
+    "stream_dedup",
+    """
+    WITH t AS (SELECT 'https://h' || (user_id % 10) || '/e/' || (event_id % 300) AS url
+               FROM (SELECT * FROM events ORDER BY event_id LIMIT 900))
+    SELECT DISTINCT url FROM t
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming URL-seen dedup (streaming/jobs.stream_frontier_dedup —
+    J1's in-stream twin): a file-source stream with planted re-discoveries
+    (event_id % 300 collapses 900 rows to <=300 urls per host group) emits
+    each url exactly once; run to completion via the memory sink.  Oracle:
+    the batch DISTINCT over the same rows."""
+    import tempfile
+
+    from crawlspark.streaming.jobs import stream_frontier_dedup
+
+    src = tempfile.mkdtemp(prefix="sdq-")
+    ev = T(spark, sf_dir, "events").orderBy("event_id").limit(900).select(
+        F.concat(F.lit("https://h"), (F.col("user_id") % 10).cast("string"),
+                 F.lit("/e/"), (F.col("event_id") % 300).cast("string")).alias("url"),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("url string").parquet(src)
+    out = stream_frontier_dedup(stream)
+    qname = "sd_query_out"
+    sq = out.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    sq.processAllAvailable()
+    sq.stop()
+    return spark.sql(f"select url from {qname}")

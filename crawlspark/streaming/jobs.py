@@ -110,3 +110,21 @@ def stream_to_snapshot_sink(stream_df, catalog, table: str, checkpoint_dir: str)
         .foreachBatch(sink)
         .start()
     )
+
+
+def stream_frontier_dedup(stream: DataFrame, watermark: tuple[str, str] | None = None) -> DataFrame:
+    """Streaming URL-seen dedup — the in-stream twin of J1's batch path
+    (reference dupefilter, settings.py:107): state-backed dropDuplicates
+    on url, so a URL is emitted on FIRST arrival only, across triggers.
+
+    ``watermark=(ts_col, delay)`` switches to dropDuplicatesWithinWatermark
+    so the per-query dedup state is TTL-bounded by event time — the form a
+    long-running ingestion stream must use (unbounded exact state is the
+    same non-starter as the reference's in-memory fingerprint set at
+    10^10 URLs; the crawl loop's Bloom store remains the full-lifetime
+    dedup, this guards the stream surface).
+    """
+    if watermark is not None:
+        col, delay = watermark
+        return stream.withWatermark(col, delay).dropDuplicatesWithinWatermark(["url"])
+    return stream.dropDuplicates(["url"])

@@ -267,7 +267,16 @@ politeness- and render-bound at ~1.6-2.3 pages/s total; this engine's
 pipeline throughput is ~3 orders of magnitude higher at equal hardware.
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    out_path = REPO / "BENCH" / "BASELINE.md"
+    # preserve hand-appended per-round sections ("## Round-...") across
+    # reruns — they carry measured context a regeneration must not lose
+    extra = ""
+    if out_path.exists():
+        old = out_path.read_text()
+        idx = old.find("\n## Round-")
+        if idx != -1:
+            extra = old[idx:]
+    out_path.write_text(md + extra)
     print(md)
 
 

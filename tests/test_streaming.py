@@ -107,3 +107,33 @@ def test_foreachbatch_snapshot_sink_idempotent(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert cat.read("metrics").count() == 2  # no duplicates
+
+
+def test_stream_dedup_suppresses_across_triggers(spark, tmp_path):
+    """stream_frontier_dedup holds its seen-state ACROSS triggers: urls
+    re-discovered in a later micro-batch are suppressed, genuinely new
+    ones still emit (J1's in-stream twin)."""
+    from crawlspark.streaming.jobs import stream_frontier_dedup
+
+    src = tmp_path / "urls"
+    src.mkdir()
+    df1 = spark.createDataFrame([(f"https://h/{i}",) for i in range(20)], "url string")
+    df1.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("url string").parquet(str(src))
+    out = stream_frontier_dedup(stream)
+    sq = (out.writeStream.outputMode("append").format("memory")
+          .queryName("sd_test_out").start())
+    sq.processAllAvailable()
+    first = {r["url"] for r in spark.sql("select url from sd_test_out").collect()}
+    assert first == {f"https://h/{i}" for i in range(20)}
+    # second trigger: 10 re-discoveries + 5 new
+    df2 = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(10)]
+        + [(f"https://h/{i}",) for i in range(20, 25)], "url string")
+    df2.coalesce(1).write.mode("append").parquet(str(src))
+    sq.processAllAvailable()
+    sq.stop()
+    both = {r["url"] for r in spark.sql("select url from sd_test_out").collect()}
+    assert both == {f"https://h/{i}" for i in range(25)}  # dupes suppressed
+    n = spark.sql("select count(*) n from sd_test_out").collect()[0]["n"]
+    assert n == 25  # emitted exactly once each
