@@ -168,7 +168,7 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def ann_ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list[list[float]],
-                 k: int = 5, n_probe: int = 2) -> DataFrame:
+                 k: int = 5, n_probe: int = 2, round_to: int = 6) -> DataFrame:
     """IVF search: assign corpus to cells once; each query probes its
     ``n_probe`` nearest cells; exact cosine re-rank inside the probed
     cells.  One shuffle (the cell equi-join); per-query work is
@@ -181,7 +181,9 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list[list[float]
         if mat.size == 0:
             return pd.Series([], dtype=object)
         d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
+        # stable sort: tied cell distances resolve to the LOWER cell id on
+        # every engine (matches the SQL oracle's ORDER BY dist, cell)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype("int32")
         return pd.Series([list(r) for r in order])
 
     corpus = ivf_assign(emb, centroids)
@@ -194,7 +196,7 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list[list[float]
     cos = _cosine_expr(F.col("q_emb"), F.col("embedding"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        cand.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"), "cell")
+        cand.select("query_id", "vec_id", F.round(cos, round_to).alias("cosine"), "cell")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )

@@ -2488,3 +2488,60 @@ def stream_dedup(spark, sf_dir):
     sq.processAllAvailable()
     sq.stop()
     return spark.sql(f"select url from {qname}")
+
+
+# ---- IVF ANN search (assign + n_probe + exact re-rank) --------------------
+
+def _ivf_topk_sql() -> str:
+    """DuckDB twin of ann_ivf_topk: same md5-derived ±1 centroids, corpus
+    argmin assignment, per-query top-2 nearest cells (stable ties → lower
+    cell id), exact cosine re-rank inside probed cells, rank <= 5."""
+    from crawlspark.operators.similarity import rademacher_planes
+
+    cens = rademacher_planes(64, 8).T
+    dists = ", ".join(
+        "list_sum(list_transform(range(1, 65), i -> (v[i] - ("
+        + "[" + ", ".join(f"{x:.1f}" for x in c) + "]::DOUBLE[])[i]) ** 2))"
+        for c in cens
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT vec_id, v, [{dists}] AS ds FROM e),
+    asg AS (SELECT vec_id, v,
+                   (list_position(ds, list_min(ds)) - 1)::INT AS cell FROM d),
+    qc AS (SELECT query_id, qv, cell FROM (
+             SELECT vec_id AS query_id, v AS qv, CAST(i - 1 AS INT) AS cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY ds[CAST(i AS INT)], i) AS rn
+             FROM d, unnest(range(1, 9)) AS t(i)
+             WHERE vec_id % 100 = 0)
+           WHERE rn <= 2),
+    cand AS (
+      SELECT q.query_id, s.vec_id, s.cell,
+             list_sum(list_transform(range(1, 65), i -> q.qv[i] * s.v[i])) AS dot,
+             sqrt(list_sum(list_transform(q.qv, x -> x * x))) AS nq,
+             sqrt(list_sum(list_transform(s.v, x -> x * x))) AS ns
+      FROM qc q JOIN asg s ON q.cell = s.cell AND s.vec_id != q.query_id),
+    r AS (SELECT query_id, vec_id, round(dot / (nq * ns), 4) AS cosine, cell,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(dot / (nq * ns), 4) DESC, vec_id) AS rnk
+          FROM cand)
+    SELECT query_id, vec_id, cosine, cell, rnk FROM r WHERE rnk <= 5
+    """
+
+
+@q("ann_ivf_topk", _ivf_topk_sql())
+def ann_ivf_topk_query(spark, sf_dir):
+    """Full IVF ANN search (operators/similarity.ann_ivf_topk): corpus
+    assigned to its argmin cell once, each query probes its 2 nearest
+    cells, exact cosine re-rank inside — ONE cell equi-join shuffle, per-
+    query work O(cell_size × n_probe) not O(N).  Deterministic centroids
+    so the whole search is SQL-twinnable (recall vs brute force is pinned
+    separately in test_similarity)."""
+    from crawlspark.operators.similarity import ann_ivf_topk, rademacher_planes
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    cens = [list(c) for c in rademacher_planes(64, 8).T]
+    return ann_ivf_topk(emb, queries_df, cens, k=5, n_probe=2, round_to=4)
