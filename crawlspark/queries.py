@@ -2545,3 +2545,71 @@ def ann_ivf_topk_query(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
     cens = [list(c) for c in rademacher_planes(64, 8).T]
     return ann_ivf_topk(emb, queries_df, cens, k=5, n_probe=2, round_to=4)
+
+
+# ---- Training-data curation: deterministic stratified sampling ------------
+
+@q(
+    "stratified_sample",
+    """
+    WITH t AS (SELECT doc_id, source,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8))::BIGINT
+                        % 100 AS slot
+               FROM documents)
+    SELECT doc_id, source FROM t
+    WHERE slot < CASE source WHEN 'cna' THEN 50 WHEN 'stimes' THEN 20 ELSE 10 END
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling for training-data curation: each
+    row's inclusion is a pure function of (doc_id, source) via a shared
+    md5 slot — reproducible across engines, runs and cluster sizes (no
+    rand()), with per-source rates (downsample over-represented sources).
+    At 100 TB this is a row-local filter: no shuffle, fully pushdown-able
+    after the hash projection."""
+    d = T(spark, sf_dir, "documents")
+    slot = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))), 1, 8),
+        16, 10,
+    ).cast("long") % 100
+    rate = (
+        F.when(F.col("source") == "cna", F.lit(50))
+        .when(F.col("source") == "stimes", F.lit(20))
+        .otherwise(F.lit(10))
+    )
+    return d.select("doc_id", "source", slot.alias("slot"), rate.alias("rate")) \
+            .filter(F.col("slot") < F.col("rate")).select("doc_id", "source")
+
+
+# ---- Training-data curation: per-source length quantiles ------------------
+
+@q(
+    "doc_length_quantiles",
+    """
+    WITH t AS (SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_tokens, 0.5), 2) AS p50,
+           round(quantile_cont(n_tokens, 0.9), 2) AS p90,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY source
+    """,
+)
+def doc_length_quantiles(spark, sf_dir):
+    """Per-source token-length distribution (curation cut points): exact
+    interpolated quantiles — Spark's percentile ≡ DuckDB's quantile_cont —
+    over whitespace token counts.  One partial-aggregated groupBy; at
+    100 TB the length projection prunes to one column and the agg is
+    map-side combined."""
+    d = T(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        d.select("source", n.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 2).alias("p90"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )

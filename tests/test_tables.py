@@ -188,3 +188,28 @@ def test_expire_sweeps_orphaned_bloom_blobs(spark, tmp_path):
     for p in cat.load_bloom_store(cat.latest()).referenced_files():
         assert os.path.exists(p), p
     assert res["files_removed"] >= 1
+
+
+def test_crash_between_manifest_and_pointer_is_invisible(spark, tmp_path):
+    """Atomic-commit property under the worst crash point: the manifest
+    JSON is durable but the LATEST pointer swap never happened.  Readers
+    must keep seeing the previous snapshot, and the next successful commit
+    must supersede the orphan cleanly."""
+    import shutil as _sh
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    m1 = cat.commit(1, appends={"metrics": _metrics_df(spark, 1)})
+    # simulate the crash: a snap file for an uncommitted snapshot exists,
+    # pointer still names snapshot 1
+    orphan = dict(m1, snapshot_id=2, batch_id=2)
+    with open(os.path.join(str(tmp_path), "_snapshots", "snap-000002.json"), "w") as f:
+        json.dump(orphan, f)
+    assert cat.latest()["snapshot_id"] == 1  # reader unaffected
+    assert cat.read("metrics").count() == 3
+    # recovery: the retry recommits batch 2; its snapshot id is allocated
+    # from the COMMITTED chain (prev+1 = 2) and its manifest replaces the
+    # orphan file content before the pointer swap
+    m2 = cat.commit(2, appends={"metrics": _metrics_df(spark, 2)})
+    assert m2["snapshot_id"] == 2
+    assert cat.latest()["batch_id"] == 2
+    assert cat.read("metrics").count() == 6
