@@ -169,3 +169,31 @@ def test_pending_reads_only_progress_deltas_after_frontier_base(spark, tmp_path)
         on=["url", "retry_count"], how="left_anti")
     got = _pending(cat, m)
     assert {r["url"] for r in got.collect()} == {r["url"] for r in ref.collect()}
+
+
+def test_stratified_sample_is_shuffle_free(spark, qs):
+    """The curation sample is a row-local md5-slot filter — its plan must
+    contain NO exchange at all (at 100 TB a shuffling sampler would be the
+    pipeline's bottleneck)."""
+    p = _plan(spark, qs["stratified_sample"](spark, SF))
+    assert "Exchange" not in p
+    rs = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    assert "text" not in rs  # only doc_id + source are read
+
+
+def test_length_quantiles_partial_aggregated(spark, qs):
+    """Exact percentiles still partial-aggregate map-side (one exchange on
+    the group key, not an all-rows collect)."""
+    p = _plan(spark, qs["doc_length_quantiles"](spark, SF))
+    assert p.count("Exchange") <= 2  # group-key hash (+ AQE read), no more
+    assert "partial_percentile" in p
+    rs = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    assert "text" in rs and "title" not in rs
+
+
+def test_ann_ivf_topk_single_candidate_shuffle(spark, qs):
+    """IVF search's data movement is the cell equi-join + the per-query
+    rank window — a bounded number of exchanges, never a crossJoin."""
+    p = _plan(spark, qs["ann_ivf_topk"](spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange") <= 5
