@@ -114,6 +114,72 @@ def _hosts_frame(hosts_df: DataFrame) -> DataFrame:
     return hosts_df.select("host").distinct().mapInPandas(gen, schema=schemas.HOSTS)
 
 
+# Batch-invariant Column expressions, built ONCE per SparkContext.
+# Driver-side expression construction is py4j-roundtrip-bound (~1-2 ms per
+# pyspark.sql.functions call; one outcome-style CASE chain alone costs
+# ~17 ms) and totalled ~1 s of EVERY politeness batch (the CRAWLSPARK_PROF
+# "dag_build" tick).  Column objects are unresolved expression trees —
+# reusable across DataFrames and batches; the cache is keyed by the
+# SparkContext identity so a restarted JVM never serves stale references.
+_COLS_CACHE: dict = {}
+
+
+def _invariant_cols(spark: SparkSession) -> dict:
+    key = id(spark.sparkContext)
+    cached = _COLS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    _COLS_CACHE.clear()
+    lhost = U.host_expr(F.col("link"))
+    outcome = (
+        # corrupt transfer stream (gzip decode failure) retries like a 5xx
+        # (reference GzipRetryMiddleware, middlewares.py:36-52)
+        F.when(
+            (F.col("status") == 200) & F.col("decode_error")
+            & (F.col("retry_count") < rules.MAX_RETRIES),
+            F.lit("retry"),
+        )
+        .when((F.col("status") == 200) & F.col("decode_error"), F.lit("failed"))
+        .when(F.col("status") == 200, F.lit("done"))
+        .when(F.col("status").isin(rules.SKIP_STATUSES), F.lit("skipped"))
+        .when(
+            F.col("status").isin(rules.RETRYABLE_STATUSES)
+            & (F.col("retry_count") < rules.MAX_RETRIES),
+            F.lit("retry"),
+        )
+        .otherwise(F.lit("failed"))
+    )
+    c = {
+        "outcome": outcome,
+        "link_host": lhost,
+        "link_domain": U.domain_expr(F.col("link_host")),
+        "link_skip": U.skip_filter_expr(
+            F.col("link"), F.col("link_host"), F.col("link_domain")
+        ),
+        "cand_winner": F.min_by(
+            F.struct("link_host", "depth", "link_kind", "meta"),
+            F.struct("src_url", "link"),
+        ).alias("w"),
+        "priority": scheduler.priority_expr(
+            F.col("depth"), F.col("page_kind"), F.col("url")
+        ),
+        "metrics_aggs": [
+            F.count("*").alias("n_scheduled"),
+            F.sum((F.col("outcome") == "done").cast("long")).alias("n_ok"),
+            F.sum((F.col("outcome") == "retry").cast("long")).alias("n_retry"),
+            F.sum((F.col("outcome") == "failed").cast("long")).alias("n_failed"),
+            F.sum((F.col("outcome") == "skipped").cast("long")).alias("n_skipped"),
+            F.sum("elapsed_ms").alias("sum_elapsed_ms"),
+        ],
+        "parsed_aggs": [
+            F.sum(F.when(F.col("rec") == "link", 1).otherwise(0)).alias("n_links_out"),
+            F.sum(F.when(F.col("rec") == "doc", 1).otherwise(0)).alias("n_docs_out"),
+        ],
+    }
+    _COLS_CACHE[key] = c
+    return c
+
+
 def _hosts_with_rx(hosts: DataFrame, budget_override: int | None) -> DataFrame:
     """hosts table + precompiled robots regex, computed executor-side via a
     vectorized pandas UDF — no driver collect, so the hosts dimension can
@@ -370,24 +436,9 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         # for tiny politeness batches the extra job isn't worth it
         pipe.count()
         _tick("pipe_count", _t)
+    cols = _invariant_cols(spark)
     fetched_o = pipe.filter(F.col("rec") == "fetch").withColumn(
-        "outcome",
-        # corrupt transfer stream (gzip decode failure) retries like a 5xx
-        # (reference GzipRetryMiddleware, middlewares.py:36-52)
-        F.when(
-            (F.col("status") == 200) & F.col("decode_error")
-            & (F.col("retry_count") < rules.MAX_RETRIES),
-            F.lit("retry"),
-        )
-        .when((F.col("status") == 200) & F.col("decode_error"), F.lit("failed"))
-        .when(F.col("status") == 200, F.lit("done"))
-        .when(F.col("status").isin(rules.SKIP_STATUSES), F.lit("skipped"))
-        .when(
-            F.col("status").isin(rules.RETRYABLE_STATUSES)
-            & (F.col("retry_count") < rules.MAX_RETRIES),
-            F.lit("retry"),
-        )
-        .otherwise(F.lit("failed")),
+        "outcome", cols["outcome"]
     )
     progress_new = fetched_o.select(
         "url", F.xxhash64("url").alias("url_hash"), F.lit(batch_id).alias("batch_id"),
@@ -406,15 +457,14 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
 
     # ---- links path ----
     links = parsed.filter(F.col("rec") == "link").withColumnRenamed("url", "src_url")
-    lhost = U.host_expr(F.col("link"))
-    ldomain = U.domain_expr(lhost)
-    links = links.withColumn("link_host", lhost).withColumn("link_domain", ldomain)
-    links = links.filter(
-        ~U.skip_filter_expr(F.col("link"), F.col("link_host"), F.col("link_domain"))
-    ).filter(F.col("depth") + 1 <= cfg.max_depth)
+    links = (links.withColumn("link_host", cols["link_host"])
+             .withColumn("link_domain", cols["link_domain"]))
+    links = links.filter(~cols["link_skip"]).filter(
+        F.col("depth") + 1 <= cfg.max_depth
+    )
     # in-batch dedup with deterministic meta winner (min source url)
     cand = links.groupBy(F.col("link").alias("url")).agg(
-        F.min_by(F.struct("link_host", "depth", "link_kind", "meta"), F.struct("src_url", "link")).alias("w")
+        cols["cand_winner"]
     ).select(
         "url",
         F.col("w.link_host").alias("host"),
@@ -438,7 +488,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         F.xxhash64("url").alias("url_hash"),
         "host",
         "depth",
-        scheduler.priority_expr(F.col("depth"), F.col("page_kind"), F.col("url")).alias("priority"),
+        cols["priority"].alias("priority"),
         F.lit(batch_id).alias("discovered_batch"),
         F.lit(0).alias("retry_count"),
         F.lit(batch_id + 1).alias("not_before_batch"),
@@ -458,20 +508,10 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     docs_new = docs_new.join(F.broadcast(doc_hits), on="doc_id", how="left_anti")
 
     # ---- metrics (per batch × host lineage; SURVEY §2.4 A2) ----
-    parsed_counts = parsed.groupBy("host").agg(
-        F.sum(F.when(F.col("rec") == "link", 1).otherwise(0)).alias("n_links_out"),
-        F.sum(F.when(F.col("rec") == "doc", 1).otherwise(0)).alias("n_docs_out"),
-    )
+    parsed_counts = parsed.groupBy("host").agg(*cols["parsed_aggs"])
     metrics = (
         fetched_o.groupBy("host")
-        .agg(
-            F.count("*").alias("n_scheduled"),
-            F.sum((F.col("outcome") == "done").cast("long")).alias("n_ok"),
-            F.sum((F.col("outcome") == "retry").cast("long")).alias("n_retry"),
-            F.sum((F.col("outcome") == "failed").cast("long")).alias("n_failed"),
-            F.sum((F.col("outcome") == "skipped").cast("long")).alias("n_skipped"),
-            F.sum("elapsed_ms").alias("sum_elapsed_ms"),
-        )
+        .agg(*cols["metrics_aggs"])
         .join(parsed_counts, on="host", how="left")
         .select(
             F.lit(batch_id).alias("batch_id"), "host", "n_scheduled", "n_ok",
@@ -486,6 +526,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # bucket summaries (partitioned) or delta blobs (broadcast), all
     # piggybacked on one job — blob BYTES never reach the driver in
     # partitioned mode) --
+    _tick("dag_build", _t)  # lazy-plan construction since the last action
     _t = _time.time()
     if store is not None:
         store, new_hosts = update_buckets_partitioned(
@@ -519,6 +560,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             # capped — past the cap we just fall back to the per-batch join
             known_hosts.update(new_hosts)
     _tick("unknown_hosts", _t)
+    _t = _time.time()
 
     # batch-sized appends: coalesce to a file count proportional to the
     # batch so a small politeness batch writes 1 file per table, not
@@ -554,6 +596,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         appends["hosts"] = _hosts_frame(
             spark.createDataFrame([(h,) for h in sorted(unknown_hosts)], "host string")
         ).coalesce(1)
+    _tick("dag_appends", _t)
     _t = _time.time()
     if cfg.compact_every and batch_id % cfg.compact_every == 0:
         # compaction: rewrite pending-after-this-batch as the new frontier

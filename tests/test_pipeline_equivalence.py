@@ -97,3 +97,56 @@ def test_fused_stage_pluggable_fetcher(spark):
     assert all(l["link"] == "https://www.cna.example/news/0-s0" for l in links)
     fetches = [r for r in rows if r["rec"] == "fetch"]
     assert all(r["status"] == 200 and not r["decode_error"] for r in fetches)
+
+
+def test_host_partitioning_gives_connection_locality(spark):
+    """WHY the fetch stage partitions by (host, salt): a real fetcher keeps
+    one connection pool per Python worker, so rows of the same host landing
+    in the same partition reuse connections.  A counting fetcher (new
+    per-worker host => 'connection open', encoded in elapsed_ms) proves the
+    bound: total opens <= partitions x distinct hosts, far below one-per-
+    fetch (what a random partitioning would approach at high host counts)."""
+    import pandas as pd  # noqa: F401
+
+    spec = synthetic.WebSpec(scale=0.2)
+    hosts = sorted(spec.hosts)
+    n_pages, n_hosts = 4000, len(hosts)
+    host = F.element_at(F.array(*[F.lit(h) for h in hosts]), (F.col("id") % n_hosts + 1).cast("int"))
+    n_art = min(c["n_articles"] for c in spec.hosts.values())
+    frontier = spark.range(n_pages).select(
+        F.concat(F.lit("https://"), host, F.lit("/news/"),
+                 (F.col("id") % n_art).cast("string"), F.lit("-s"),
+                 ((F.col("id") % n_art) % 7).cast("string")).alias("url"),
+        F.xxhash64("id").alias("url_hash"), host.alias("host"),
+        F.lit(1).alias("depth"), F.lit(0.0).alias("priority"),
+        F.lit(0).alias("discovered_batch"), F.lit(0).alias("retry_count"),
+        F.lit(0).alias("not_before_batch"), F.lit("article").alias("page_kind"),
+        F.lit(None).cast("struct<title:string,date:string,article_url:string>").alias("meta"),
+    )
+
+    def counting_fetch(url, attempt):
+        # per-PROCESS connection table (one python worker = one pool)
+        import builtins
+        pool = getattr(builtins, "_conn_pool_test", None)
+        if pool is None:
+            pool = set()
+            builtins._conn_pool_test = pool
+        h = url.split("/")[2]
+        new = h not in pool
+        pool.add(h)
+        status, final, body, elapsed = synthetic.fetch(
+            synthetic.WebSpec(scale=0.2), url, attempt)
+        return status, final, (body or "").encode("utf-8"), None, (1000 if new else 1)
+
+    n_parts = 16
+    pipe = fetch_parse_stage(frontier, spec, num_partitions=n_parts,
+                             fetch_fn=counting_fetch)
+    total = (pipe.filter(F.col("rec") == "fetch")
+             .agg(F.sum("elapsed_ms").alias("s"), F.count("*").alias("n"))
+             .collect()[0])
+    n_opens = (total["s"] - total["n"]) // 999
+    assert total["n"] == n_pages
+    # workers persist across tasks, so opens <= workers x hosts; the bound
+    # that matters is "far below one per fetch"
+    assert n_opens <= n_parts * n_hosts
+    assert n_opens < n_pages / 10, (n_opens, n_pages)
