@@ -252,33 +252,49 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
     return catalog.commit(0, appends=appends, state={}, **_seed_bloom(spark, cfg, catalog, seeds_df))
 
 
-def reset_for_recrawl(spark: SparkSession, cfg: CrawlConfig) -> dict:
+def reset_for_recrawl(spark: SparkSession, cfg: CrawlConfig,
+                      refresh_robots: bool = True) -> dict:
     """Begin a NEW crawl epoch in an existing warehouse: frontier, urlseen,
-    Bloom state and progress are reset to the seeds; documents, metrics,
-    hosts and the fetched cache are RETAINED — the reference's HTTPCACHE
-    re-run semantics (settings.py:84-89: the dupefilter starts fresh, the
-    HTTP cache persists).  With cfg.use_fetch_cache=True the re-crawl
-    refetches listings (the link-discovery surface) but serves previously-
-    fetched articles from the cache log as terminal 'cached' records."""
+    Bloom state and progress are reset to the seeds; documents, metrics
+    and the fetched cache are RETAINED — the reference's HTTPCACHE re-run
+    semantics (settings.py:84-89: the dupefilter starts fresh, the HTTP
+    cache persists).  With cfg.use_fetch_cache=True the re-crawl refetches
+    listings (the link-discovery surface) but serves previously-fetched
+    articles from the cache log as terminal 'cached' records.
+
+    ``refresh_robots`` (default True, matching the reference: Scrapy
+    re-fetches robots.txt every run even when the HTTP cache persists):
+    the hosts politeness table is REBUILT by re-fetching robots for every
+    known + seed host — one distributed job, no host list on the driver.
+    False appends only the genuinely-new seed hosts and keeps stale
+    politeness state."""
     catalog = SnapshotCatalog(spark, cfg.warehouse)
     assert catalog.latest() is not None, "reset_for_recrawl needs an existing crawl"
     seeds_df = _seed_frontier(spark, cfg)
     seen_df = seeds_df.select("url", "url_hash", F.lit(0).alias("added_batch"))
     hosts_tbl = catalog.read("hosts")
-    new_hosts_df = seeds_df.select("host").distinct().join(
-        hosts_tbl.select("host"), on="host", how="left_anti"
-    )
-    # once-per-epoch path: always append (commit tolerates a 0-row file);
-    # no host names cross the driver
-    appends = {"hosts": _hosts_frame(new_hosts_df)}
+    replace = {
+        "frontier": seeds_df,
+        "urlseen": seen_df,
+        "progress": catalog._empty("progress"),
+    }
+    appends = {}
+    if refresh_robots:
+        all_hosts = hosts_tbl.select("host").unionByName(
+            seeds_df.select("host")
+        ).distinct()
+        replace["hosts"] = _hosts_frame(all_hosts)
+    else:
+        new_hosts_df = seeds_df.select("host").distinct().join(
+            hosts_tbl.select("host"), on="host", how="left_anti"
+        )
+        # once-per-epoch path: always append (commit tolerates a 0-row
+        # file); no host names cross the driver
+        appends = {"hosts": _hosts_frame(new_hosts_df)}
     return catalog.commit(
         0,
         appends=appends,
-        replace={
-            "frontier": seeds_df,
-            "urlseen": seen_df,
-            "progress": catalog._empty("progress"),
-        },
+        replace=replace,
         # clear BOTH bloom layouts from the carried-over state; the kwarg
         # below re-sets whichever layout this epoch uses (run_batch picks
         # the layout from the manifest, so a stale path would be wrong)

@@ -241,3 +241,30 @@ def test_bloom_autosizing_and_lineage(spark, tmp_path):
     import os
     snaps = [f for f in os.listdir(str(tmp_path / "wh" / "_snapshots")) if f.endswith(".json")]
     assert len(snaps) <= 4  # expiry ran after compactions
+
+
+def test_recrawl_refreshes_robots(spark, tmp_path):
+    """The re-crawl epoch re-fetches robots for every known host (the
+    reference re-reads robots.txt each run even with a persistent HTTP
+    cache): the hosts table is REPLACED with one freshly-built file set,
+    values re-derived from robots.txt, one row per host, no duplicates —
+    and refresh_robots=False keeps the old append-only behavior."""
+    from crawlspark.crawl import reset_for_recrawl
+
+    wh = str(tmp_path / "whr")
+    spec = synthetic.WebSpec(scale=0.05)
+    cfg = CrawlConfig(warehouse=wh, spec=spec, max_batches=8, budget_override=10)
+    run_crawl(spark, cfg)
+    cat = SnapshotCatalog(spark, wh)
+    hosts_before = {r["host"]: r["crawl_delay_s"]
+                    for r in cat.read("hosts").collect()}
+    m = reset_for_recrawl(spark, cfg)  # refresh_robots defaults True
+    assert m["lineage"]["hosts"]["mode"] == "replace"
+    after = cat.read("hosts", m)
+    rows = after.collect()
+    assert len(rows) == after.select("host").distinct().count()
+    got = {r["host"]: r["crawl_delay_s"] for r in rows}
+    assert got == hosts_before  # synthetic robots static -> same values
+    # second epoch runs fine on the refreshed table
+    s = run_crawl(spark, cfg, resume=True)
+    assert s["n_progress"] > 0
