@@ -210,12 +210,17 @@ def test_fetch_cache_staleness_refetches_old_entries(spark, tmp_path):
     assert done2 & art1, "stale cache entries must refetch"
 
     # epoch 3, LOOSE window: everything (epoch 1 + 2 entries) is fresh —
-    # articles serve from cache through the same snap_id filter path
+    # articles serve from cache through the same snap_id filter path.
+    # This epoch ALSO switches to the partitioned Bloom layout: the reset
+    # re-seeds whichever layout the new config uses, and the loop follows
+    # the manifest — cache expiry and the 10^10-key state layout compose.
     cache12 = {r["url"] for r in cat.read("fetched").select("url").collect()}
     cfg3 = CrawlConfig(warehouse=wh, spec=spec, max_batches=30,
                        budget_override=20, compact_every=4,
-                       use_fetch_cache=True, fetch_cache_max_age_snaps=10_000)
-    reset_for_recrawl(spark, cfg3)
+                       use_fetch_cache=True, fetch_cache_max_age_snaps=10_000,
+                       bloom_partitioned=True)
+    m3 = reset_for_recrawl(spark, cfg3)
+    assert m3["state"].get("bloom_store_path") and not m3["state"].get("bloom_path")
     s3 = run_crawl(spark, cfg3, resume=True)
     prog3 = cat.read("progress")
     done3 = {r["url"] for r in prog3.filter("outcome = 'done'").collect()}
