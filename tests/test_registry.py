@@ -1,0 +1,50 @@
+"""Driver-window registry invariants.
+
+The driver's CORRECTNESS harness verifies the first 50 registered queries.
+These tests pin (a) that the round-3/round-4 surface sits inside that
+window, (b) that the reorder is a pure permutation (nothing lost), and
+(c) that every windowed query except the engine-loop one has an oracle.
+"""
+
+from crawlspark.queries import ORACLE_SQL, SPARK_QUERIES
+
+WINDOW = 50
+
+# Queries that have never had a driver correctness row before round 4 —
+# the whole round-3 surface.  Must be inside the first-50 window.
+PROMOTED = [
+    "transfer_decode",
+    "ann_ivf_assign",
+    "ann_ivf_topk",
+    "dedup_cluster_roots",
+    "redirect_flag",
+    "empty_body_drop",
+    "seed_file_union",
+    "html_domain_fallbacks",
+    "html_card_union",
+    "whitespace_cleanup",
+    "meta_passthrough",
+    "html_shallow_tail",
+    "stream_dedup",
+    "stratified_sample",
+    "doc_length_quantiles",
+]
+
+
+def test_promoted_queries_inside_driver_window():
+    window = list(SPARK_QUERIES)[:WINDOW]
+    missing = [n for n in PROMOTED if n not in window]
+    assert not missing, f"round-3/4 queries outside driver window: {missing}"
+
+
+def test_registry_is_a_permutation_with_no_duplicates():
+    names = list(SPARK_QUERIES)
+    assert len(names) == len(set(names))
+    # every oracle refers to a registered query
+    assert set(ORACLE_SQL) <= set(names)
+
+
+def test_windowed_queries_all_have_oracles_except_engine_loop():
+    window = list(SPARK_QUERIES)[:WINDOW]
+    rows_only = [n for n in window if n not in ORACLE_SQL]
+    assert rows_only == ["crawl_documents"], rows_only
