@@ -120,12 +120,14 @@ def _hosts_frame(hosts_df: DataFrame) -> DataFrame:
 # ~17 ms) and totalled ~1 s of EVERY politeness batch (the CRAWLSPARK_PROF
 # "dag_build" tick).  Column objects are unresolved expression trees —
 # reusable across DataFrames and batches; the cache is keyed by the
-# SparkContext identity so a restarted JVM never serves stale references.
+# context's applicationId (unique per started context) — id() could be
+# reused by CPython for a NEW SparkContext after the old one is collected,
+# serving Column trees built under a dead context.
 _COLS_CACHE: dict = {}
 
 
 def _invariant_cols(spark: SparkSession) -> dict:
-    key = id(spark.sparkContext)
+    key = spark.sparkContext.applicationId
     cached = _COLS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -387,8 +389,13 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             # is within the age window; a url with ANY fresh row is served
             # (row-level filter before distinct ≡ max(snap_id) per url)
             cur_snap = manifest["snapshot_id"] + 1
+            # coalesce(snap_id, 0): pre-snap_id warehouses read null here —
+            # treat them as oldest-possible (expire under any window; one
+            # refetch beats serving an unboundedly stale page) rather than
+            # NULL-failing the comparison in a schema-contradicting way
             fetched_tbl = fetched_tbl.filter(
-                F.col("snap_id") >= cur_snap - cfg.fetch_cache_max_age_snaps
+                F.coalesce(F.col("snap_id"), F.lit(0))
+                >= cur_snap - cfg.fetch_cache_max_age_snaps
             )
         fetched_cache = fetched_tbl.select("url").distinct()
         cached_progress = (
@@ -571,10 +578,6 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
                 r["host"]
                 for r in cand_hosts.join(hosts_tbl.select("host"), on="host", how="left_anti").collect()
             ]
-        if known_hosts is not None and len(known_hosts) < 2_000_000:
-            # names only (~60 B/host): 10^6 hosts ≈ 60 MB of driver memory,
-            # capped — past the cap we just fall back to the per-batch join
-            known_hosts.update(new_hosts)
     _tick("unknown_hosts", _t)
     _t = _time.time()
 
@@ -683,6 +686,13 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         bloom.release()  # free the batch's Bloom broadcast (state committed)
     if probe_store is not None:
         probe_store.release()  # free the batch's manifest broadcast
+    # cache update only AFTER the commit succeeded: if commit raises and a
+    # custom driver loop retries run_batch, the cache must not claim hosts
+    # whose robots rows were never written
+    if new_hosts and known_hosts is not None and len(known_hosts) < 2_000_000:
+        # names only (~60 B/host): 10^6 hosts ≈ 60 MB of driver memory,
+        # capped — past the cap we just fall back to the per-batch join
+        known_hosts.update(new_hosts)
     return new_manifest
 
 

@@ -101,8 +101,12 @@ FETCHED_CACHE = T.StructType(
         T.StructField("batch_id", T.IntegerType(), False),
         # global monotone commit counter at write time (snapshot ids never
         # reset, unlike per-epoch batch ids) — the cache-staleness clock
-        # (reference HTTPCACHE_EXPIRATION_SECS, settings.py:85)
-        T.StructField("snap_id", T.IntegerType(), False),
+        # (reference HTTPCACHE_EXPIRATION_SECS, settings.py:85).  Nullable:
+        # warehouses written before this column existed read back null; the
+        # staleness filter coalesces null to 0 (oldest possible), so legacy
+        # entries expire under any configured age window instead of
+        # contradicting the declared schema
+        T.StructField("snap_id", T.IntegerType(), True),
     ]
 )
 

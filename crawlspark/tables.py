@@ -223,7 +223,13 @@ class SnapshotCatalog:
                 if bsp and os.path.exists(bsp):
                     out.add(bsp)
                     out.update(BloomBucketStore.load(bsp).referenced_files())
-            return out
+            # manifests may record paths under a different spelling of the
+            # warehouse root than this session opened it with (relative vs
+            # absolute, symlinked, './wh' vs 'wh') — comparing spellings
+            # verbatim would classify every LIVE blob as an orphan and
+            # delete committed Bloom state, so normalize to realpath here
+            # and on the walked side before any membership test
+            return {os.path.realpath(p) for p in out}
 
         live = refs(keep)
         dead = refs(drop) - live
@@ -237,7 +243,7 @@ class SnapshotCatalog:
         if os.path.isdir(bucket_root):
             for dirpath, _dirs, files in os.walk(bucket_root):
                 for fn in files:
-                    p = os.path.join(dirpath, fn)
+                    p = os.path.realpath(os.path.join(dirpath, fn))
                     if fn.endswith(".npy") and p not in live:
                         dead.add(p)
         n_files = 0
