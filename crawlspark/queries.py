@@ -23,7 +23,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crawlspark import rules
+from crawlspark import plans, rules
 from crawlspark.functions import urls as U
 
 # ---------------------------------------------------------------- helpers
@@ -2179,7 +2179,13 @@ def seed_file_union(spark, sf_dir):
     kept = lines.filter(
         (F.length(F.trim("raw")) > 0) & ~F.trim(F.col("raw")).startswith("#")
     )
-    canon = kept.select(U.fix_url_expr(F.col("raw")).alias("url"))
+    # materialize_once: the skip predicate references the canonical url ~7×;
+    # naive aliasing lets pushdown re-inline the 30-regex chain per
+    # reference, which blows the janino method limit (codegen fallback) —
+    # the barrier evaluates the chain once and keeps the filter codegen'd
+    canon = plans.materialize_once(
+        kept, url=U.fix_url_expr(F.col("raw"))
+    ).select("url")
     host = U.host_expr(F.col("url"))
     dom = U.domain_expr(host)
     return canon.filter(~U.skip_filter_expr(F.col("url"), host, dom)).distinct()
