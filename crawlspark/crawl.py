@@ -199,30 +199,53 @@ def _hosts_with_rx(hosts: DataFrame, budget_override: int | None) -> DataFrame:
     return out
 
 
+def _seed_row_py(u: str):
+    """One raw seed line -> FRONTIER tuple (url_hash placeholder 0), or
+    None when the canonicalized URL fails the skip filter.  Shared by the
+    driver path (literal seed lists) and the distributed file path so the
+    two can never drift."""
+    cu = U.fix_url_py(u)
+    if U.should_skip_py(cu):
+        return None
+    kind, _, _ = synthetic.classify_url(cu)
+    kind = "listing" if kind == "listing" else "article"
+    host = U.host_of_py(cu)
+    return (cu, 0, host, 0, scheduler.priority_py(0, kind, cu), 0, 0, 0, kind, None)
+
+
+def _seed_file_frame(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed seed-file intake (reference manual_scrape.txt,
+    :276-295): spark.read.text -> canonicalize/skip/classify inside an
+    Arrow-batched mapInPandas.  The reference's file is dozens of lines,
+    but the realistic way a 100-TB crawl starts is a 10^6-10^8-URL seed
+    dump — nothing here touches the driver, so the path scales with
+    executors (the old form collected the file and canonicalized in a
+    driver loop)."""
+    cols = [f.name for f in schemas.FRONTIER.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            recs = [r for r in (_seed_row_py(u) for u in pdf["value"]) if r is not None]
+            yield pd.DataFrame(recs, columns=cols)
+
+    return spark.read.text(path).mapInPandas(gen, schema=schemas.FRONTIER)
+
+
 def _seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     """Seed rows (reference start_requests :560-699): canonicalize, skip-
-    filter, in-list dedup; FRONTIER schema with url_hash."""
+    filter, dedup; FRONTIER schema with url_hash.  Literal seed lists stay
+    on the driver (they are human-sized); seed FILES run distributed."""
     raw_seeds = (
         list(cfg.seed_urls) if cfg.seed_urls is not None else synthetic.seed_urls(cfg.spec)
     )
+    seeds = [r for r in (_seed_row_py(u) for u in raw_seeds) if r is not None]
+    out = spark.createDataFrame(seeds, schemas.FRONTIER)
     if cfg.seed_file:  # manual_scrape.txt analog (reference :276-295)
-        raw_seeds += [r["value"] for r in spark.read.text(cfg.seed_file).collect()]
-    seeds = []
-    seen_local = set()
-    for u in raw_seeds:
-        cu = U.fix_url_py(u)
-        if U.should_skip_py(cu) or cu in seen_local:
-            continue
-        seen_local.add(cu)
-        kind, _, _ = synthetic.classify_url(cu)
-        kind = "listing" if kind == "listing" else "article"
-        host = U.host_of_py(cu)
-        seeds.append(
-            (cu, 0, host, 0, scheduler.priority_py(0, kind, cu), 0, 0, 0, kind, None)
-        )
-    return spark.createDataFrame(seeds, schemas.FRONTIER).withColumn(
-        "url_hash", F.xxhash64("url")
-    )
+        out = out.unionByName(_seed_file_frame(spark, cfg.seed_file))
+    # cross-source dedup: every FRONTIER field is a deterministic function
+    # of the canonical url, so duplicate rows are identical and any winner
+    # equals the old first-occurrence driver loop
+    return out.dropDuplicates(["url"]).withColumn("url_hash", F.xxhash64("url"))
 
 
 def _seed_bloom(spark: SparkSession, cfg: CrawlConfig, catalog: SnapshotCatalog,

@@ -109,3 +109,78 @@ def test_seed_order_invariance(spark, tmp_path):
     a = run(str(tmp_path / "wa"), list(seeds))
     b = run(str(tmp_path / "wb"), list(reversed(seeds)))
     assert a == b
+
+
+def test_seed_file_distributed_no_driver_loop(spark, tmp_path):
+    """A web-scale seed dump (10^6 lines incl. malformed, blocked, dup and
+    junk lines) must seed through the distributed mapInPandas path — no
+    .collect() of the file, no driver-side per-URL loop — and agree with
+    the driver-loop semantics computed independently on a sample."""
+    import crawlspark.crawl as C
+
+    n = 1_000_000
+    f = tmp_path / "big_seeds.txt"
+    with open(f, "w") as fh:
+        for i in range(n):
+            m = i % 10
+            if m == 7:
+                fh.write(f"htps://www.cna.example/news/{i % 5000}-s0\n")  # repairable
+            elif m == 8:
+                fh.write(f"https://shop.cna.example/deals/{i}\n")  # blocked
+            elif m == 9:
+                fh.write("# junk line\n")
+            else:
+                fh.write(f"https://www.stimes.example/news/{i % 20000}-s0\n")
+    orig_collect = C.DataFrame.collect
+    calls = {"n": 0}
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig_collect(self)
+
+    C.DataFrame.collect = counting_collect
+    try:
+        df = C._seed_file_frame(spark, str(f))
+        deduped = df.dropDuplicates(["url"])
+        n_rows = deduped.count()
+    finally:
+        C.DataFrame.collect = orig_collect
+    assert calls["n"] == 0, "seed-file path must not collect to the driver"
+    # distinct survivors: i%10<=6 rows hit stimes ids v with v%10<=6
+    # (20000*7/10 = 14000); i%10==7 rows hit cna ids v with v%10==7
+    # (5000/10 = 500); blocked and junk lines contribute nothing
+    assert n_rows == 14_500
+    # spot-check agreement with the driver-loop twin on a sample
+    sample = ["htps://www.cna.example/news/47-s0",
+              "https://www.stimes.example/news/11-s0",
+              "https://shop.cna.example/deals/1", "# junk line"]
+    expect = [C._seed_row_py(u) for u in sample]
+    got = {r["url"]: r for r in df.filter(
+        df.url.isin([e[0] for e in expect if e])).dropDuplicates(["url"]).collect()}
+    for e in expect:
+        if e is None:
+            continue
+        r = got[e[0]]
+        assert (r["host"], r["page_kind"], r["priority"]) == (e[2], e[8], e[4])
+    assert len(got) == 2
+
+
+def test_seed_file_matches_driver_loop_exactly(spark, tmp_path):
+    """Set-level equality between the distributed file path and the old
+    driver-loop semantics over a messy mixed file."""
+    from crawlspark.crawl import CrawlConfig, _seed_frontier, _seed_row_py
+
+    lines = TARGET_SEEDS + ["", "# comment", "  https://www.cna.example/news/9-s0  ",
+                            "ps://www.stimes.example/section/1/page/2"]
+    f = tmp_path / "mixed.txt"
+    f.write_text("\n".join(lines))
+    cfg = CrawlConfig(warehouse=str(tmp_path / "whx"), spec=SPEC,
+                      seed_urls=[], seed_file=str(f))
+    got = {(r["url"], r["host"], r["page_kind"], r["priority"])
+           for r in _seed_frontier(spark, cfg).collect()}
+    expect = {}
+    for u in lines:
+        r = _seed_row_py(u)
+        if r is not None and r[0] not in expect:
+            expect[r[0]] = (r[0], r[2], r[8], r[4])
+    assert got == set(expect.values())
