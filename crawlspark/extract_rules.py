@@ -54,10 +54,29 @@ class DomainRules:
     # all but the last two paragraphs but only /text() | /*[not(self::em)]
     # /text() for those two (reference :2325-2328: em-tag footers)
     shallow_tail: tuple | None = None  # (n, ("em", ...))
+    # paragraphs whose OWN class matches are dropped (reference thestar
+    # not(contains(@class,"caption")) / "date" / "reactions__desc" /
+    # "footer-bottom" p-level predicates, :2195)
+    excluded_p_classes: frozenset = frozenset()
+    # paragraphs CONTAINING a descendant matching any (tag, class) here are
+    # dropped (reference thestar not(.//span[contains(@class,
+    # "inline-caption")]), :2195)
+    drop_p_with: tuple = ()
+    # suffix for the LAST stitched <li> item.  The default branches append
+    # ',' between items and '.' after the last (:2139-2152); the thestar
+    # branch appends ',' to every li text EXCEPT the last and leaves the
+    # last bare — its trailing-fullstop line is commented out in the
+    # reference (:2203-2211)
+    li_tail_suffix: str = "."
     # listing-card selectors — UNION semantics, all matches in document
     # order (reference `a, b, c` CSS selector groups, :1070-1101)
     card_selectors: tuple = (("div", "card"),)
     card_date_chain: tuple = (("span", "date"),)
+    # when non-empty, a card's anchor qualifies only if its text contains
+    # one of these substrings (reference archive.org FULL-TEXT download
+    # pill, a.format-summary.download-pill:contains("FULL TEXT"),
+    # :1333-1337)
+    card_text_containing: tuple = ()
 
 
 DEFAULT_RULES = DomainRules()
@@ -100,6 +119,43 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
         host_key="mnow.example",
         card_selectors=(("div", "card"), ("div", "article-teaser"), ("li", "story")),
         card_date_chain=(("span", "date"), ("time", None)),
+    ),
+    # thestar analog — the photo-div + li-stitching combination
+    # (reference :2195-2211): p-level class exclusions, inline-caption
+    # containment drops, sponsored/widget ancestor-div exclusions,
+    # "ALSO READ:"/"Do you have question" text drops, and the branch's
+    # li stitching variant (comma between items, NO suffix on the last)
+    DomainRules(
+        host_key="tstar.example",
+        excluded_classes=DEFAULT_EXCLUDED
+        | {"plan-temp_desc", "klci", "sponsored-panel", "for-side"},
+        excluded_p_classes=frozenset(
+            {"caption", "date", "reactions__desc", "footer-bottom"}
+        ),
+        drop_p_with=(("span", "inline-caption"),),
+        drop_text_containing=("ALSO READ:", "Do you have question"),
+        li_tail_suffix="",
+    ),
+    # malaysianow analog — anchor-in-container card set (reference
+    # :1151-1165: thirteen deep selectors all terminating at `a` inside
+    # div.group / li / div.flex-1 style containers; collapsed to their
+    # discriminating (tag, class) leaves per the mini-DOM model)
+    DomainRules(
+        host_key="fmt.example",
+        card_selectors=(
+            ("div", "group"),
+            ("li", "story-item"),
+            ("div", "flex-1"),
+        ),
+        card_date_chain=(("time", None), ("span", "date")),
+    ),
+    # archive.org analog — the FULL-TEXT download-pill branch (reference
+    # :1333-1337): on a details page only the download-pill anchor whose
+    # text contains "FULL TEXT" yields a link
+    DomainRules(
+        host_key="archive.example",
+        card_selectors=(("a", "download-pill"),),
+        card_text_containing=("FULL TEXT",),
     ),
 )
 

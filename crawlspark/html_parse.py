@@ -163,6 +163,12 @@ def extract_listing_cards(html: str, host: str = "") -> list[dict]:
         a = next(node.find_all("a"), None)
         if a is None or not a.attrs.get("href"):
             continue
+        # anchor-text qualifier (reference archive.org FULL-TEXT pill,
+        # :contains("FULL TEXT") :1333-1337)
+        if r.card_text_containing and not any(
+            s in a.text() for s in r.card_text_containing
+        ):
+            continue
         date_el = _first_match(node, r.card_date_chain)
         cards.append(
             {
@@ -181,6 +187,19 @@ def _excluded(node: Node, excluded_classes) -> bool:
     def bad(p):
         return isinstance(p, Node) and p.tag == "div" and (p.classes() & excluded_classes)
     return node.has_ancestor(bad) or bad(node)
+
+
+def _p_dropped(node: Node, r) -> bool:
+    """Paragraph-level drops beyond the div exclusions: the paragraph's own
+    class (reference thestar caption/date/reactions__desc/footer-bottom
+    predicates, :2195) and contained-descendant predicates (thestar
+    .//span[inline-caption], :2195)."""
+    if node.classes() & r.excluded_p_classes:
+        return True
+    for tag, cls in r.drop_p_with:
+        if next(node.find_all(tag, cls=cls), None) is not None:
+            return True
+    return False
 
 
 def extract_article(html: str, host: str) -> dict:
@@ -225,7 +244,7 @@ def extract_article(html: str, host: str) -> dict:
             for node in body.iter():
                 if not isinstance(node, Node) or node.tag != "p":
                     continue
-                if _excluded(node, r.excluded_classes):
+                if _excluded(node, r.excluded_classes) or _p_dropped(node, r):
                     continue
                 t = _para_text(node, base_drop).strip()
                 if t and not any(x in t for x in r.drop_text_containing):
@@ -235,6 +254,8 @@ def extract_article(html: str, host: str) -> dict:
             if not isinstance(node, Node) or _excluded(node, r.excluded_classes):
                 continue
             if node.tag == "p":
+                if _p_dropped(node, r):
+                    continue
                 drop = shallow_drop if id(node) in shallow_ids else base_drop
                 txt = _para_text(node, drop).strip()
                 if txt and not any(n in txt for n in r.drop_text_containing):
@@ -257,7 +278,10 @@ def extract_article(html: str, host: str) -> dict:
                 items = [li.text().strip() for li in node.find_all("li")]
                 items = [t for t in items if t]
                 for i, t in enumerate(items):
-                    suffix = "." if i == len(items) - 1 else ","
+                    # default branches: ',' between, '.' after the last
+                    # (:2139-2152); thestar leaves the last bare
+                    # (li_tail_suffix="", :2203-2211)
+                    suffix = r.li_tail_suffix if i == len(items) - 1 else ","
                     spans.append(("text", t + suffix, None))
 
     if not any(k == "text" and (t or "").strip() for k, t, _ in spans):

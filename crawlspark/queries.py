@@ -2631,6 +2631,157 @@ def doc_length_quantiles(spark, sf_dir):
 # Everything stays registered — demoted queries remain runnable and are
 # still checked by scripts/check_oracles.py.
 
+# ---- round-4 per-domain rule breadth (reference branches the rule table
+# ---- had not modeled: thestar :2195-2211, malaysianow :1151-1165,
+# ---- archive.org FULL-TEXT pill :1333-1337) ------------------------------
+
+@q(
+    "html_tstar_spans",
+    """
+    SELECT doc_id, 0 AS "offset", 'Open para ' || doc_id || ' keeps.' AS text
+    FROM documents
+    UNION ALL SELECT doc_id, 1, 'alpha ' || doc_id || ',' FROM documents
+    UNION ALL SELECT doc_id, 2, 'beta ' || doc_id || ',' FROM documents
+    UNION ALL SELECT doc_id, 3, 'gamma ' || doc_id FROM documents
+    UNION ALL SELECT doc_id, 4, 'Closing para ' || doc_id || '.' FROM documents
+    """,
+)
+def html_tstar_spans(spark, sf_dir):
+    """thestar photo-div + li-stitching combination (tstar rule row;
+    reference :2195-2211): caption/date-class paragraphs, inline-caption
+    containment, sponsored-panel ancestors and 'ALSO READ:' text are all
+    dropped; leaf-li items stitch with commas and the LAST li stays bare
+    (the reference's trailing-fullstop line is commented out).  Closed-form
+    oracle: exactly five spans per doc, 'gamma N' without punctuation."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                html = (
+                    "<div class='article-body'>"
+                    f"<p>Open para {i} keeps.</p>"
+                    "<p class='caption'>photo caption dropped</p>"
+                    f"<p>wraps a <span class='inline-caption'>cap</span> dropped</p>"
+                    "<div class='sponsored-panel'><p>sponsored dropped</p></div>"
+                    "<p>ALSO READ: other story</p>"
+                    "<p>Do you have question for us? dropped</p>"
+                    f"<ul><li>alpha {i}</li><li>beta {i}</li><li>gamma {i}</li></ul>"
+                    f"<p>Closing para {i}.</p>"
+                    "</div>"
+                )
+                art = extract_article(html, "www.tstar.example")
+                for off, (kind, text, _ref) in enumerate(art["spans"]):
+                    rows.append({"doc_id": i, "offset": off, "text": text})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "offset", "text"])
+
+    return src.mapInPandas(run, schema="doc_id long, offset int, text string")
+
+
+@q(
+    "html_anchor_cards",
+    """
+    SELECT doc_id, 0 AS slot,
+           'https://www.fmt.example/news/' || doc_id || '-g' AS link,
+           'Grid story ' || doc_id AS title, '2021-03-01' AS date
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'https://www.fmt.example/news/' || doc_id || '-l',
+           'List story ' || doc_id, NULL FROM documents
+    UNION ALL
+    SELECT doc_id, 2, 'https://www.fmt.example/news/' || doc_id || '-f',
+           'Flex story ' || doc_id, '2021-04-01' FROM documents
+    """,
+)
+def html_anchor_cards(spark, sf_dir):
+    """malaysianow-style anchor-in-container card set (fmt rule row;
+    reference :1151-1165: thirteen selectors terminating at `a` inside
+    div.group / li / flex containers): three container shapes surface as
+    cards in document order with a time-before-span date fallback; a
+    non-matching container's anchor is a decoy and must not."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_listing_cards
+
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                u = f"https://www.fmt.example/news/{i}"
+                html = (
+                    f"<div class='group'><a href=\"{u}-g\">Grid story {i}</a>"
+                    "<time>2021-03-01</time></div>"
+                    f"<li class='story-item'><a href=\"{u}-l\">List story {i}</a></li>"
+                    f"<div class='flex-1'><a href=\"{u}-f\">Flex story {i}</a>"
+                    "<span class='date'>2021-04-01</span></div>"
+                    f"<div class='other'><a href=\"{u}-x\">Decoy {i}</a></div>"
+                )
+                for slot, c in enumerate(extract_listing_cards(html, "www.fmt.example")):
+                    rows.append({"doc_id": i, "slot": slot, "link": c["link"],
+                                 "title": c["title"], "date": c["date"]})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "slot", "link", "title", "date"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, slot int, link string, title string, date string"
+    )
+
+
+@q(
+    "html_archive_pill",
+    """
+    SELECT doc_id,
+           'https://archive.example/details/' || doc_id || '/full.txt' AS link,
+           'FULL TEXT' AS title
+    FROM documents
+    """,
+)
+def html_archive_pill(spark, sf_dir):
+    """archive.org FULL-TEXT download-pill branch (archive rule row;
+    reference :1333-1337): among a details page's download pills only the
+    one whose anchor text contains 'FULL TEXT' yields a link; a plain
+    anchor with FULL TEXT text but no pill class is a decoy."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_listing_cards
+
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                u = f"https://archive.example/details/{i}"
+                html = (
+                    "<div class='item-download'>"
+                    f"<a class='format-summary download-pill' href=\"{u}/full.txt\">FULL TEXT</a>"
+                    f"<a class='format-summary download-pill' href=\"{u}/pdf\">PDF</a>"
+                    f"<a class='format-summary download-pill' href=\"{u}/epub\">EPUB</a>"
+                    f"<a href=\"{u}/other\">FULL TEXT elsewhere</a>"
+                    "</div>"
+                )
+                for c in extract_listing_cards(html, "archive.example"):
+                    rows.append({"doc_id": i, "link": c["link"], "title": c["title"]})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "link", "title"])
+
+    return src.mapInPandas(run, schema="doc_id long, link string, title string")
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -2649,6 +2800,13 @@ _DEMOTED = [
     "simhash_hamming_pairs",
     "ngram_jaccard_adjacent",
     "media_decode",
+    # round-4 demotions to make window room for the three rule-breadth
+    # queries — each op stays covered by another windowed query
+    # (interleaved: explode+clean_renumber; similarity: both ANN rows;
+    # fetch cache: the staleness row subsumes the plain anti-join)
+    "interleaved_stats",
+    "embed_cosine_topk",
+    "fetched_cache_antijoin",
 ]
 
 

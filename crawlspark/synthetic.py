@@ -204,6 +204,16 @@ def listing_html(spec: WebSpec, host: str, section: int, page: int) -> str:
                 f"<li class='story'><a href=\"{href}\">{title}</a>"
                 f"<time>{date}</time></li>",
             ][slot % 3])
+        elif "fmt.example" in host:
+            # anchor-in-container variants the fmt rule row must cover
+            # (reference malaysianow selector set :1151-1165)
+            parts.append([
+                f"<div class='group'><a href=\"{href}\">{title}</a>"
+                f"<time>{date}</time></div>",
+                f"<li class='story-item'><a href=\"{href}\">{title}</a></li>",
+                f"<div class='flex-1'><a href=\"{href}\">{title}</a>"
+                f"<span class='date'>{date}</span></div>",
+            ][slot % 3])
         else:
             parts.append(
                 f"<div class='card'><a href=\"{href}\">{title}</a>"
@@ -269,6 +279,16 @@ def article_html(spec: WebSpec, host: str, aid: int) -> str:
             paras.append(f"<p>Also Read: {_sentence(rng, 6)}</p>")
         if rng.random() < 0.3:
             paras.append("<div class='entry-navigation'><p>prev | next</p></div>")
+    if "tstar.example" in host:
+        # markup the tstar rule row must DROP (reference :2195-2211)
+        if rng.random() < 0.3:
+            paras.append("<p class='caption'>At the scene. Photo handout</p>")
+        if rng.random() < 0.3:
+            paras.append(f"<p>ALSO READ: {_sentence(rng, 6)}</p>")
+        if rng.random() < 0.2:
+            paras.append("<div class='sponsored-panel'><p>sponsored content</p></div>")
+        if rng.random() < 0.2:
+            paras.append("<p>story with <span class='inline-caption'>embedded caption</span></p>")
     paras.append("<div class='ad'><p>SPONSORED buy now</p></div>")
     # boilerplate footer (reference phrase list :1658-1889)
     if rng.random() < 0.4:
