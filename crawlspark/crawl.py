@@ -153,6 +153,7 @@ def _invariant_cols(spark: SparkSession) -> dict:
     )
     c = {
         "outcome": outcome,
+        "outcome_aliased": outcome.alias("outcome"),
         "link_host": lhost,
         "link_domain": U.domain_expr(F.col("link_host")),
         "link_skip": U.skip_filter_expr(
@@ -177,7 +178,60 @@ def _invariant_cols(spark: SparkSession) -> dict:
             F.sum(F.when(F.col("rec") == "link", 1).otherwise(0)).alias("n_links_out"),
             F.sum(F.when(F.col("rec") == "doc", 1).otherwise(0)).alias("n_docs_out"),
         ],
+        # ---- cached SELECT LISTS for the per-batch projections ----
+        # Each py4j DataFrame/Column call costs ~3-15 ms of driver time
+        # (measured); the batch loop's projections totalled ~100+ calls of
+        # pure plan construction per batch ("dag_build" tick).  Everything
+        # batch-INVARIANT is pre-built here; run_batch only creates the
+        # two or three F.lit(batch_id) terms per projection.
+        "rec_fetch": F.col("rec") == "fetch",
+        "rec_not_fetch": F.col("rec") != "fetch",
+        "rec_link": F.col("rec") == "link",
+        "rec_doc": F.col("rec") == "doc",
+        "is_retry": F.col("outcome") == "retry",
+        "is_done": F.col("outcome") == "done",
+        "fetch_log_pre": [
+            F.col("url"), F.xxhash64("url").alias("url_hash"), F.col("status"),
+            F.col("content_encoding"), F.col("body_hash"),
+        ],
+        "progress_pre": [F.col("url"), F.xxhash64("url").alias("url_hash")],
+        "progress_post": [
+            F.col("status"), F.col("outcome"), F.col("retry_count").alias("attempt"),
+        ],
+        "retries_pre": [
+            F.col("url"), F.xxhash64("url").alias("url_hash"), F.col("host"),
+            F.col("depth"), F.col("priority"),
+        ],
+        "retry_inc": (F.col("retry_count") + 1).alias("retry_count"),
+        "retry_backoff_int": F.pow(F.lit(2.0), F.col("retry_count") + 1).cast("int"),
+        "link_as_url": F.col("link").alias("url"),
+        "cand_sel": [
+            F.col("url"),
+            F.col("w.link_host").alias("host"),
+            (F.col("w.depth") + 1).alias("depth"),
+            F.col("w.link_kind").alias("page_kind"),
+            F.col("w.meta").alias("meta"),
+        ],
+        "links_sel": [
+            *(F.col(f.name).alias("src_url") if f.name == "url" else F.col(f.name)
+              for f in schemas.PARSED.fields),
+            lhost.alias("link_host"),
+        ],
+        "link_domain_aliased": None,  # filled below (references link_host)
+        "zero_retry": F.lit(0).alias("retry_count"),
+        "metrics_sel": [
+            F.col("host"), F.col("n_scheduled"), F.col("n_ok"), F.col("n_retry"),
+            F.col("n_failed"), F.col("n_skipped"),
+            F.coalesce("n_links_out", F.lit(0)).alias("n_links_out"),
+            F.coalesce("n_docs_out", F.lit(0)).alias("n_docs_out"),
+            F.col("sum_elapsed_ms"),
+        ],
     }
+    c["link_domain_aliased"] = U.domain_expr(F.col("link_host")).alias("link_domain")
+    c["frontier_pre"] = [
+        F.col("url"), F.xxhash64("url").alias("url_hash"), F.col("host"),
+        F.col("depth"), c["priority"].alias("priority"),
+    ]
     _COLS_CACHE[key] = c
     return c
 
@@ -483,41 +537,36 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         pipe.count()
         _tick("pipe_count", _t)
     cols = _invariant_cols(spark)
-    fetched_o = pipe.filter(F.col("rec") == "fetch").withColumn(
-        "outcome", cols["outcome"]
-    )
+    # all projections below select CACHED batch-invariant Column lists —
+    # only the F.lit(batch_id) terms are built per batch (see the
+    # _invariant_cols select-list comment; "dag_build" was ~1 s/batch of
+    # pure py4j plan construction before the lists were cached)
+    bid = F.lit(batch_id)
+    fetched_o = pipe.filter(cols["rec_fetch"]).select("*", cols["outcome_aliased"])
     progress_new = fetched_o.select(
-        "url", F.xxhash64("url").alias("url_hash"), F.lit(batch_id).alias("batch_id"),
-        "status", "outcome", F.col("retry_count").alias("attempt"),
+        *cols["progress_pre"], bid.alias("batch_id"), *cols["progress_post"]
     ).unionByName(blocked_progress)
     # retry re-entry with exponential backoff (reference :543-555, :636)
-    retries = fetched_o.filter(F.col("outcome") == "retry").select(
-        "url", F.xxhash64("url").alias("url_hash"), "host", "depth", "priority",
-        F.lit(batch_id).alias("discovered_batch"),
-        (F.col("retry_count") + 1).alias("retry_count"),
-        (F.lit(batch_id) + F.pow(F.lit(2.0), F.col("retry_count") + 1).cast("int")).alias("not_before_batch"),
+    retries = fetched_o.filter(cols["is_retry"]).select(
+        *cols["retries_pre"],
+        bid.alias("discovered_batch"),
+        cols["retry_inc"],
+        (bid + cols["retry_backoff_int"]).alias("not_before_batch"),
         "page_kind", "meta",
     )
 
-    parsed = pipe.filter(F.col("rec") != "fetch")
+    parsed = pipe.filter(cols["rec_not_fetch"])
 
     # ---- links path ----
-    links = parsed.filter(F.col("rec") == "link").withColumnRenamed("url", "src_url")
-    links = (links.withColumn("link_host", cols["link_host"])
-             .withColumn("link_domain", cols["link_domain"]))
+    links = parsed.filter(cols["rec_link"]).select(*cols["links_sel"])
+    links = links.select("*", cols["link_domain_aliased"])
     links = links.filter(~cols["link_skip"]).filter(
         F.col("depth") + 1 <= cfg.max_depth
     )
     # in-batch dedup with deterministic meta winner (min source url)
-    cand = links.groupBy(F.col("link").alias("url")).agg(
+    cand = links.groupBy(cols["link_as_url"]).agg(
         cols["cand_winner"]
-    ).select(
-        "url",
-        F.col("w.link_host").alias("host"),
-        (F.col("w.depth") + 1).alias("depth"),
-        F.col("w.link_kind").alias("page_kind"),
-        F.col("w.meta").alias("meta"),
-    )
+    ).select(*cols["cand_sel"])
     # small_positives: a batch's Bloom-positive sliver is bounded by its
     # extracted links, so the exact check broadcast-SCANS urlseen instead
     # of shuffling it (at 10^10 seen rows the shuffle, not the sliver, is
@@ -530,13 +579,9 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     else:
         new_links = probe_unseen(spark, cand, urlseen_all, bloom, small_positives=True)
     new_frontier = new_links.select(
-        "url",
-        F.xxhash64("url").alias("url_hash"),
-        "host",
-        "depth",
-        cols["priority"].alias("priority"),
-        F.lit(batch_id).alias("discovered_batch"),
-        F.lit(0).alias("retry_count"),
+        *cols["frontier_pre"],
+        bid.alias("discovered_batch"),
+        cols["zero_retry"],
         F.lit(batch_id + 1).alias("not_before_batch"),
         "page_kind",
         "meta",
@@ -546,7 +591,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # same broadcast-scan inversion as the urlseen exact check: the batch's
     # doc ids are bounded, the documents table grows with the crawl — scan
     # it against the broadcast batch ids instead of shuffling it
-    docs_new = docs_from_pipe(parsed.filter(F.col("rec") == "doc"), batch_id)
+    docs_new = docs_from_pipe(parsed.filter(cols["rec_doc"]), batch_id)
     existing_docs = catalog.read("documents", manifest)
     doc_hits = existing_docs.select("doc_id").join(
         F.broadcast(docs_new.select("doc_id").distinct()), on="doc_id", how="left_semi"
@@ -559,13 +604,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         fetched_o.groupBy("host")
         .agg(*cols["metrics_aggs"])
         .join(parsed_counts, on="host", how="left")
-        .select(
-            F.lit(batch_id).alias("batch_id"), "host", "n_scheduled", "n_ok",
-            "n_retry", "n_failed", "n_skipped",
-            F.coalesce("n_links_out", F.lit(0)).alias("n_links_out"),
-            F.coalesce("n_docs_out", F.lit(0)).alias("n_docs_out"),
-            "sum_elapsed_ms",
-        )
+        .select(bid.alias("batch_id"), *cols["metrics_sel"])
     )
 
     # ---- state updates (tiny driver-side collects: host names + either
@@ -611,12 +650,11 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     k_files = max(1, n_sched // 2000)
     frontier_append = retries.unionByName(new_frontier).coalesce(k_files)
     new_seen = new_frontier.select(
-        "url", "url_hash", F.lit(batch_id).alias("added_batch")
+        "url", "url_hash", bid.alias("added_batch")
     ).coalesce(k_files)
     # per-fetch cache log (S9): url + transfer encoding + decoded-body hash
-    fetch_log = fetched_o.filter(F.col("outcome") == "done").select(
-        "url", F.xxhash64("url").alias("url_hash"), "status",
-        "content_encoding", "body_hash", F.lit(batch_id).alias("batch_id"),
+    fetch_log = fetched_o.filter(cols["is_done"]).select(
+        *cols["fetch_log_pre"], bid.alias("batch_id"),
         # this batch's commit will be snapshot prev+1 — the entry's global
         # write-time clock for cache staleness
         F.lit(manifest["snapshot_id"] + 1).alias("snap_id"),

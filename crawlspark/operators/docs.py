@@ -68,14 +68,20 @@ def docs_stage(parsed_docs: DataFrame, batch_id: int) -> DataFrame:
     return finalize_documents(cleaned, batch_id)
 
 
-def finalize_documents(cleaned: DataFrame, batch_id: int) -> DataFrame:
-    """The pure-Column filter tail shared by the fused and unfused doc
-    pipelines: empty-body drop (F5), date window (F4), keyword relevance
-    (F3), source labeling (F7), doc_id derivation (C6), in-batch dedup.
+# Batch-invariant Column trees for the filter tail, built once per
+# SparkContext (same pattern and rationale as crawl._invariant_cols: the
+# two CASE chains over DATE_WINDOWS/SOURCE_CODES plus the lambda
+# higher-order functions cost ~100+ py4j roundtrips to construct, and
+# finalize_documents runs EVERY politeness batch).
+_FIN_CACHE: dict = {}
 
-    ``cleaned`` must carry (url, title, published_date, spans) with spans
-    already cleaned and dates already parsed.
-    """
+
+def _finalize_cols(spark) -> dict:
+    key = spark.sparkContext.applicationId
+    cached = _FIN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    _FIN_CACHE.clear()
     domain = domain_expr(host_expr(F.col("url")))
     # per-source date window as a CASE chain (small dim; reference :2495-2526)
     lo = F.lit(rules.DEFAULT_DATE_WINDOW[0])
@@ -89,25 +95,45 @@ def finalize_documents(cleaned: DataFrame, batch_id: int) -> DataFrame:
         "\n", F.transform(text_spans, lambda s: s["text"])
     )
     kw_rx = "|".join(rules.SEARCH_KEYWORDS).replace("-", r"\-")
-    keyword_ok = F.lower(F.concat_ws(" ", F.coalesce(F.col("title"), F.lit("")), body_text)).rlike(kw_rx)
+    keyword_ok = F.lower(
+        F.concat_ws(" ", F.coalesce(F.col("title"), F.lit("")), body_text)
+    ).rlike(kw_rx)
 
     src = F.lit(None).cast("string")
     for d, code in rules.SOURCE_CODES.items():
         src = F.when(domain == d, F.lit(code)).otherwise(src)
 
-    return (
-        cleaned.filter(F.size(text_spans) > 0)  # F5 empty-body drop
-        .filter(F.col("published_date").isNotNull())
-        .filter(F.year("published_date").between(lo, hi))  # F4 date window
-        .filter(keyword_ok)  # F3 keyword relevance
-        .select(
+    c = {
+        "nonempty": F.size(text_spans) > 0,
+        "date_notnull": F.col("published_date").isNotNull(),
+        "date_ok": F.year("published_date").between(lo, hi),
+        "keyword_ok": keyword_ok,
+        "sel_pre": [
             F.sha1(F.encode(F.col("url"), "UTF-8")).alias("doc_id"),  # C6
-            "url",
-            "title",
-            "published_date",
+            F.col("url"),
+            F.col("title"),
+            F.col("published_date"),
             src.alias("source"),  # F7
-            F.lit(batch_id).alias("batch_id"),
-            "spans",
-        )
+        ],
+    }
+    _FIN_CACHE[key] = c
+    return c
+
+
+def finalize_documents(cleaned: DataFrame, batch_id: int) -> DataFrame:
+    """The pure-Column filter tail shared by the fused and unfused doc
+    pipelines: empty-body drop (F5), date window (F4), keyword relevance
+    (F3), source labeling (F7), doc_id derivation (C6), in-batch dedup.
+
+    ``cleaned`` must carry (url, title, published_date, spans) with spans
+    already cleaned and dates already parsed.
+    """
+    c = _finalize_cols(cleaned.sparkSession)
+    return (
+        cleaned.filter(c["nonempty"])  # F5 empty-body drop
+        .filter(c["date_notnull"])
+        .filter(c["date_ok"])  # F4 date window
+        .filter(c["keyword_ok"])  # F3 keyword relevance
+        .select(*c["sel_pre"], F.lit(batch_id).alias("batch_id"), "spans")
         .dropDuplicates(["doc_id"])
     )
