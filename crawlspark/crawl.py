@@ -65,6 +65,15 @@ class CrawlConfig:
     # commit clock (per-epoch batch ids reset on recrawl; snapshots don't),
     # and at one commit per batch, N snapshots ≈ N batches of age.
     fetch_cache_max_age_snaps: int | None = None
+    # Bloom capacity auto-guard (partitioned layout): when the worst
+    # bucket's theoretical FPR exceeds 10x the design target, the next
+    # compaction rebuilds the store at DOUBLE the bucket count from the
+    # exact seen set (urlseen — rebuild, because Bloom bits cannot be
+    # split).  Rare and exponentially spaced: each doubling halves
+    # per-bucket load, so total rebuild work over a crawl's lifetime is
+    # O(final seen set), amortized O(1) bits per key.
+    bloom_target_fpr: float = 0.01
+    bloom_autosplit: bool = True
 
     def __post_init__(self):
         if self.expected_urls:
@@ -679,6 +688,28 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     _tick("dag_appends", _t)
     _t = _time.time()
     if cfg.compact_every and batch_id % cfg.compact_every == 0:
+        # ---- Bloom capacity auto-guard (partitioned layout) ----
+        # Lineage records bloom_keys/FPR every commit; here we ACT on it:
+        # past 10x the target FPR, rebuild at double the bucket count from
+        # the exact seen set (urlseen + this batch's accepted rows — bits
+        # cannot be split, but the exact set can always re-derive them).
+        # One distributed groupBy(bucket).applyInPandas job, same kernel as
+        # the steady-state update; old blob files stay referenced by old
+        # snapshots (isolation) and are swept at expiry.
+        if (store is not None and cfg.bloom_autosplit
+                and store.fpr_estimate() > 10 * cfg.bloom_target_fpr):
+            all_seen = catalog.read("urlseen", manifest).select("url").unionByName(
+                new_seen.select("url")
+            )
+            fresh = BloomBucketStore(store.n_buckets * 2, store.m, store.k)
+            store.release()
+            store = update_buckets_partitioned(
+                spark, all_seen, fresh, catalog.bloom_bucket_dir(batch_id)
+            )
+            fresh.release()  # the rebuild job's empty-manifest broadcast
+            lineage = {**lineage, "bloom_resplit_to": store.n_buckets,
+                       "bloom_keys": store.bloom_keys(),
+                       "bloom_fpr_estimate": round(store.fpr_estimate(), 8)}
         # compaction: rewrite pending-after-this-batch as the new frontier
         # base so the per-batch frontier read stays flat as the crawl
         # grows.  progress and urlseen stay append-only: urlseen IS the

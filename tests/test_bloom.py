@@ -112,3 +112,57 @@ def test_partitioned_probe_equals_broadcast(spark, tmp_path):
     store2.save(str(tmp_path / "m.json"))
     loaded = BloomBucketStore.load(str(tmp_path / "m.json"))
     assert loaded.paths == store2.paths and loaded.n_items == store2.n_items
+
+
+def test_capacity_autosplit_doubles_buckets_and_keeps_equality(spark, tmp_path):
+    """Over-fill a deliberately tiny partitioned store: the compaction-time
+    capacity guard must rebuild at double the bucket count from the exact
+    seen set, the crawl must stay equal to the oracle across the resize,
+    and every seen URL must still probe positive (no false negatives —
+    the rebuild derives bits from urlseen, not from the old bits)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, run_crawl
+    from crawlspark.oracle import crawl_oracle
+    from crawlspark.tables import SnapshotCatalog
+
+    spec = synthetic.WebSpec(scale=0.25)
+    wh = str(tmp_path / "wh")
+    # 2 buckets x 512 bits, k=7, target FPR 0.1%: the worst bucket passes
+    # 10x target (~53 keys/bucket) around batch 3-4 of this ~200-URL crawl
+    # -> guard trips at a mid-crawl compaction (every 2 batches)
+    cfg = CrawlConfig(
+        warehouse=wh, spec=spec, max_batches=8, budget_override=10,
+        bloom_partitioned=True, bloom_buckets=2, bloom_bits=1 << 9,
+        compact_every=2, bloom_target_fpr=0.001,
+    )
+    run_crawl(spark, cfg)
+    cat = SnapshotCatalog(spark, wh)
+    m = cat.latest()
+    store = cat.load_bloom_store(m)
+    assert store.n_buckets > 2, "capacity guard never split"
+    assert store.n_buckets & (store.n_buckets - 1) == 0  # still a power of 2
+    assert m["state"].get("bloom_resplit_to") == store.n_buckets
+    # equality across the resize
+    ora = crawl_oracle(spec, max_batches=8, budget_override=10)
+    seen_rows = cat.read("urlseen").collect()
+    seen = {r["url"] for r in seen_rows}
+    assert seen == ora.seen
+    docs = {r["doc_id"] for r in cat.read("documents").collect()}
+    assert docs == set(ora.docs)
+    # no false negatives after the rebuild: probing the full seen set
+    # through the engine's own co-partitioned path must return NOTHING —
+    # a false negative would surface as a "fresh" (unseen) row
+    from crawlspark.operators.urlseen import probe_unseen_partitioned
+
+    cand = cat.read("urlseen").select("url").withColumn(
+        "host", F.lit("h")
+    )
+    unseen = probe_unseen_partitioned(
+        spark, cand, cat.read("urlseen"), store, small_positives=True
+    )
+    assert unseen.count() == 0, "seen URL probed as unseen after resplit"
+    store.release()
+    # key accounting survived the rebuild (each url counted exactly once)
+    assert store.bloom_keys() == len(seen)
