@@ -630,7 +630,14 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         lineage = {"bloom_keys": store.bloom_keys(),
                    "bloom_fpr_estimate": round(store.fpr_estimate(), 8)}
     else:
-        delta, new_hosts = bloom_delta(spark, new_frontier, bloom, collect_hosts=True)
+        # politeness-sized batches skip the shuffle job: accepted rows are
+        # bounded by n_sched × links-per-page (~64 is generous for news
+        # listings; overshooting only costs the driver a few MB, never
+        # correctness — same hashes, same numpy kernel either way)
+        delta, new_hosts = bloom_delta(
+            spark, new_frontier, bloom, collect_hosts=True,
+            small_batch_rows=n_sched * 64,
+        )
         bloom.merge(delta)
         lineage = _bloom_lineage(bloom)
     _tick("state_update", _t)

@@ -108,7 +108,8 @@ def probe_unseen(spark: SparkSession, candidates: DataFrame, urlseen: DataFrame,
 
 
 def bloom_delta(
-    spark: SparkSession, accepted: DataFrame, bloom: BloomState, collect_hosts: bool = False
+    spark: SparkSession, accepted: DataFrame, bloom: BloomState, collect_hosts: bool = False,
+    small_batch_rows: int | None = None,
 ):
     """Distributed delta-bit computation for the accepted new URLs: one
     (bucket, blob) row per touched bucket, OR-merged on the driver.
@@ -116,9 +117,34 @@ def bloom_delta(
     ``collect_hosts=True`` piggybacks the distinct hosts of the accepted
     rows onto the same job (the crawl loop needs them for robots state —
     one Spark job instead of two per batch) and returns (delta, hosts).
+
+    ``small_batch_rows``: when the caller can BOUND the accepted-row count
+    (the politeness loop: n_scheduled × max links/page) and the bound is
+    small, skip the groupBy+applyInPandas job (two stages, a shuffle and a
+    Python-worker round per micro-batch — ~1.5 s of fixed cost) and
+    instead collect the JVM-computed (h1, h2, host) rows and run the SAME
+    numpy add kernel on the driver.  Identical bits by construction (same
+    hashes, same kernel); the collect is capped by the bound (~24 B/row →
+    a 50k bound is ~1 MB).  The driver already received the touched blobs
+    under the distributed path, so this strictly REDUCES driver traffic
+    for small batches; wide batches keep the distributed path.
     """
     nb, m, k = bloom.n_buckets, bloom.m, bloom.k
     with_host = collect_hosts and "host" in accepted.columns
+
+    if small_batch_rows is not None and small_batch_rows <= 50_000:
+        cols = ["_h1", "_h2", "host"] if with_host else ["_h1", "_h2"]
+        rows = _with_hashes(
+            accepted.select(*(["url", "host"] if with_host else ["url"]))
+        ).select(*cols).collect()
+        delta = BloomState(nb, m, k)
+        if rows:
+            h1 = np.array([r["_h1"] for r in rows], dtype=np.int64).view(np.uint64)
+            h2 = np.array([r["_h2"] for r in rows], dtype=np.int64).view(np.uint64)
+            delta.add_hashes(h1, h2)
+        if collect_hosts:
+            return delta, {r["host"] for r in rows} if with_host else set()
+        return delta
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
         st = BloomState(1, m, k)
