@@ -166,3 +166,37 @@ def test_capacity_autosplit_doubles_buckets_and_keeps_equality(spark, tmp_path):
     store.release()
     # key accounting survived the rebuild (each url counted exactly once)
     assert store.bloom_keys() == len(seen)
+
+
+def test_resume_after_autosplit_stays_equal(spark, tmp_path):
+    """Kill the crawl right after a capacity resplit, resume from the
+    committed manifest, and run to completion: the resumed run must load
+    the doubled store from the snapshot and end bit-equal to the oracle
+    (resume × resplit composition)."""
+    from crawlspark import synthetic
+    from crawlspark.crawl import CrawlConfig, run_crawl
+    from crawlspark.oracle import crawl_oracle
+    from crawlspark.tables import SnapshotCatalog
+
+    spec = synthetic.WebSpec(scale=0.25)
+    wh = str(tmp_path / "wh")
+    base = dict(warehouse=wh, spec=spec, budget_override=10,
+                bloom_partitioned=True, bloom_buckets=2, bloom_bits=1 << 9,
+                compact_every=2, bloom_target_fpr=0.001)
+    # phase 1: stop at batch 4 (first resplit lands at a compaction <= 4)
+    run_crawl(spark, CrawlConfig(max_batches=4, **base))
+    cat = SnapshotCatalog(spark, wh)
+    mid = cat.latest()
+    assert mid["state"].get("bloom_resplit_to", 0) > 2, \
+        "test premise: resplit must land before the kill point"
+    # phase 2: resume to completion
+    run_crawl(spark, CrawlConfig(max_batches=8, **base), resume=True)
+    m = cat.latest()
+    store = cat.load_bloom_store(m)
+    assert store.n_buckets == mid["state"]["bloom_resplit_to"] or \
+        store.n_buckets > mid["state"]["bloom_resplit_to"]  # may double again
+    ora = crawl_oracle(spec, max_batches=8, budget_override=10)
+    seen = {r["url"] for r in cat.read("urlseen").collect()}
+    assert seen == ora.seen
+    docs = {r["doc_id"] for r in cat.read("documents").collect()}
+    assert docs == set(ora.docs)
