@@ -44,6 +44,12 @@ def main():
                     help="with --recrawl: refetch cache entries older than "
                          "N commits (HTTPCACHE_EXPIRATION_SECS analog); "
                          "default serves cached articles forever")
+    ap.add_argument("--bloom-target-fpr", type=float, default=0.01,
+                    help="design FPR for the capacity auto-guard: past 10x "
+                         "this, compaction doubles the bucket count "
+                         "(partitioned layout)")
+    ap.add_argument("--no-bloom-autosplit", action="store_true",
+                    help="disable the capacity auto-guard")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,6 +75,8 @@ def main():
         bloom_partitioned=True if args.bloom_partitioned else None,
         use_fetch_cache=args.recrawl,
         fetch_cache_max_age_snaps=args.cache_max_age,
+        bloom_target_fpr=args.bloom_target_fpr,
+        bloom_autosplit=not args.no_bloom_autosplit,
     )
     if args.recrawl:
         from crawlspark.crawl import reset_for_recrawl
