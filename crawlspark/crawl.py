@@ -74,6 +74,11 @@ class CrawlConfig:
     # O(final seen set), amortized O(1) bits per key.
     bloom_target_fpr: float = 0.01
     bloom_autosplit: bool = True
+    # reference SEARCH_ENTIRE_WEBSITE (:34, default 1): True follows every
+    # anchor; False = targeted pagination — domains with a next_page_text
+    # rule follow only their "Next Page"-style anchor (:751-758), others
+    # extract every anchor in both modes
+    search_entire_site: bool = True
 
     def __post_init__(self):
         if self.expected_urls:
@@ -536,7 +541,8 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # partition count sized to the batch (~100 pages/partition) so small
     # politeness batches don't pay a full worker-pool spin-up
     pipe = fetch_parse_stage(
-        scheduled, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100)
+        scheduled, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100),
+        entire_site=cfg.search_entire_site,
     ).persist()
     _t = _time.time()
     if n_sched > 1000:

@@ -77,6 +77,14 @@ class DomainRules:
     # pill, a.format-summary.download-pill:contains("FULL TEXT"),
     # :1333-1337)
     card_text_containing: tuple = ()
+    # TARGETED pagination mode (reference SEARCH_ENTIRE_WEBSITE=0,
+    # :34,:175,:336,:751): None = this domain extracts every anchor even
+    # in targeted mode (the cna/philstar/inquirer branches are
+    # a::attr(href) getall unconditionally); a tuple = only the FIRST
+    # anchor whose text contains one of the strings is followed (the
+    # straitstimes branch's a:contains("Next Page")::attr(href) .get(),
+    # :751-758)
+    next_page_text: tuple | None = None
 
 
 DEFAULT_RULES = DomainRules()
@@ -156,6 +164,14 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
         host_key="archive.example",
         card_selectors=(("a", "download-pill"),),
         card_text_containing=("FULL TEXT",),
+    ),
+    # straitstimes analog — targeted-mode pagination follows ONLY the
+    # "Next Page" anchor (reference :751-758); entire-site mode is
+    # unaffected (next_page_text is consulted only when
+    # search_entire_site=False)
+    DomainRules(
+        host_key="stimes.example",
+        next_page_text=("Next Page",),
     ),
 )
 

@@ -128,6 +128,25 @@ def extract_links(html: str) -> list[str]:
     return out
 
 
+def extract_targeted_links(html: str, host: str) -> list[str]:
+    """Targeted-pagination link extraction (reference
+    SEARCH_ENTIRE_WEBSITE=0, :751-829): domains with a ``next_page_text``
+    rule follow only the FIRST anchor whose text contains one of the
+    configured strings (straitstimes a:contains("Next Page") .get(),
+    :751-758); domains without one extract every anchor, exactly as the
+    reference's cna/philstar/inquirer branches do in both modes."""
+    from crawlspark.extract_rules import rules_for_host
+
+    r = rules_for_host(host)
+    if r.next_page_text is None:
+        return extract_links(html)
+    root = parse_html(html)
+    for a in root.find_all("a"):
+        if a.attrs.get("href") and any(s in a.text() for s in r.next_page_text):
+            return [a.attrs["href"]]
+    return []
+
+
 def _first_match(root: Node, chain) -> Node | None:
     """Ordered selector-fallback resolution: the FIRST selector in the
     chain with a match wins — the reference's `css(a) or css(b)` /

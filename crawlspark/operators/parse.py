@@ -18,7 +18,8 @@ from crawlspark import html_parse, schemas, synthetic
 from crawlspark.functions import urls as U
 
 
-def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, body: str, meta):
+def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, body: str, meta,
+               entire_site: bool = True):
     out = []
 
     def rec(**kw):
@@ -43,7 +44,9 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
                 rec(rec="link", link=canon, link_kind="article",
                     meta={"title": c["title"], "date": c["date"], "article_url": canon})
             )
-        for href in html_parse.extract_links(body):
+        more = (html_parse.extract_links(body) if entire_site
+                else html_parse.extract_targeted_links(body, host))
+        for href in more:
             canon = U.fix_url_py(href, url)
             if canon in card_links:
                 continue  # already emitted with meta
@@ -71,7 +74,7 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
     return out
 
 
-def parse_stage(fetched: DataFrame) -> DataFrame:
+def parse_stage(fetched: DataFrame, entire_site: bool = True) -> DataFrame:
     """FETCHED (status==200 rows) → PARSED union rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,7 +84,8 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 meta = r.meta if isinstance(r.meta, dict) else None
                 rows.extend(
-                    _parse_row(r.final_url or r.url, r.host, r.depth, r.page_kind, r.status, r.body, meta)
+                    _parse_row(r.final_url or r.url, r.host, r.depth, r.page_kind, r.status, r.body, meta,
+                               entire_site=entire_site)
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)

@@ -56,7 +56,7 @@ _PIPE_COLS = [f.name for f in PIPE.fields]
 
 def fetch_parse_stage(
     scheduled: DataFrame, spec: synthetic.WebSpec, num_partitions: int | None = None,
-    fetch_fn=None,
+    fetch_fn=None, entire_site: bool = True,
 ) -> DataFrame:
     """scheduled(FRONTIER rows) → PIPE union rows (fetch/link/doc).
 
@@ -104,7 +104,8 @@ def fetch_parse_stage(
                 if status != 200 or decode_error:
                     continue
                 for p in _parse_row(final_url or r.url, r.host, int(r.depth),
-                                    r.page_kind, status, body, meta):
+                                    r.page_kind, status, body, meta,
+                                    entire_site=entire_site):
                     # parse rows are keyed by the PARSED url (= final_url
                     # under a redirect), matching the unfused parse_stage —
                     # link src_url / min_by winners agree fused vs unfused

@@ -37,6 +37,7 @@ def crawl_oracle(
     max_depth: int = 64,
     budget_override: int | None = None,
     seed_urls: list[str] | None = None,
+    entire_site: bool = True,
 ) -> OracleResult:
     res = OracleResult()
     hosts: dict[str, dict] = {}
@@ -127,7 +128,9 @@ def crawl_oracle(
                     card_links.add(canon)
                     _add_candidate(candidates, canon, r, "article",
                                    {"title": c["title"], "date": c["date"], "article_url": canon})
-                for href in html_parse.extract_links(body):
+                more = (html_parse.extract_links(body) if entire_site
+                        else html_parse.extract_targeted_links(body, r["host"]))
+                for href in more:
                     canon = U.fix_url_py(href, page_url)
                     if canon in card_links:
                         continue

@@ -2782,6 +2782,58 @@ def html_archive_pill(spark, sf_dir):
     return src.mapInPandas(run, schema="doc_id long, link string, title string")
 
 
+@q(
+    "html_next_page_targeted",
+    """
+    SELECT doc_id, 'targeted' AS mode, 0 AS slot,
+           'https://www.stimes.example/section/1/page/' || (doc_id % 7 + 1) AS link
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'entire', i,
+           CASE i
+             WHEN 0 THEN 'https://www.cna.example/news/' || doc_id || '-a'
+             WHEN 1 THEN 'https://www.cna.example/news/' || doc_id || '-b'
+             ELSE 'https://www.cna.example/section/1/page/' || (doc_id % 7 + 1)
+           END
+    FROM documents, unnest([0, 1, 2]) AS t(i)
+    """,
+)
+def html_next_page_targeted(spark, sf_dir):
+    """Targeted-pagination mode (reference SEARCH_ENTIRE_WEBSITE=0,
+    :751-758): a stimes-rule host follows ONLY the first 'Next Page'
+    anchor; a host with no next_page_text rule (cna branch) extracts every
+    anchor even in targeted mode.  Closed-form oracle: 1 targeted row + 3
+    entire rows per doc."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_targeted_links
+
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                nxt = i % 7 + 1
+                for host, mode in (("www.stimes.example", "targeted"),
+                                   ("www.cna.example", "entire")):
+                    dom = host.split("www.")[1].split(".example")[0]
+                    html = (
+                        f"<a href=\"https://www.{dom}.example/news/{i}-a\">Story A</a>"
+                        f"<a href=\"https://www.{dom}.example/news/{i}-b\">Story B</a>"
+                        f"<a href=\"https://www.{dom}.example/section/1/page/{nxt}\">Next Page</a>"
+                    )
+                    for slot, link in enumerate(extract_targeted_links(html, host)):
+                        rows.append({"doc_id": i, "mode": mode, "slot": slot,
+                                     "link": link})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "mode", "slot", "link"])
+
+    return src.mapInPandas(run, schema="doc_id long, mode string, slot int, link string")
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -2807,6 +2859,10 @@ _DEMOTED = [
     "interleaved_stats",
     "embed_cosine_topk",
     "fetched_cache_antijoin",
+    # window room for html_next_page_targeted; interleaved family keeps
+    # interleaved_explode, cleanup ops keep their own windowed rows
+    # (footnote_truncate, media_credit_strip, whitespace_cleanup)
+    "interleaved_clean_renumber",
 ]
 
 

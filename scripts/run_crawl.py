@@ -50,6 +50,10 @@ def main():
                          "(partitioned layout)")
     ap.add_argument("--no-bloom-autosplit", action="store_true",
                     help="disable the capacity auto-guard")
+    ap.add_argument("--targeted", action="store_true",
+                    help="targeted pagination (SEARCH_ENTIRE_WEBSITE=0 "
+                         "analog): follow only per-domain next-page "
+                         "anchors instead of every link")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -77,6 +81,7 @@ def main():
         fetch_cache_max_age_snaps=args.cache_max_age,
         bloom_target_fpr=args.bloom_target_fpr,
         bloom_autosplit=not args.no_bloom_autosplit,
+        search_entire_site=not args.targeted,
     )
     if args.recrawl:
         from crawlspark.crawl import reset_for_recrawl

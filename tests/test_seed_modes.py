@@ -184,3 +184,31 @@ def test_seed_file_matches_driver_loop_exactly(spark, tmp_path):
         if r is not None and r[0] not in expect:
             expect[r[0]] = (r[0], r[2], r[8], r[4])
     assert got == set(expect.values())
+
+
+def test_targeted_pagination_mode_matches_oracle(spark, tmp_path):
+    """SEARCH_ENTIRE_WEBSITE=0 analog: with search_entire_site=False the
+    stimes host follows only its 'Next Page' anchor while rule-less hosts
+    extract every anchor — engine and oracle must agree on the seen set
+    and docs, and stimes coverage must SHRINK vs entire-site mode."""
+    from crawlspark.crawl import CrawlConfig, run_crawl
+    from crawlspark.oracle import crawl_oracle
+    from crawlspark.tables import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    cfg = CrawlConfig(warehouse=wh, spec=SPEC, max_batches=6,
+                      budget_override=10, search_entire_site=False)
+    run_crawl(spark, cfg)
+    ora = crawl_oracle(SPEC, max_batches=6, budget_override=10,
+                       entire_site=False)
+    cat = SnapshotCatalog(spark, wh)
+    seen = {r["url"] for r in cat.read("urlseen").collect()}
+    assert seen == ora.seen
+    docs = {r["doc_id"] for r in cat.read("documents").collect()}
+    assert docs == set(ora.docs)
+    # targeted mode discovers strictly fewer stimes URLs than entire-site
+    full = crawl_oracle(SPEC, max_batches=6, budget_override=10,
+                        entire_site=True)
+    stimes = {u for u in seen if "stimes" in u}
+    stimes_full = {u for u in full.seen if "stimes" in u}
+    assert stimes < stimes_full
