@@ -77,6 +77,13 @@ class DomainRules:
     # pill, a.format-summary.download-pill:contains("FULL TEXT"),
     # :1333-1337)
     card_text_containing: tuple = ()
+    # attribute-carried cards (reference cna branch :1366-1373: a
+    # div.quick-link holds its title in data-heading and its link in
+    # data-link_absolute — no anchor at all).  Each entry is
+    # (tag, class, link_attr, title_attr); a node matches when it carries
+    # the link attribute.  Checked IN ADDITION to card_selectors, in
+    # document order with them.
+    card_attr_selectors: tuple = ()
     # TARGETED pagination mode (reference SEARCH_ENTIRE_WEBSITE=0,
     # :34,:175,:336,:751): None = this domain extracts every anchor even
     # in targeted mode (the cna/philstar/inquirer branches are
@@ -172,6 +179,15 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
     DomainRules(
         host_key="stimes.example",
         next_page_text=("Next Page",),
+    ),
+    # cna analog — attribute-carried quick-link cards alongside the
+    # standard div.card (reference :1366-1373: data-heading +
+    # data-link_absolute, no anchor element)
+    DomainRules(
+        host_key="cna.example",
+        card_attr_selectors=(
+            ("div", "quick-link", "data-link_absolute", "data-heading"),
+        ),
     ),
 )
 

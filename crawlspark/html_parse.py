@@ -174,6 +174,25 @@ def extract_listing_cards(html: str, host: str = "") -> list[dict]:
     for node in root.iter():
         if not isinstance(node, Node):
             continue
+        # attribute-carried cards (reference cna quick-link :1366-1373):
+        # title and link live in attributes, no anchor element at all
+        attr_hit = next(
+            (s for s in r.card_attr_selectors
+             if node.tag == s[0] and (s[1] is None or s[1] in node.classes())
+             and node.attrs.get(s[2])),
+            None,
+        )
+        if attr_hit is not None:
+            _tag, _cls, link_attr, title_attr = attr_hit
+            date_el = _first_match(node, r.card_date_chain)
+            cards.append(
+                {
+                    "link": node.attrs[link_attr],
+                    "title": (node.attrs.get(title_attr) or "").strip() or None,
+                    "date": date_el.text().strip() if date_el is not None else None,
+                }
+            )
+            continue
         if not any(
             node.tag == tag and (cls is None or cls in node.classes())
             for tag, cls in card_sels

@@ -2834,6 +2834,56 @@ def html_next_page_targeted(spark, sf_dir):
     return src.mapInPandas(run, schema="doc_id long, mode string, slot int, link string")
 
 
+@q(
+    "html_attr_cards",
+    """
+    SELECT doc_id, 0 AS slot,
+           'https://www.cna.example/news/' || doc_id || '-q' AS link,
+           'Quick ' || doc_id AS title,
+           '2021-05-01' AS date
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'https://www.cna.example/news/' || doc_id || '-c',
+           'Card ' || doc_id, '2021-06-01' FROM documents
+    """,
+)
+def html_attr_cards(spark, sf_dir):
+    """Attribute-carried cards (cna rule row; reference quick-link branch
+    :1366-1373): a div.quick-link with data-heading/data-link_absolute and
+    NO anchor surfaces as a card, in document order alongside a standard
+    div.card; a quick-link missing the link attribute is a decoy."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_listing_cards
+
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                u = f"https://www.cna.example/news/{i}"
+                html = (
+                    f"<div class='quick-link' data-heading=\"Quick {i}\" "
+                    f"data-link_absolute=\"{u}-q\">"
+                    "<span class='date'>2021-05-01</span></div>"
+                    f"<div class='card'><a href=\"{u}-c\">Card {i}</a>"
+                    "<span class='date'>2021-06-01</span></div>"
+                    f"<div class='quick-link' data-heading=\"Decoy {i}\"></div>"
+                )
+                for slot, c in enumerate(extract_listing_cards(html, "www.cna.example")):
+                    rows.append({"doc_id": i, "slot": slot, "link": c["link"],
+                                 "title": c["title"], "date": c["date"]})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "slot", "link", "title", "date"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, slot int, link string, title string, date string"
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -2863,6 +2913,8 @@ _DEMOTED = [
     # interleaved_explode, cleanup ops keep their own windowed rows
     # (footnote_truncate, media_credit_strip, whitespace_cleanup)
     "interleaved_clean_renumber",
+    # window room for html_attr_cards; streaming keeps stream_dedup
+    "stream_rate_limit",
 ]
 
 

@@ -204,6 +204,14 @@ def listing_html(spec: WebSpec, host: str, section: int, page: int) -> str:
                 f"<li class='story'><a href=\"{href}\">{title}</a>"
                 f"<time>{date}</time></li>",
             ][slot % 3])
+        elif "cna.example" in host and slot % 3 == 2:
+            # attribute-carried quick-link card (reference :1366-1373) —
+            # the cna rule row must read data-link_absolute/data-heading
+            parts.append(
+                f"<div class='quick-link' data-heading=\"{title}\" "
+                f"data-link_absolute=\"{href}\">"
+                f"<span class='date'>{date}</span></div>"
+            )
         elif "fmt.example" in host:
             # anchor-in-container variants the fmt rule row must cover
             # (reference malaysianow selector set :1151-1165)
