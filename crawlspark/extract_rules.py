@@ -179,12 +179,26 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
     DomainRules(
         host_key="stimes.example",
         next_page_text=("Next Page",),
+        # date fallback ending in an ATTRIBUTE source (reference :2077-2086:
+        # ... time::text or time::attr(datetime) or
+        # time[itemprop="datePublished"]::attr(datetime))
+        date_chain=(
+            ("span", "pubdate"),
+            ("time", None),
+            ("time", ("itemprop", "datePublished"), "datetime"),
+        ),
     ),
     # cna analog — attribute-carried quick-link cards alongside the
     # standard div.card (reference :1366-1373: data-heading +
-    # data-link_absolute, no anchor element)
+    # data-link_absolute, no anchor element), and the meta og:title
+    # article-title fallback (reference :1367: meta[property="og:title"]
+    # ::attr(content))
     DomainRules(
         host_key="cna.example",
+        title_chain=(
+            ("h1", None),
+            ("meta", ("property", "og:title"), "content"),
+        ),
         card_attr_selectors=(
             ("div", "quick-link", "data-link_absolute", "data-heading"),
         ),

@@ -159,6 +159,38 @@ def _first_match(root: Node, chain) -> Node | None:
     return None
 
 
+def _first_chain_value(root: Node, chain) -> str | None:
+    """Like _first_match but yielding the VALUE, with attribute-sourced
+    entries: a 2-tuple (tag, cls) resolves to the element's text; a
+    3-tuple (tag, cls_or_(attr,val), content_attr) resolves to an
+    attribute value — the reference's `::attr(content)` /
+    `::attr(datetime)` fallback forms (cna meta og:title :1362-1368,
+    straitstimes time[itemprop=datePublished]::attr(datetime) :2086)."""
+    for sel in chain:
+        if len(sel) == 2:
+            tag, cls = sel
+            el = next(root.find_all(tag, cls=cls), None)
+            if el is not None:
+                t = el.text().strip()
+                if t:
+                    return t
+                # text-less element: the reference's `::text` .get() yields
+                # None here and the or-chain falls through (e.g. a bare
+                # <time datetime=...> resolving via the attr entry, :2086)
+        else:
+            tag, cls, attr = sel
+            for n in root.find_all(tag):
+                if isinstance(cls, tuple):
+                    if n.attrs.get(cls[0]) != cls[1]:
+                        continue
+                elif cls is not None and cls not in n.classes():
+                    continue
+                v = n.attrs.get(attr)
+                if v:
+                    return v.strip()
+    return None
+
+
 def extract_listing_cards(html: str, host: str = "") -> list[dict]:
     """Listing-card (title, date, link) triples (reference parse_articles /
     parse_article :989-1613).  Card selectors come from the host's rule
@@ -184,12 +216,11 @@ def extract_listing_cards(html: str, host: str = "") -> list[dict]:
         )
         if attr_hit is not None:
             _tag, _cls, link_attr, title_attr = attr_hit
-            date_el = _first_match(node, r.card_date_chain)
             cards.append(
                 {
                     "link": node.attrs[link_attr],
                     "title": (node.attrs.get(title_attr) or "").strip() or None,
-                    "date": date_el.text().strip() if date_el is not None else None,
+                    "date": _first_chain_value(node, r.card_date_chain),
                 }
             )
             continue
@@ -207,12 +238,11 @@ def extract_listing_cards(html: str, host: str = "") -> list[dict]:
             s in a.text() for s in r.card_text_containing
         ):
             continue
-        date_el = _first_match(node, r.card_date_chain)
         cards.append(
             {
                 "link": a.attrs["href"],
                 "title": a.text().strip() or None,
-                "date": date_el.text().strip() if date_el is not None else None,
+                "date": _first_chain_value(node, r.card_date_chain),
             }
         )
     return cards
@@ -258,10 +288,8 @@ def extract_article(html: str, host: str) -> dict:
 
     r = rules_for_host(host)
     root = parse_html(html)
-    title_el = _first_match(root, r.title_chain)
-    title = title_el.text().strip() if title_el is not None else None
-    date_el = _first_match(root, r.date_chain)
-    date_raw = date_el.text().strip() if date_el is not None else None
+    title = _first_chain_value(root, r.title_chain)
+    date_raw = _first_chain_value(root, r.date_chain)
 
     body = _first_match(root, r.body_chain)
     spans: list[tuple[str, str | None, str | None]] = []

@@ -2884,6 +2884,53 @@ def html_attr_cards(spark, sf_dir):
     )
 
 
+@q(
+    "html_attr_fallbacks",
+    """
+    SELECT doc_id, 'Story ' || doc_id AS title, '2021-07-0' || (doc_id % 9 + 1) AS date_raw
+    FROM documents
+    """,
+)
+def html_attr_fallbacks(spark, sf_dir):
+    """Attribute-sourced fallback chain entries (reference
+    meta[property=og:title]::attr(content) :1367 and
+    time[itemprop=datePublished]::attr(datetime) :2086): a cna article
+    with no h1 resolves its title from the og:title meta tag, and a
+    stimes-rule page with a text-less <time> falls THROUGH the text entry
+    to the datetime attribute (the reference ::text .get() yields None for
+    a text-less element)."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                dt = f"2021-07-0{i % 9 + 1}"
+                cna_html = (
+                    f"<meta property='og:title' content=\"Story {i}\">"
+                    "<div class='article-body'><p>body text</p></div>"
+                )
+                st_html = (
+                    f"<h1>Story {i}</h1>"
+                    f"<time itemprop='datePublished' datetime=\"{dt}\"></time>"
+                    "<div class='article-body'><p>body text</p></div>"
+                )
+                a = extract_article(cna_html, "www.cna.example")
+                b = extract_article(st_html, "www.stimes.example")
+                rows.append({"doc_id": i, "title": a["title"],
+                             "date_raw": b["date_raw"]})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "title", "date_raw"])
+
+    return src.mapInPandas(run, schema="doc_id long, title string, date_raw string")
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -2915,6 +2962,9 @@ _DEMOTED = [
     "interleaved_clean_renumber",
     # window room for html_attr_cards; streaming keeps stream_dedup
     "stream_rate_limit",
+    # window room for html_attr_fallbacks; dedup family keeps exact,
+    # minhash_lsh and cluster_roots windowed
+    "dedup_simhash",
 ]
 
 

@@ -331,6 +331,16 @@ def article_html(spec: WebSpec, host: str, aid: int) -> str:
     else:
         open_t, close_t = "<div class='article-body'>", "</div>"
         header = f"<h1>{title}</h1><span class='pubdate'>{date}</span>"
+        if "cna.example" in host and aid % 11 == 0:
+            # og:title-only variant (reference :1367: no h1, title in
+            # meta[property="og:title"]::attr(content))
+            header = (f"<meta property='og:title' content=\"{title}\">"
+                      f"<span class='pubdate'>{date}</span>")
+        elif "stimes.example" in host and aid % 9 == 0:
+            # bare-time variant (reference :2086: no pubdate span, no time
+            # text — date only in time[itemprop=datePublished]@datetime)
+            header = (f"<h1>{title}</h1>"
+                      f"<time itemprop='datePublished' datetime=\"{date}\"></time>")
     return (
         f"<html><body>{header}"
         f"{open_t}{body}{close_t}"
