@@ -62,6 +62,13 @@ class DomainRules:
     # dropped (reference thestar not(.//span[contains(@class,
     # "inline-caption")]), :2195)
     drop_p_with: tuple = ()
+    # per-domain raw-date post-splits applied IN ORDER after the date
+    # chain resolves: date = date.split(token)[index], then strip — the
+    # reference's straitstimes 'PUBLISHED: '[-1] (:2082-2083), nst
+    # ' @ '[0] (:2190-2191) and bangkokpost "PUBLISHED :"[-1]
+    # / "published :"[-1] / " at "[0] chain (:2297-2300).  split() on an
+    # absent token is a no-op, exactly like the reference's guards.
+    date_splits: tuple = ()
     # suffix for the LAST stitched <li> item.  The default branches append
     # ',' between items and '.' after the last (:2139-2152); the thestar
     # branch appends ',' to every li text EXCEPT the last and leaves the
@@ -127,6 +134,7 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
             ("div", "article-content"),
             ("div", "article-body"),
         ),
+        date_splits=(("PUBLISHED :", -1), ("published :", -1), (" at ", 0)),
     ),
     # nst analog — listing-card selector UNION + card-date fallback
     # (reference :1070-1101 card selector groups)
@@ -134,6 +142,7 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
         host_key="mnow.example",
         card_selectors=(("div", "card"), ("div", "article-teaser"), ("li", "story")),
         card_date_chain=(("span", "date"), ("time", None)),
+        date_splits=((" @ ", 0),),
     ),
     # thestar analog — the photo-div + li-stitching combination
     # (reference :2195-2211): p-level class exclusions, inline-caption
@@ -187,6 +196,7 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
             ("time", None),
             ("time", ("itemprop", "datePublished"), "datetime"),
         ),
+        date_splits=(("PUBLISHED: ", -1),),
     ),
     # cna analog — attribute-carried quick-link cards alongside the
     # standard div.card (reference :1366-1373: data-heading +

@@ -290,6 +290,12 @@ def extract_article(html: str, host: str) -> dict:
     root = parse_html(html)
     title = _first_chain_value(root, r.title_chain)
     date_raw = _first_chain_value(root, r.date_chain)
+    if date_raw is not None and r.date_splits:
+        # per-domain raw-date post-splits (reference :2082-2083,
+        # :2190-2191, :2297-2300); split() on an absent token is a no-op
+        for token, idx in r.date_splits:
+            date_raw = date_raw.split(token)[idx]
+        date_raw = date_raw.strip()
 
     body = _first_match(root, r.body_chain)
     spans: list[tuple[str, str | None, str | None]] = []

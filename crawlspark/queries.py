@@ -2931,6 +2931,56 @@ def html_attr_fallbacks(spark, sf_dir):
     return src.mapInPandas(run, schema="doc_id long, title string, date_raw string")
 
 
+@q(
+    "html_date_splits",
+    """
+    SELECT doc_id,
+           'March ' || (doc_id % 28 + 1) || ', 2021' AS stimes_date,
+           'March ' || (doc_id % 28 + 1) || ', 2021' AS bpost_date,
+           'March ' || (doc_id % 28 + 1) || ', 2021' AS mnow_date
+    FROM documents
+    """,
+)
+def html_date_splits(spark, sf_dir):
+    """Per-domain raw-date post-splits (reference :2082-2083 straitstimes
+    'PUBLISHED: '[-1], :2297-2300 bangkokpost 'PUBLISHED :'[-1]+' at '[0],
+    :2190-2191 nst ' @ '[0]): three decorated forms all reduce to the same
+    clean date string through their hosts' date_splits rules."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+
+    d = T(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                clean = f"March {i % 28 + 1}, 2021"
+                body = "<div class='article-body'><p>body text</p></div>"
+                st = extract_article(
+                    f"<h1>T</h1><span class='pubdate'>PUBLISHED: {clean}</span>" + body,
+                    "www.stimes.example")
+                bp = extract_article(
+                    f"<h1>T</h1><span class='pubdate'>PUBLISHED : {clean} at 12:42</span>" + body,
+                    "www.bpost.example")
+                mn = extract_article(
+                    f"<h1>T</h1><span class='pubdate'>{clean} @ Asia Desk</span>" + body,
+                    "www.mnow.example")
+                rows.append({"doc_id": i, "stimes_date": st["date_raw"],
+                             "bpost_date": bp["date_raw"],
+                             "mnow_date": mn["date_raw"]})
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "stimes_date", "bpost_date", "mnow_date"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, stimes_date string, bpost_date string, mnow_date string"
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -2965,6 +3015,9 @@ _DEMOTED = [
     # window room for html_attr_fallbacks; dedup family keeps exact,
     # minhash_lsh and cluster_roots windowed
     "dedup_simhash",
+    # window room for html_date_splits; card family keeps card_union,
+    # anchor_cards and attr_cards windowed (card_extract is r01-r03 green)
+    "html_card_extract",
 ]
 
 

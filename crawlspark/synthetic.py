@@ -328,6 +328,11 @@ def article_html(spec: WebSpec, host: str, aid: int) -> str:
             ("<div class='article-body'>", "</div>"),
         ][aid % 4]
         header = f"<h1>{title}</h1><span class='pubdate'>{date}</span>"
+        if aid % 7 == 0:
+            # decorated-date variant the bpost date_splits chain must
+            # undo (reference :2297-2300)
+            header = (f"<h1>{title}</h1>"
+                      f"<span class='pubdate'>PUBLISHED : {date} at 12:42</span>")
     else:
         open_t, close_t = "<div class='article-body'>", "</div>"
         header = f"<h1>{title}</h1><span class='pubdate'>{date}</span>"
@@ -341,6 +346,11 @@ def article_html(spec: WebSpec, host: str, aid: int) -> str:
             # text — date only in time[itemprop=datePublished]@datetime)
             header = (f"<h1>{title}</h1>"
                       f"<time itemprop='datePublished' datetime=\"{date}\"></time>")
+        elif "stimes.example" in host and aid % 9 == 5:
+            # byline-decorated variant the stimes date_splits must undo
+            # (reference :2082-2083)
+            header = (f"<h1>{title}</h1>"
+                      f"<span class='pubdate'>PUBLISHED: {date}</span>")
     return (
         f"<html><body>{header}"
         f"{open_t}{body}{close_t}"
