@@ -28,6 +28,14 @@ PROMOTED = [
     "stream_dedup",
     "stratified_sample",
     "doc_length_quantiles",
+    # round-4 surface
+    "html_tstar_spans",
+    "html_anchor_cards",
+    "html_archive_pill",
+    "html_next_page_targeted",
+    "html_attr_cards",
+    "html_attr_fallbacks",
+    "html_date_splits",
 ]
 
 
