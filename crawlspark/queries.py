@@ -2981,6 +2981,69 @@ def html_date_splits(spark, sf_dir):
     )
 
 
+# ---- Training-data curation: paragraph-DF boilerplate detection ----------
+
+_B1 = "please subscribe to our newsletter for daily covid updates today"
+_B2 = "download our mobile app to read the full story now"
+
+
+@q(
+    "paragraph_boilerplate",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '{_B1} {_B2} ' || text
+                  ELSE '{_B1} ' || text END AS text2
+      FROM documents),
+    w AS (SELECT doc_id, string_split(text2, ' ') AS ws FROM t),
+    p AS (
+      SELECT doc_id,
+             array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS para
+      FROM w, unnest(range(1, CAST(ceil(len(ws)/10.0) AS INT) + 1)) AS u(i)),
+    h AS (SELECT doc_id, md5(para) AS ph FROM p),
+    dfreq AS (SELECT ph, count(DISTINCT doc_id) AS df FROM h GROUP BY ph)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN df >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+    FROM h JOIN dfreq USING (ph)
+    GROUP BY doc_id
+    """,
+)
+def paragraph_boilerplate(spark, sf_dir):
+    """CCNet-style boilerplate detection by paragraph document frequency:
+    segment each document into deterministic 10-word chunks, hash each
+    (md5 — the driver-contract shared hash), count the DISTINCT documents
+    carrying each hash, and flag chunks whose document frequency passes
+    the threshold as boilerplate (the planted newsletter/app chunks; every
+    natural chunk is unique).  At 100 TB this is two hash-keyed shuffles —
+    chunk-hash -> partial-agg'd distinct-doc count, then the df join back
+    — with nothing driver-resident; the 10-word chunking is row-local."""
+    d = T(spark, sf_dir, "documents")
+    text2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(_B1 + " " + _B2 + " "), F.col("text")),
+    ).otherwise(F.concat(F.lit(_B1 + " "), F.col("text")))
+    words = F.split(text2, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+    )
+    h = d.select("doc_id", F.explode(paras).alias("para")).select(
+        "doc_id", F.md5("para").alias("ph")
+    )
+    dfreq = h.groupBy("ph").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        h.join(dfreq, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum((F.col("df") >= 50).cast("long")).alias("n_boiler"),
+        )
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -3018,6 +3081,9 @@ _DEMOTED = [
     # window room for html_date_splits; card family keeps card_union,
     # anchor_cards and attr_cards windowed (card_extract is r01-r03 green)
     "html_card_extract",
+    # window room for paragraph_boilerplate; J3 keeps redirect_flag and
+    # the e2e redirect coverage (redirect_discovery is r01-r03 green)
+    "html_redirect_discovery",
 ]
 
 

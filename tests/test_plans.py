@@ -222,3 +222,13 @@ def test_seed_union_compiles_without_codegen_fallback(spark, qs):
         assert qs["url_canonicalize"](spark, SF).count() > 0
     finally:
         spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+def test_paragraph_boilerplate_bounded_shuffles(spark, qs):
+    """The paragraph-DF job must stay at hash-keyed exchanges only (chunk
+    hash for the df count/join, doc_id for the final agg) with map-side
+    partial aggregation — no broadcast of the big side, no extra
+    repartition."""
+    p = _plan(spark, qs["paragraph_boilerplate"](spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 4, p.count("Exchange")
+    assert "partial_count" in p or "HashAggregate" in p  # map-side combine
