@@ -116,7 +116,7 @@ def main():
         mark("before_wide_batch")
         wb_runs = []
         wb_pages = None
-        for _ in range(max(2, min(repeats, 2))):  # 2 runs: it is ~15-18s each
+        for _ in range(min(max(repeats, 1), 2)):  # capped at 2: ~12-18s each
             wh2 = tempfile.mkdtemp(prefix="benchwb-")
             try:
                 wb = benchlib.bench_crawl_batch(spark, wh2, scale=40.0)

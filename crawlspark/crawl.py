@@ -166,10 +166,7 @@ def _invariant_cols(spark: SparkSession) -> dict:
         .otherwise(F.lit("failed"))
     )
     c = {
-        "outcome": outcome,
         "outcome_aliased": outcome.alias("outcome"),
-        "link_host": lhost,
-        "link_domain": U.domain_expr(F.col("link_host")),
         "link_skip": U.skip_filter_expr(
             F.col("link"), F.col("link_host"), F.col("link_domain")
         ),

@@ -104,6 +104,8 @@ def export_incremental(
     else:
         out = docs
     out.write.mode("append").partitionBy(*partition_by).parquet(out_dir)
-    return {"rows": docs.count(), "since_snap": since_snap,
+    # report the rows actually WRITTEN (spans mode explodes, so doc count
+    # would disagree with the shard row count a pipeline validates against)
+    return {"rows": out.count(), "since_snap": since_snap,
             "export_snap": export_snap, "mode": mode,
             "files_read": len(delta_files)}

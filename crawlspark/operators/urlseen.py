@@ -134,17 +134,25 @@ def bloom_delta(
 
     if small_batch_rows is not None and small_batch_rows <= 50_000:
         cols = ["_h1", "_h2", "host"] if with_host else ["_h1", "_h2"]
+        # the caller's bound is an ESTIMATE (pages × assumed links/page) —
+        # hard-cap the driver's exposure with limit(cap+1): if the batch
+        # actually exceeds the cap (link-farm pages), fall through to the
+        # distributed path below instead of materializing an unbounded
+        # collect.  The probe touched only the (persisted) input, so the
+        # fallback recomputes nothing upstream.
+        cap = 50_000
         rows = _with_hashes(
             accepted.select(*(["url", "host"] if with_host else ["url"]))
-        ).select(*cols).collect()
-        delta = BloomState(nb, m, k)
-        if rows:
-            h1 = np.array([r["_h1"] for r in rows], dtype=np.int64).view(np.uint64)
-            h2 = np.array([r["_h2"] for r in rows], dtype=np.int64).view(np.uint64)
-            delta.add_hashes(h1, h2)
-        if collect_hosts:
-            return delta, {r["host"] for r in rows} if with_host else set()
-        return delta
+        ).select(*cols).limit(cap + 1).collect()
+        if len(rows) <= cap:
+            delta = BloomState(nb, m, k)
+            if rows:
+                h1 = np.array([r["_h1"] for r in rows], dtype=np.int64).view(np.uint64)
+                h2 = np.array([r["_h2"] for r in rows], dtype=np.int64).view(np.uint64)
+                delta.add_hashes(h1, h2)
+            if collect_hosts:
+                return delta, {r["host"] for r in rows} if with_host else set()
+            return delta
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
         st = BloomState(1, m, k)

@@ -200,3 +200,27 @@ def test_resume_after_autosplit_stays_equal(spark, tmp_path):
     assert seen == ora.seen
     docs = {r["doc_id"] for r in cat.read("documents").collect()}
     assert docs == set(ora.docs)
+
+
+def test_small_batch_delta_cap_falls_back_to_distributed(spark):
+    """The small-batch collect path is gated by the caller's ESTIMATE; when
+    the actual row count exceeds the hard cap the function must fall
+    through to the distributed path (bounded driver exposure) and still
+    produce exactly the same bits."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.urlseen import bloom_delta
+
+    urls = spark.range(60_000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 9).cast("string"),
+                 F.lit("/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 9).cast("string")).alias("host"),
+    )
+    base = BloomState(8, 1 << 16)
+    # lying estimate (10) selects the collect probe; 60k rows > 50k cap
+    d1, hosts = bloom_delta(spark, urls, base, collect_hosts=True,
+                            small_batch_rows=10)
+    d2 = bloom_delta(spark, urls, BloomState(8, 1 << 16))
+    assert np.array_equal(d1.blobs, d2.blobs)
+    assert int(d1.n_items.sum()) == 60_000
+    assert hosts == {f"h{i}" for i in range(9)}
