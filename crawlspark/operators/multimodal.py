@@ -103,3 +103,103 @@ def media_payloads_from_documents(docs: DataFrame) -> DataFrame:
         F.col("s.media_ref").alias("media_ref"),
         F.encode(F.repeat(F.sha2(F.col("s.media_ref"), 256), 4), "UTF-8").alias("payload"),
     )
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def fit_box(width: int, height: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit into (max_w, max_h), integer arithmetic only
+    (deterministic across engines — no float scale factor)."""
+    if width <= max_w and height <= max_h:
+        return width, height
+    if width * max_h <= height * max_w:  # height-bound
+        return max(1, width * max_h // height), max_h
+    return max_w, max(1, height * max_w // width)
+
+
+def resize_media(df: DataFrame, max_w: int = 320, max_h: int = 240,
+                 decoder: str = "fake") -> DataFrame:
+    """IMAGE payloads → aspect-preserving downscale.  The geometry math is
+    real; the pixel transform is the stubbed codec seam (fake: payload
+    re-keyed by the target box) — real Pillow plugs into the same
+    mapInPandas without touching the Spark plumbing."""
+    dec = _fake_decode if decoder == "fake" else _real_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                meta, _ = dec(payload, r.media_ref)
+                if meta["media_kind"] != "image":
+                    continue
+                w, h = meta["width"], meta["height"]
+                nw, nh = fit_box(w, h, max_w, max_h)
+                rows.append({
+                    "doc_id": r.doc_id, "media_ref": r.media_ref,
+                    "width": w, "height": h, "new_width": nw, "new_height": nh,
+                    "payload": hashlib.md5(
+                        f"{meta['content_hash']}:{nw}x{nh}".encode()
+                    ).digest(),  # stub pixels; real resize output goes here
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESIZED)
+
+
+FRAMES = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8,
+                  decoder: str = "fake") -> DataFrame:
+    """VIDEO payloads → one row per sampled frame at every_ms intervals,
+    capped at max_frames — the 1→N exploding mapInPandas shape a video
+    training pipeline needs.  The frame schedule (count, timestamps) is
+    real; frame extraction is the stubbed codec seam (fake: frame bytes
+    keyed by content_hash + index; real ffmpeg plugs in here)."""
+    dec = _fake_decode if decoder == "fake" else _real_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                meta, _ = dec(payload, r.media_ref)
+                if meta["media_kind"] != "video":
+                    continue
+                dur = int(meta["duration_ms"])
+                n = min(max_frames, max(1, -(-dur // every_ms)))  # ceil
+                for i in range(n):
+                    fh = hashlib.md5(
+                        f"{meta['content_hash']}:{i}".encode()
+                    ).hexdigest()
+                    rows.append({
+                        "doc_id": r.doc_id, "media_ref": r.media_ref,
+                        "frame_idx": i, "ts_ms": i * every_ms,
+                        "frame_hash": fh, "frame": bytes.fromhex(fh),
+                    })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAMES)

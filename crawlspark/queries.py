@@ -3044,6 +3044,88 @@ def paragraph_boilerplate(spark, sf_dir):
     )
 
 
+# ---- multimodal plumbing: resize + frame-sample (stubbed codec seams) ----
+
+@q(
+    "media_resize",
+    """
+    WITH t AS (SELECT doc_id::VARCHAR AS doc_id,
+                      'ref://' || doc_id AS media_ref,
+                      md5(substr(text, 1, 100)) AS hx
+               FROM documents),
+    b AS (SELECT doc_id, media_ref,
+                 ('0x' || substr(hx, 1, 2))::BIGINT AS h0,
+                 160 + ('0x' || substr(hx, 3, 2))::BIGINT % 480 AS w,
+                 120 + ('0x' || substr(hx, 5, 2))::BIGINT % 360 AS h
+          FROM t)
+    SELECT doc_id, media_ref,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(CASE WHEN w <= 320 AND h <= 240 THEN w
+                     WHEN w * 240 <= h * 320 THEN greatest(1, w * 240 // h)
+                     ELSE 320 END AS INT) AS new_width,
+           CAST(CASE WHEN w <= 320 AND h <= 240 THEN h
+                     WHEN w * 240 <= h * 320 THEN 240
+                     ELSE greatest(1, h * 320 // w) END AS INT) AS new_height
+    FROM b WHERE h0 % 3 = 0
+    """,
+)
+def media_resize(spark, sf_dir):
+    """Aspect-preserving image downscale into a 320x240 box — geometry in
+    integer arithmetic (deterministic across engines), pixel transform a
+    stubbed codec seam (operators/multimodal.resize_media).  Oracle: the
+    same fit-box math over the fake decoder's md5-derived dimensions."""
+    from crawlspark.operators.multimodal import resize_media
+
+    d = T(spark, sf_dir, "documents")
+    payloads = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("ref://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.substring("text", 1, 100), "UTF-8").alias("payload"),
+    )
+    return resize_media(payloads, max_w=320, max_h=240).select(
+        "doc_id", "media_ref", "width", "height", "new_width", "new_height"
+    )
+
+
+@q(
+    "media_frame_sample",
+    """
+    WITH t AS (SELECT doc_id::VARCHAR AS doc_id,
+                      'ref://' || doc_id AS media_ref,
+                      md5(substr(text, 1, 100)) AS hx
+               FROM documents),
+    v AS (SELECT doc_id, media_ref, hx,
+                 1000 + ('0x' || substr(hx, 7, 4))::BIGINT AS dur
+          FROM t WHERE ('0x' || substr(hx, 1, 2))::BIGINT % 3 = 2),
+    n AS (SELECT doc_id, media_ref, hx,
+                 least(8, greatest(1, CAST(ceil(dur / 1000.0) AS INT))) AS nf
+          FROM v)
+    SELECT doc_id, media_ref,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS ts_ms,
+           md5(hx || ':' || i) AS frame_hash
+    FROM n, unnest(range(0, nf)) AS u(i)
+    """,
+)
+def media_frame_sample(spark, sf_dir):
+    """Video frame sampling at 1 s intervals capped at 8 frames — the 1->N
+    exploding mapInPandas shape a video training pipeline needs
+    (operators/multimodal.sample_frames); frame schedule is real math,
+    frame bytes are the stubbed codec seam.  Oracle: the same schedule
+    over the fake decoder's md5-derived durations."""
+    from crawlspark.operators.multimodal import sample_frames
+
+    d = T(spark, sf_dir, "documents")
+    payloads = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("ref://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.substring("text", 1, 100), "UTF-8").alias("payload"),
+    )
+    return sample_frames(payloads, every_ms=1000, max_frames=8).select(
+        "doc_id", "media_ref", "frame_idx", "ts_ms", "frame_hash"
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -3084,6 +3166,11 @@ _DEMOTED = [
     # window room for paragraph_boilerplate; J3 keeps redirect_flag and
     # the e2e redirect coverage (redirect_discovery is r01-r03 green)
     "html_redirect_discovery",
+    # window room for media_resize/media_frame_sample (both NEW driver
+    # rows for the multimodal family); metadata/lsh are r01-r03 green and
+    # similarity keeps both IVF rows windowed
+    "media_metadata",
+    "ann_lsh_topk",
 ]
 
 

@@ -55,3 +55,43 @@ def test_payloads_from_crawl_documents(spark, tmp_path):
     assert decoded.count() == n
     row = decoded.first()
     assert row["meta"]["n_bytes"] == 256  # 64-hex sha2 repeated 4x
+
+
+def test_fit_box_geometry():
+    from crawlspark.operators.multimodal import fit_box
+
+    assert fit_box(100, 100, 320, 240) == (100, 100)       # already fits
+    assert fit_box(640, 240, 320, 240) == (320, 120)       # width-bound
+    assert fit_box(320, 480, 320, 240) == (160, 240)       # height-bound
+    assert fit_box(6400, 2, 320, 240) == (320, 1)          # never 0
+    w, h = fit_box(639, 479, 320, 240)
+    assert w <= 320 and h <= 240 and w * 479 // 639 in (h - 1, h, h + 1)
+
+
+def test_sample_frames_schedule_and_shape(spark):
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.multimodal import decode_media, sample_frames
+
+    payloads = spark.range(300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("ref://"), F.col("id").cast("string")).alias("media_ref"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "UTF-8").alias("payload"),
+    )
+    frames = sample_frames(payloads, every_ms=1000, max_frames=8)
+    rows = frames.collect()
+    assert rows, "no video rows sampled"
+    metas = {r["media_ref"]: r for r in decode_media(payloads).collect()}
+    per_ref: dict = {}
+    for r in rows:
+        per_ref.setdefault(r["media_ref"], []).append(r)
+        assert r["ts_ms"] == r["frame_idx"] * 1000
+        assert len(r["frame"]) == 16  # md5-derived stub frame bytes
+    for ref, fr in per_ref.items():
+        meta = metas[ref]["meta"]
+        assert meta["media_kind"] == "video"
+        expect = min(8, max(1, -(-int(meta["duration_ms"]) // 1000)))
+        assert sorted(r["frame_idx"] for r in fr) == list(range(expect))
+    # only videos produce frames
+    kinds = {m["meta"]["media_kind"] for m in metas.values()}
+    assert "video" in kinds and len(per_ref) < len(metas)
