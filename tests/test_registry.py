@@ -36,6 +36,9 @@ PROMOTED = [
     "html_attr_cards",
     "html_attr_fallbacks",
     "html_date_splits",
+    "paragraph_boilerplate",
+    "media_resize",
+    "media_frame_sample",
 ]
 
 
