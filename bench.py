@@ -46,6 +46,8 @@ SAMPLE_QUERIES = [
     "embed_cosine_topk",
     "events_sessionize",
     "url_skip_filter",
+    "paragraph_boilerplate",
+    "ann_ivf_topk",
 ]
 
 
