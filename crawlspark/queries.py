@@ -3126,6 +3126,54 @@ def media_frame_sample(spark, sf_dir):
     )
 
 
+# ---- S9 composition: recrawl change detection over the fetched log -------
+
+@q(
+    "recrawl_change_report",
+    """
+    WITH e1 AS (SELECT 'https://www.cna.example/news/' || doc_id AS url,
+                       md5(text) AS body_hash
+                FROM documents WHERE doc_id % 10 <> 9),
+    e2 AS (SELECT 'https://www.cna.example/news/' || doc_id AS url,
+                  CASE WHEN doc_id % 10 < 3 THEN md5(text || ' update')
+                       ELSE md5(text) END AS body_hash
+           FROM documents),
+    j AS (SELECT e2.url, e2.body_hash AS h2, e1.body_hash AS h1
+          FROM e2 LEFT JOIN e1 ON e1.url = e2.url)
+    SELECT CASE WHEN h1 IS NULL THEN 'new'
+                WHEN h1 = h2 THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(count(*) AS BIGINT) AS n_pages
+    FROM j GROUP BY 1
+    """,
+)
+def recrawl_change_report(spark, sf_dir):
+    """Recrawl delta classification (the S9 fetched log's body_hash across
+    epochs — the reference's HTTPCACHE re-run decides refetch-vs-skip on
+    exactly this signal): pages new to epoch 2, changed (hash differs), or
+    unchanged.  One broadcast-or-shuffle equi-join keyed by url + a
+    map-side-combined count; at 10^10 URLs both epochs are the fetched
+    table's snapshots and the join is url-hash co-partitioned."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://www.cna.example/news/"), F.col("doc_id").cast("string"))
+    e1 = d.filter(F.col("doc_id") % 10 != 9).select(
+        url.alias("url"), F.md5("text").alias("h1"))
+    e2 = d.select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 10 < 3, F.md5(F.concat(F.col("text"), F.lit(" update"))))
+        .otherwise(F.md5("text")).alias("h2"),
+    )
+    j = e2.join(e1, on="url", how="left")
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("new"))
+        .when(F.col("h1") == F.col("h2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n_pages")
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -3171,6 +3219,10 @@ _DEMOTED = [
     # similarity keeps both IVF rows windowed
     "media_metadata",
     "ann_lsh_topk",
+    # window room for recrawl_change_report; the urls family keeps
+    # canonicalize + skip_filter + dedup_antijoin windowed (domain_extract
+    # is r01-r03 green and its logic underlies the windowed skip filter)
+    "url_domain_extract",
 ]
 
 

@@ -39,6 +39,7 @@ PROMOTED = [
     "paragraph_boilerplate",
     "media_resize",
     "media_frame_sample",
+    "recrawl_change_report",
 ]
 
 
