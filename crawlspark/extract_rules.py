@@ -97,8 +97,37 @@ class DomainRules:
     # a::attr(href) getall unconditionally); a tuple = only the FIRST
     # anchor whose text contains one of the strings is followed (the
     # straitstimes branch's a:contains("Next Page")::attr(href) .get(),
-    # :751-758)
+    # :751-758); the EMPTY tuple = targeted mode yields NO pagination at
+    # all (the mb.com.ph branch returns None outright, :765-772)
     next_page_text: tuple | None = None
+    # selector-based targeted pagination (getall semantics — ALL matching
+    # anchors in document order, unlike next_page_text's .get()): entries
+    # are (tag, cls); tag=='a' matches the anchor's own class (go.kompas
+    # div.paging__item > a.paging__link :806-808, khmertimes div#paging >
+    # a.next.page-numbers :809-811), any other tag matches a CONTAINER
+    # whose descendant anchors all qualify (cambodiadaily div.page-nav > a
+    # :812-814, phnompenhpost / bangkokpost p.page-Navigation > a
+    # :815-821, :797-802).  Takes precedence over next_page_text.
+    next_page_selectors: tuple = ()
+    # body-include leaves: (tag, cls_or_None, ancestor_cls_or_None) nodes
+    # whose text is emitted as a text span at its document position —
+    # the reference unions heading/div text nodes into some bodies
+    # (thejakartapost //div[@class="tjp-opening"]/h1/text() :2302,
+    # go.kompas //div[@class="read__content"]//h3//text() :2313,
+    # vietnamplus div.content.article-body text :2269).  Include leaves
+    # must be bare-text containers (no <p> descendants) or text double-
+    # counts, exactly like the reference's XPath union would.
+    body_include: tuple = ()
+    # <li> punctuation stitching on/off: the default branches stitch
+    # (',' between items + li_tail_suffix on the last, :2139-2152);
+    # branches whose XPath takes //li//text() raw (go.kompas :2313,
+    # khmertimes-style unions elsewhere) emit items verbatim
+    li_stitch: bool = True
+    # resolve the raw date from the LAST <p> whose text contains this
+    # token, when the date chain yields nothing (phnompenhpost
+    # //p[contains(text(), "Publication date")]/text() getall()[-1],
+    # :2349-2369); date_splits then apply as usual
+    date_p_containing: str | None = None
 
 
 DEFAULT_RULES = DomainRules()
@@ -123,6 +152,8 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
         excluded_classes=DEFAULT_EXCLUDED | {"entry-navigation"},
         drop_text_containing=("Also Read:", "Also read:"),
         shallow_tail=(2, ("em",)),
+        # targeted pagination div#paging > a.next.page-numbers (:809-811)
+        next_page_selectors=(("a", "page-numbers"),),
     ),
     # bangkokpost analog — 4-branch body fallback + photo-div exclusion
     # (reference :1249-1286, :2270, :2283)
@@ -135,6 +166,8 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
             ("div", "article-body"),
         ),
         date_splits=(("PUBLISHED :", -1), ("published :", -1), (" at ", 0)),
+        # targeted pagination p.page-Navigation > a (:797-802)
+        next_page_selectors=(("p", "page-Navigation"),),
     ),
     # nst analog — listing-card selector UNION + card-date fallback
     # (reference :1070-1101 card selector groups)
@@ -213,11 +246,186 @@ DOMAIN_RULES: tuple[DomainRules, ...] = (
             ("div", "quick-link", "data-link_absolute", "data-heading"),
         ),
     ),
+    # ---- round-5 rows: the remaining reference branches, all pure data --
+    # philstar analog (reference :759-761 all-anchor pagination,
+    # :1002-1012 card selector union, :2088-2096 page-wide p body with
+    # twitter-tweet div exclusion and the ' | ' date split)
+    DomainRules(
+        host_key="pstar.example",
+        body_chain=(("root", None),),
+        excluded_classes=DEFAULT_EXCLUDED | {"twitter-tweet"},
+        date_chain=(("div", "article__date-published"),),
+        date_splits=((" | ", 0),),
+        card_selectors=(
+            ("div", "carousel__item__title"),
+            ("div", "ribbon_title"),
+            ("div", "home_columnists_cell_details"),
+            ("div", "inside_cell_title_main"),
+            ("div", "news_title"),
+        ),
+    ),
+    # mb.com.ph analog (reference :1041-1066 card union, :2178-2182
+    # page-wide p body + .mb-font-article-date fallback; :765-772 targeted
+    # mode returns None — the EMPTY next_page_text tuple)
+    DomainRules(
+        host_key="mbull.example",
+        body_chain=(("root", None),),
+        date_chain=(("div", "mb-font-article-date"),),
+        card_selectors=(
+            ("div", "mb-16"),
+            ("div", "mb-5"),
+            ("div", "custom-article-text"),
+            ("div", "mb-font-article-title"),
+            ("div", "mb-font-live-update-article-title"),
+            ("div", "videoCube"),
+        ),
+        next_page_text=(),
+    ),
+    # bernama analog — PATH-QUALIFIED key, matched against host+path
+    # exactly like the reference's `'bernama.com/en/' in response.url`
+    # (:779-781, :1129-1145 h6/h1.h3 card leaves, :2219-2224 h1.h2 title
+    # + div.text-right date)
+    DomainRules(
+        host_key="bern.example/en/",
+        body_chain=(("root", None),),
+        title_chain=(("h1", "h2"),),
+        date_chain=(("div", "text-right"),),
+        card_selectors=(("h6", None), ("h1", "h3")),
+    ),
+    # freemalaysiatoday analog (reference :785-787, :1167-1193
+    # anchor-in-blockquote card set + mostpopular ol li, :2236-2245
+    # page-wide p body, h1 title, time date)
+    DomainRules(
+        host_key="fmtoday.example",
+        body_chain=(("root", None),),
+        date_chain=(("time", None),),
+        card_selectors=(("blockquote", None), ("li", "popular-item")),
+        card_date_chain=(("time", None), ("span", "date")),
+    ),
+    # vnanet analog — PATH-QUALIFIED key (`'vnanet.vn/en/' in
+    # response.url` :788-790; :1195-1206 grp-panel/title-big-news card
+    # leaves; :2247-2256 page-wide p body, details__header h1 title,
+    # time date)
+    DomainRules(
+        host_key="vna.example/en/",
+        body_chain=(("root", None),),
+        date_chain=(("time", None),),
+        card_selectors=(
+            ("div", "grp-panel"),
+            ("div", "title-big-news"),
+            ("li", "parentMenuItem"),
+        ),
+    ),
+    # vietnamnews analog (reference :791-793, :1208-1227 article.story h2
+    # a card leaves, :2258-2267 page-wide p body, h1.headline title,
+    # div.datetime date)
+    DomainRules(
+        host_key="vnews.example",
+        body_chain=(("root", None),),
+        title_chain=(("h1", "headline"),),
+        date_chain=(("div", "datetime"),),
+        card_selectors=(("article", "story"), ("li", "event-list-item")),
+    ),
+    # vietnamplus analog — SUBDOMAIN-QUALIFIED key (`'en.vietnamplus.vn'`
+    # :794-796; :1229-1246 story card leaves; :2269-2278 p//text() UNION
+    # article-body div text with article-photo exclusion, details__headline
+    # title, time date)
+    DomainRules(
+        host_key="en.vplus.example",
+        body_chain=(("root", None),),
+        body_include=(("div", "article-body-note", None),),
+        excluded_classes=DEFAULT_EXCLUDED | {"article-photo"},
+        title_chain=(("h1", "details__headline"),),
+        date_chain=(("time", None),),
+        card_selectors=(("article", "story"), ("li", "story--list-item")),
+    ),
+    # thejakartapost analog (reference :803-805, :1288-1301 headline/grid
+    # card leaves, :2302-2311: p body excluding newsletter-box /
+    # on-ie-underversion9 / social-login divs UNIONed with
+    # div.tjp-opening/h1 text; tjp-single__head-item--detail title,
+    # tjp-meta__content-list date)
+    DomainRules(
+        host_key="tjpost.example",
+        body_chain=(("root", None),),
+        body_include=(("h1", None, "tjp-opening"),),
+        excluded_classes=DEFAULT_EXCLUDED
+        | {"tjp-newsletter-box", "on-ie-underversion9", "social-login"},
+        title_chain=(("div", "tjp-single__head-item--detail"),),
+        date_chain=(("div", "tjp-meta__content-list"),),
+        card_selectors=(
+            ("div", "tjp-homepage__headline-main"),
+            ("div", "tjp-homepage__headline-third"),
+            ("div", "tjp-grid"),
+            ("div", "latestDetail"),
+            ("div", "smallHeadline"),
+        ),
+    ),
+    # go.kompas analog — SUBDOMAIN-QUALIFIED key (`'go.kompas.com'`
+    # :806-808 targeted pagination div.paging__item > a.paging__link;
+    # :1303-1306 article__list__title card leaf; :2313-2322: page-wide p
+    # body with Also-Read drops UNIONed with read__content h3 + RAW li
+    # text (no stitching), read__time date)
+    DomainRules(
+        host_key="go.kmps.example",
+        body_chain=(("root", None),),
+        body_include=(("h3", None, "read__content"),),
+        drop_text_containing=("Also Read:", "Also read:"),
+        li_stitch=False,
+        date_chain=(("div", "read__time"),),
+        card_selectors=(("div", "article__list__title"),),
+        next_page_selectors=(("a", "paging__link"),),
+    ),
+    # cambodiadaily analog — SUBDOMAIN-QUALIFIED key
+    # (`'english.cambodiadaily.com'` :812-814 targeted pagination
+    # div.page-nav > a; :1313-1316 td-module-meta-info card leaf;
+    # :2338-2347 p body with Also-Read drops, tdb-title-text title,
+    # time.entry-date date)
+    DomainRules(
+        host_key="english.cdaily.example",
+        body_chain=(("root", None),),
+        drop_text_containing=("Also Read:", "Also read:"),
+        title_chain=(("h1", "tdb-title-text"),),
+        date_chain=(("time", "entry-date"),),
+        card_selectors=(("div", "td-module-meta-info"),),
+        next_page_selectors=(("div", "page-nav"),),
+    ),
+    # phnompenhpost analog (reference :815-821 targeted pagination
+    # p.page-Navigation > a; :1318-1331 card leaves; :2349-2369: p body
+    # excluding 'Publication date'/'Reporter :' texts and img-captions /
+    # mustwatch-text divs; section-article-header h2 title; the date
+    # resolves from the LAST 'Publication date' paragraph then
+    # splits on '|')
+    DomainRules(
+        host_key="ppost.example",
+        body_chain=(("root", None),),
+        drop_text_containing=("Publication date", "Reporter :"),
+        excluded_classes=DEFAULT_EXCLUDED | {"img-captions", "mustwatch-text"},
+        title_chain=(("div", "section-article-header"),),
+        date_chain=(),
+        date_p_containing="Publication date",
+        date_splits=(("|", 0),),
+        card_selectors=(
+            ("div", "main-content-text"),
+            ("div", "category-item"),
+            ("div", "category-bot-md-text"),
+            ("li", "latest-news-item"),
+        ),
+        next_page_selectors=(("p", "page-Navigation"),),
+    ),
 )
 
 
-def rules_for_host(host: str) -> DomainRules:
+def rules_for_host(host: str, path: str = "") -> DomainRules:
+    """First host_key substring match wins.  Keys containing '/' are
+    PATH-QUALIFIED and match against host+path — the reference keys some
+    branches on the URL, not the host (`'bernama.com/en/' in
+    response.url` :779, `'vnanet.vn/en/' in response.url` :788)."""
+    hostpath = (host or "") + (path or "")
     for r in DOMAIN_RULES:
-        if r.host_key and r.host_key in (host or ""):
+        if not r.host_key:
+            continue
+        if ("/" in r.host_key and r.host_key in hostpath) or (
+            "/" not in r.host_key and r.host_key in (host or "")
+        ):
             return r
     return DEFAULT_RULES

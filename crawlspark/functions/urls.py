@@ -109,6 +109,41 @@ def domain_of_py(host: str) -> str:
     return host or ""
 
 
+# Per-country registrable-domain rewrites (reference extract_domain_name
+# covid_news_spider.py:708-725): some sites key their English edition off
+# a path ('bernama.com/en/', 'vnanet.vn/en/') or a subdomain
+# ('en.vietnamplus.vn', 'go.kompas.com', 'english.cambodiadaily.com'),
+# and the reference qualifies the extracted domain before the
+# allowed-domain membership test.  Declarative (country, domain) → rewrite
+# so new cases are rows, not code.
+DOMAIN_REWRITES: dict[tuple[str, str], str] = {
+    ("malaysia", "bernama.com"): "bernama.com/en/",
+    ("vietnam", "vnanet.vn"): "vnanet.vn/en/",
+    ("vietnam", "vietnamplus.vn"): "en.vietnamplus.vn",
+    ("indonesia", "kompas.com"): "go.kompas.com",
+    ("cambodia", "cambodiadaily.com"): "english.cambodiadaily.com",
+}
+
+
+def domain_for_country_py(host: str, country: str) -> str:
+    """Registrable domain with the per-country rewrite applied
+    (reference :708-725: bernama/vnanet +'/en/', vietnamplus 'en.'+,
+    kompas 'go.'+, cambodiadaily 'english.'+)."""
+    d = domain_of_py(host)
+    return DOMAIN_REWRITES.get(((country or "").lower(), d), d)
+
+
+def domain_for_country_expr(host: Column, country: Column) -> Column:
+    """Column form of domain_for_country_py: one CASE chain built from the
+    DOMAIN_REWRITES rows — pure built-ins, codegen'd, no UDF."""
+    d = domain_expr(host)
+    c = None
+    for (ctry, dom), out in DOMAIN_REWRITES.items():
+        cond = (F.lower(country) == ctry) & (d == dom)
+        c = F.when(cond, F.lit(out)) if c is None else c.when(cond, F.lit(out))
+    return c.otherwise(d)
+
+
 def canonicalize_series(urls: pd.Series, bases: pd.Series) -> pd.Series:
     """Vectorized canonicalization over an Arrow batch (pandas UDF body)."""
     return pd.Series(

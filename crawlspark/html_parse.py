@@ -128,16 +128,40 @@ def extract_links(html: str) -> list[str]:
     return out
 
 
-def extract_targeted_links(html: str, host: str) -> list[str]:
+def extract_targeted_links(html: str, host: str, path: str = "") -> list[str]:
     """Targeted-pagination link extraction (reference
-    SEARCH_ENTIRE_WEBSITE=0, :751-829): domains with a ``next_page_text``
-    rule follow only the FIRST anchor whose text contains one of the
-    configured strings (straitstimes a:contains("Next Page") .get(),
-    :751-758); domains without one extract every anchor, exactly as the
-    reference's cna/philstar/inquirer branches do in both modes."""
+    SEARCH_ENTIRE_WEBSITE=0, :751-829): domains with a
+    ``next_page_selectors`` rule follow ALL anchors matching the selector
+    set (getall semantics — go.kompas :806-808, khmertimes :809-811,
+    cambodiadaily :812-814, phnompenhpost :815-821, bangkokpost
+    :797-802); domains with a ``next_page_text`` rule follow only the
+    FIRST anchor whose text contains one of the configured strings
+    (straitstimes a:contains("Next Page") .get(), :751-758) — the EMPTY
+    tuple follows nothing (mb.com.ph returns None, :765-772); domains
+    with neither extract every anchor, exactly as the reference's
+    cna/philstar/inquirer branches do in both modes."""
     from crawlspark.extract_rules import rules_for_host
 
-    r = rules_for_host(host)
+    r = rules_for_host(host, path)
+    if r.next_page_selectors:
+        root = parse_html(html)
+        out = []
+        for a in root.find_all("a"):
+            if not a.attrs.get("href"):
+                continue
+            for tag, cls in r.next_page_selectors:
+                if tag == "a":
+                    if cls in a.classes():
+                        out.append(a.attrs["href"])
+                        break
+                elif a.has_ancestor(
+                    lambda p, tag=tag, cls=cls: isinstance(p, Node)
+                    and p.tag == tag
+                    and (cls is None or cls in p.classes())
+                ):
+                    out.append(a.attrs["href"])
+                    break
+        return out
     if r.next_page_text is None:
         return extract_links(html)
     root = parse_html(html)
@@ -191,7 +215,7 @@ def _first_chain_value(root: Node, chain) -> str | None:
     return None
 
 
-def extract_listing_cards(html: str, host: str = "") -> list[dict]:
+def extract_listing_cards(html: str, host: str = "", path: str = "") -> list[dict]:
     """Listing-card (title, date, link) triples (reference parse_articles /
     parse_article :989-1613).  Card selectors come from the host's rule
     table with UNION semantics in document order (the reference's `a, b, c`
@@ -199,7 +223,7 @@ def extract_listing_cards(html: str, host: str = "") -> list[dict]:
     through an ordered fallback chain."""
     from crawlspark.extract_rules import rules_for_host
 
-    r = rules_for_host(host)
+    r = rules_for_host(host, path)
     root = parse_html(html)
     card_sels = set(r.card_selectors)
     cards = []
@@ -270,7 +294,7 @@ def _p_dropped(node: Node, r) -> bool:
     return False
 
 
-def extract_article(html: str, host: str) -> dict:
+def extract_article(html: str, host: str, path: str = "") -> dict:
     """Article page → title, raw date, ordered interleaved spans,
     redirect_url (for empty-body pages, reference :2389-2432).
 
@@ -286,10 +310,22 @@ def extract_article(html: str, host: str) -> dict:
     """
     from crawlspark.extract_rules import rules_for_host
 
-    r = rules_for_host(host)
+    r = rules_for_host(host, path)
     root = parse_html(html)
     title = _first_chain_value(root, r.title_chain)
     date_raw = _first_chain_value(root, r.date_chain)
+    if date_raw is None and r.date_p_containing:
+        # phnompenhpost-style paragraph-carried date (:2349-2369):
+        # //p[contains(text(), token)]/text() getall()[-1] — direct text
+        # nodes of matching paragraphs, LAST one wins (the date sits after
+        # a <br> inside the 'Publication date' paragraph)
+        hits: list[str] = []
+        for p in root.find_all("p"):
+            texts = [c for c in p.children if isinstance(c, str)]
+            if any(r.date_p_containing in t for t in texts):
+                hits.extend(t.strip() for t in texts)
+        if hits:
+            date_raw = hits[-1]
     if date_raw is not None and r.date_splits:
         # per-domain raw-date post-splits (reference :2082-2083,
         # :2190-2191, :2297-2300); split() on an absent token is a no-op
@@ -325,6 +361,29 @@ def extract_article(html: str, host: str) -> dict:
         for node in body.iter():
             if not isinstance(node, Node) or _excluded(node, r.excluded_classes):
                 continue
+            inc = next(
+                (
+                    s
+                    for s in r.body_include
+                    if node.tag == s[0]
+                    and (s[1] is None or s[1] in node.classes())
+                    and (
+                        s[2] is None
+                        or node.has_ancestor(
+                            lambda p, c=s[2]: isinstance(p, Node) and c in p.classes()
+                        )
+                    )
+                ),
+                None,
+            )
+            if inc is not None:
+                # body-include leaf (tjpost tjp-opening h1 :2302, kompas
+                # read__content h3 :2313, vietnamplus article-body div
+                # :2269): its text joins the span stream in document order
+                txt = node.text().strip()
+                if txt and not any(n in txt for n in r.drop_text_containing):
+                    spans.append(("text", txt, None))
+                continue
             if node.tag == "p":
                 if _p_dropped(node, r):
                     continue
@@ -352,7 +411,12 @@ def extract_article(html: str, host: str) -> dict:
                 for i, t in enumerate(items):
                     # default branches: ',' between, '.' after the last
                     # (:2139-2152); thestar leaves the last bare
-                    # (li_tail_suffix="", :2203-2211)
+                    # (li_tail_suffix="", :2203-2211); branches whose
+                    # XPath takes //li//text() raw don't stitch at all
+                    # (go.kompas :2313 — li_stitch=False)
+                    if not r.li_stitch:
+                        spans.append(("text", t, None))
+                        continue
                     suffix = r.li_tail_suffix if i == len(items) - 1 else ","
                     spans.append(("text", t + suffix, None))
 

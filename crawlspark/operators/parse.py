@@ -34,8 +34,14 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
 
     if status != 200 or not body:
         return out
+    # URL path, for PATH-QUALIFIED rule keys (reference branches keyed on
+    # the url, not the host: 'bernama.com/en/' in response.url :779)
+    try:
+        path = "/" + url.split("://", 1)[1].partition("/")[2]
+    except IndexError:
+        path = ""
     if page_kind == "listing":
-        cards = html_parse.extract_listing_cards(body, host)
+        cards = html_parse.extract_listing_cards(body, host, path)
         card_links = set()
         for c in cards:
             canon = U.fix_url_py(c["link"], url)
@@ -45,7 +51,7 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
                     meta={"title": c["title"], "date": c["date"], "article_url": canon})
             )
         more = (html_parse.extract_links(body) if entire_site
-                else html_parse.extract_targeted_links(body, host))
+                else html_parse.extract_targeted_links(body, host, path))
         for href in more:
             canon = U.fix_url_py(href, url)
             if canon in card_links:
@@ -54,7 +60,7 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
             out.append(rec(rec="link", link=canon,
                            link_kind="listing" if kind == "listing" else "article"))
     else:  # article
-        art = html_parse.extract_article(body, host)
+        art = html_parse.extract_article(body, host, path)
         if art["redirect_url"]:
             canon = U.fix_url_py(art["redirect_url"], url)
             out.append(

@@ -120,8 +120,12 @@ def crawl_oracle(
             if outcome != "done":
                 continue
             page_url = final_url or r["url"]
+            try:  # path for PATH-QUALIFIED rule keys (reference :779)
+                path = "/" + page_url.split("://", 1)[1].partition("/")[2]
+            except IndexError:
+                path = ""
             if r["kind"] == "listing":
-                cards = html_parse.extract_listing_cards(body, r["host"])
+                cards = html_parse.extract_listing_cards(body, r["host"], path)
                 card_links = set()
                 for c in cards:
                     canon = U.fix_url_py(c["link"], page_url)
@@ -129,7 +133,7 @@ def crawl_oracle(
                     _add_candidate(candidates, canon, r, "article",
                                    {"title": c["title"], "date": c["date"], "article_url": canon})
                 more = (html_parse.extract_links(body) if entire_site
-                        else html_parse.extract_targeted_links(body, r["host"]))
+                        else html_parse.extract_targeted_links(body, r["host"], path))
                 for href in more:
                     canon = U.fix_url_py(href, page_url)
                     if canon in card_links:
@@ -138,7 +142,7 @@ def crawl_oracle(
                     _add_candidate(candidates, canon, r,
                                    "listing" if k == "listing" else "article", None)
             else:
-                art = html_parse.extract_article(body, r["host"])
+                art = html_parse.extract_article(body, r["host"], path)
                 if art["redirect_url"]:
                     canon = U.fix_url_py(art["redirect_url"], page_url)
                     _add_candidate(candidates, canon, r, "article",

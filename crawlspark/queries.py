@@ -3174,6 +3174,343 @@ def recrawl_change_report(spark, sf_dir):
     )
 
 
+# ---- round-5 rule-table completion: the remaining reference domain
+# ---- branches (philstar :759/:1002/:2088, mb :765/:1041/:2178, bernama
+# ---- :779/:1129/:2219, freemalaysiatoday :785/:1167/:2236, vnanet
+# ---- :788/:1195/:2247, vietnamnews :791/:1208/:2258, vietnamplus
+# ---- :794/:1229/:2269, thejakartapost :803/:1288/:2302, go.kompas
+# ---- :806/:1303/:2313, cambodiadaily :812/:1313/:2338, phnompenhpost
+# ---- :815/:1318/:2349) and the F8 per-country domain rewrites
+# ---- (:708-725), all as pure DOMAIN_RULES / DOMAIN_REWRITES data rows --
+
+
+@q(
+    "url_domain_rewrite",
+    """
+    SELECT doc_id,
+           ['malaysia','vietnam','vietnam','indonesia','cambodia','malaysia'][doc_id % 6 + 1] AS country,
+           ['www.bernama.com','news.vnanet.vn','www.vietnamplus.vn',
+            'www.kompas.com','www.cambodiadaily.com','www.kompas.com'][doc_id % 6 + 1] AS host,
+           ['bernama.com/en/','vnanet.vn/en/','en.vietnamplus.vn',
+            'go.kompas.com','english.cambodiadaily.com','kompas.com'][doc_id % 6 + 1] AS resolved_domain
+    FROM documents
+    """,
+)
+def url_domain_rewrite(spark, sf_dir):
+    """F8 per-country registrable-domain rewrites (reference
+    extract_domain_name :708-725): bernama/vnanet gain '/en/', vietnamplus
+    gains 'en.', kompas gains 'go.', cambodiadaily gains 'english.' — and
+    ONLY under the matching search country (slot 5: malaysia+kompas.com
+    passes through unrewritten).  One codegen'd CASE chain built from the
+    declarative DOMAIN_REWRITES rows; no UDF, no shuffle."""
+    d = T(spark, sf_dir, "documents")
+    i = (F.col("doc_id") % 6 + 1).cast("int")
+    countries = F.array(*[F.lit(c) for c in
+                          ["malaysia", "vietnam", "vietnam", "indonesia",
+                           "cambodia", "malaysia"]])
+    hosts = F.array(*[F.lit(h) for h in
+                      ["www.bernama.com", "news.vnanet.vn", "www.vietnamplus.vn",
+                       "www.kompas.com", "www.cambodiadaily.com", "www.kompas.com"]])
+    return d.select(
+        "doc_id",
+        F.element_at(countries, i).alias("country"),
+        F.element_at(hosts, i).alias("host"),
+        U.domain_for_country_expr(
+            F.element_at(hosts, i), F.element_at(countries, i)
+        ).alias("resolved_domain"),
+    )
+
+
+_BRANCH_CARD_HOSTS = [
+    # (host, path, card-container open, close) — one card per new rule row
+    ("www.pstar.example", "", "<div class='news_title'>", "</div>"),
+    ("www.mbull.example", "", "<div class='mb-font-article-title'>", "</div>"),
+    ("www.bern.example", "/en/index", "<h6>", "</h6>"),
+    ("www.fmtoday.example", "", "<blockquote>", "</blockquote>"),
+    ("www.vna.example", "/en/index", "<div class='grp-panel'>", "</div>"),
+    ("www.vnews.example", "", "<article class='story'>", "</article>"),
+    ("en.vplus.example", "", "<li class='story--list-item'>", "</li>"),
+    ("www.tjpost.example", "", "<div class='latestDetail'>", "</div>"),
+    ("go.kmps.example", "", "<div class='article__list__title'>", "</div>"),
+    ("english.cdaily.example", "", "<div class='td-module-meta-info'>", "</div>"),
+    ("www.ppost.example", "", "<div class='category-item'>", "</div>"),
+]
+
+
+@q(
+    "html_branch_cards",
+    """
+    SELECT doc_id, host,
+           'https://' || host || '/news/' || doc_id AS link,
+           'Story ' || doc_id AS title
+    FROM documents, unnest(['www.pstar.example','www.mbull.example',
+      'www.bern.example','www.fmtoday.example','www.vna.example',
+      'www.vnews.example','en.vplus.example','www.tjpost.example',
+      'go.kmps.example','english.cdaily.example','www.ppost.example']) AS t(host)
+    """,
+)
+def html_branch_cards(spark, sf_dir):
+    """Listing-card rows for ALL round-5 rule rows (reference card-selector
+    branches :1002-1331): each host's discriminating card container yields
+    exactly one card; an unmatched decoy container on the same page must
+    not.  The bernama and vnanet rows dispatch through PATH-QUALIFIED keys
+    (':779, :788'), proving the rule model covers url-keyed branches."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_listing_cards
+
+    src = T(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                for host, path, op, cl in _BRANCH_CARD_HOSTS:
+                    u = f"https://{host}/news/{i}"
+                    html = (
+                        f"{op}<a href=\"{u}\">Story {i}</a>{cl}"
+                        f"<div class='unmatched'><a href=\"{u}-x\">Decoy {i}</a></div>"
+                    )
+                    for c in extract_listing_cards(html, host, path):
+                        rows.append({"doc_id": i, "host": host,
+                                     "link": c["link"], "title": c["title"]})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "host", "link", "title"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, host string, link string, title string"
+    )
+
+
+@q(
+    "html_next_page_modes",
+    """
+    WITH hosts AS (
+      SELECT * FROM (VALUES
+        ('go.kmps.example', 2), ('www.ktimes.example', 3),
+        ('english.cdaily.example', 4), ('www.ppost.example', 5),
+        ('www.bpost.example', 5)) AS v(host, pick)
+    )
+    SELECT doc_id, host, 0 AS slot, 'https://' || host || '/p' || pick AS link
+    FROM documents, hosts
+    UNION ALL
+    SELECT doc_id, 'www.pstar.example', i,
+           'https://www.pstar.example/' ||
+           (CASE i WHEN 0 THEN 'a' ELSE 'p' || (i + 1) END)
+    FROM documents, unnest([0, 1, 2, 3, 4]) AS t(i)
+    """,
+)
+def html_next_page_modes(spark, sf_dir):
+    """Targeted-pagination mechanisms across the round-5 rows (reference
+    :751-829): selector-keyed rows follow ALL matching anchors — kompas
+    a.paging__link (:806), khmertimes a.page-numbers (:809), cambodiadaily
+    div.page-nav container (:812), phnompenhpost/bangkokpost
+    p.page-Navigation container (:815, :797); the mb row follows NOTHING
+    (:765-772 returns None); the philstar row follows every anchor
+    (:759-761).  Closed-form: 1 link per selector host, 0 for mbull, all
+    5 for pstar."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_targeted_links
+
+    src = T(spark, sf_dir, "documents").select("doc_id")
+    hosts = ["go.kmps.example", "www.ktimes.example", "english.cdaily.example",
+             "www.ppost.example", "www.bpost.example", "www.mbull.example",
+             "www.pstar.example"]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                for host in hosts:
+                    base = f"https://{host}"
+                    html = (
+                        f"<a href=\"{base}/a\">story</a>"
+                        f"<a class='paging__link' href=\"{base}/p2\">2</a>"
+                        f"<a class='next page-numbers' href=\"{base}/p3\">Next</a>"
+                        f"<div class='page-nav'><a href=\"{base}/p4\">4</a></div>"
+                        f"<p class='page-Navigation'><a href=\"{base}/p5\">5</a></p>"
+                    )
+                    for slot, link in enumerate(extract_targeted_links(html, host)):
+                        rows.append({"doc_id": i, "host": host,
+                                     "slot": slot, "link": link})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "host", "slot", "link"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, host string, slot int, link string"
+    )
+
+
+@q(
+    "html_branch_dates",
+    """
+    SELECT doc_id, host,
+           CASE host
+             WHEN 'www.pstar.example' THEN 'May ' || (doc_id % 28 + 1) || ', 2020'
+             WHEN 'www.mbull.example' THEN 'Jun ' || (doc_id % 28 + 1) || ', 2020'
+             WHEN 'www.bern.example'  THEN (doc_id % 28 + 1) || '/06/2020 10:00 AM'
+             WHEN 'www.vnews.example' THEN 'July ' || (doc_id % 28 + 1) || ', 2020 - 09:15'
+             WHEN 'www.tjpost.example' THEN 'Jakarta | Tue, May ' || (doc_id % 28 + 1) || ' 2020'
+             ELSE (doc_id % 28 + 1) || ' February 2023'
+           END AS date_raw
+    FROM documents, unnest(['www.pstar.example','www.mbull.example',
+      'www.bern.example','www.vnews.example','www.tjpost.example',
+      'www.ppost.example']) AS t(host)
+    """,
+)
+def html_branch_dates(spark, sf_dir):
+    """Raw-date resolution mechanics of the round-5 rows: philstar's
+    ' | ' post-split (:2096), mb's .mb-font-article-date (:2182),
+    bernama's div.text-right (:2224, path-qualified dispatch), vietnamnews'
+    div.datetime (:2263), thejakartapost's meta-list text taken RAW
+    (:2308), and phnompenhpost's Publication-date paragraph with the '|'
+    split (:2349-2369)."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+
+    src = T(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                day = i % 28 + 1
+                cases = [
+                    ("www.pstar.example", "",
+                     f"<div class='article__date-published'>May {day}, 2020 | 9:00am</div>"),
+                    ("www.mbull.example", "",
+                     f"<div class='mb-font-article-date'>Jun {day}, 2020</div>"),
+                    ("www.bern.example", "/en/news/1",
+                     f"<div class='text-right'>{day}/06/2020 10:00 AM</div>"),
+                    ("www.vnews.example", "",
+                     f"<div class='datetime'>July {day}, 2020 - 09:15</div>"),
+                    ("www.tjpost.example", "",
+                     f"<div class='tjp-meta__content-list'>Jakarta | Tue, May {day} 2020</div>"),
+                    ("www.ppost.example", "",
+                     f"<p>Publication date<br>{day} February 2023 | 12:12 ICT</p>"),
+                ]
+                for host, path, frag in cases:
+                    art = extract_article(f"<html><body>{frag}</body></html>", host, path)
+                    rows.append({"doc_id": i, "host": host, "date_raw": art["date_raw"]})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "host", "date_raw"])
+
+    return src.mapInPandas(run, schema="doc_id long, host string, date_raw string")
+
+
+@q(
+    "html_body_include",
+    """
+    SELECT doc_id, 'www.tjpost.example' AS host, 0 AS "offset",
+           'Opening ' || doc_id AS text FROM documents
+    UNION ALL SELECT doc_id, 'www.tjpost.example', 1, 'Body ' || doc_id || '.' FROM documents
+    UNION ALL SELECT doc_id, 'go.kmps.example', 0, 'Sub ' || doc_id FROM documents
+    UNION ALL SELECT doc_id, 'go.kmps.example', 1, 'Para ' || doc_id || '.' FROM documents
+    UNION ALL SELECT doc_id, 'go.kmps.example', 2, 'item a ' || doc_id FROM documents
+    UNION ALL SELECT doc_id, 'go.kmps.example', 3, 'item b ' || doc_id FROM documents
+    UNION ALL SELECT doc_id, 'en.vplus.example', 0, 'Para ' || doc_id || '.' FROM documents
+    UNION ALL SELECT doc_id, 'en.vplus.example', 1, 'Note ' || doc_id FROM documents
+    """,
+)
+def html_body_include(spark, sf_dir):
+    """Body-include leaves + raw-li mode (round-5 rows): thejakartapost
+    unions div.tjp-opening/h1 text into the body (:2302) with
+    newsletter-box paragraphs dropped; go.kompas unions read__content h3
+    and RAW un-stitched li text (:2313) with Also-Read drops; vietnamplus
+    unions the article-body div's text with article-photo subtrees
+    excluded (:2269)."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+
+    src = T(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                cases = [
+                    ("www.tjpost.example",
+                     f"<div class='tjp-opening'><h1>Opening {i}</h1></div>"
+                     f"<p>Body {i}.</p>"
+                     "<div class='tjp-newsletter-box'><p>subscribe dropped</p></div>"),
+                    ("go.kmps.example",
+                     f"<div class='read__content'><h3>Sub {i}</h3>"
+                     f"<p>Skip. Also Read: other</p><p>Para {i}.</p>"
+                     f"<ul><li>item a {i}</li><li>item b {i}</li></ul></div>"),
+                    ("en.vplus.example",
+                     f"<p>Para {i}.</p>"
+                     f"<div class='article-body-note'>Note {i}</div>"
+                     "<div class='article-photo'>"
+                     "<div class='article-body-note'>dropped</div></div>"),
+                ]
+                for host, frag in cases:
+                    art = extract_article(f"<html><body>{frag}</body></html>", host)
+                    for off, (kind, text, _m) in enumerate(art["spans"]):
+                        rows.append({"doc_id": i, "host": host,
+                                     "offset": off, "text": text})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "host", "offset", "text"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, host string, offset int, text string"
+    )
+
+
+@q(
+    "html_path_rules",
+    """
+    SELECT doc_id, 'en' AS variant, 'EN title ' || doc_id AS title,
+           'Jan ' || (doc_id % 28 + 1) || ', 2020' AS date_raw
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'other', 'Plain ' || doc_id, '2020-01-02' FROM documents
+    """,
+)
+def html_path_rules(spark, sf_dir):
+    """PATH-QUALIFIED rule dispatch (reference keys some branches on the
+    URL: `'bernama.com/en/' in response.url` :779): the SAME page parsed
+    under /en/ resolves the bernama row (h1.h2 title, div.text-right
+    date) while any other path falls through to DEFAULT rules (first h1,
+    span.pubdate) — the host alone cannot discriminate."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+
+    src = T(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                day = i % 28 + 1
+                html = (
+                    f"<html><body><h1>Plain {i}</h1>"
+                    f"<h1 class='h2'>EN title {i}</h1>"
+                    "<span class='pubdate'>2020-01-02</span>"
+                    f"<div class='text-right'>Jan {day}, 2020</div>"
+                    f"<div class='article-body'><p>Para {i}.</p></div>"
+                    "</body></html>"
+                )
+                for variant, path in (("en", "/en/news/1"), ("other", "/my/news/1")):
+                    art = extract_article(html, "www.bern.example", path)
+                    rows.append({"doc_id": i, "variant": variant,
+                                 "title": art["title"], "date_raw": art["date_raw"]})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "variant", "title", "date_raw"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, variant string, title string, date_raw string"
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -3223,6 +3560,23 @@ _DEMOTED = [
     # canonicalize + skip_filter + dedup_antijoin windowed (domain_extract
     # is r01-r03 green and its logic underlies the windowed skip filter)
     "url_domain_extract",
+    # round-5 demotions to make window room for the six rule-completion
+    # queries (url_domain_rewrite, html_branch_cards, html_next_page_modes,
+    # html_branch_dates, html_body_include, html_path_rules).  Each has
+    # FOUR green driver rows (r01-r04) and keeps family coverage windowed:
+    # F2 retry logic is exercised by the crawl e2e suite; F7 source_label
+    # is a one-expression projection; C2 credit-strip stays covered by the
+    # windowed whitespace/footnote cleanup rows and e2e span equality; C5
+    # date-parse mechanics stay covered by html_date_splits +
+    # html_branch_dates; F3 keyword filtering underlies the windowed
+    # empty_body_drop/doc pipeline rows; token_count's tokenizer underlies
+    # the windowed quality_score row
+    "retry_backoff",
+    "source_label",
+    "media_credit_strip",
+    "date_parse",
+    "keyword_filter",
+    "token_count",
 ]
 
 

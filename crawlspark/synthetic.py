@@ -237,9 +237,19 @@ def listing_html(spec: WebSpec, host: str, section: int, page: int) -> str:
         parts.append(
             f"<a onclick=\"window.open('{article_url(host, aid)}')\">popup</a>"
         )
-    # next-page chain + cross-section links
+    # next-page chain + cross-section links.  ktimes/bpost carry the
+    # selector-shaped pagination markup their rule rows key on in targeted
+    # mode (reference khmertimes a.next.page-numbers :809-811, bangkokpost
+    # p.page-Navigation :797-802); entire-site mode follows any anchor, so
+    # the shape is invisible there.
     if page + 1 < cfg["pages_per_section"]:
-        parts.append(f"<a href=\"{listing_url(host, section, page + 1)}\">Next Page</a>")
+        nxt = listing_url(host, section, page + 1)
+        if "ktimes.example" in host:
+            parts.append(f"<a class='next page-numbers' href=\"{nxt}\">Next Page</a>")
+        elif "bpost.example" in host:
+            parts.append(f"<p class='page-Navigation'><a href=\"{nxt}\">Next Page</a></p>")
+        else:
+            parts.append(f"<a href=\"{nxt}\">Next Page</a>")
     for s2 in range(spec.sections):
         if s2 != section and rng.random() < 0.5:
             parts.append(f"<a href=\"{listing_url(host, s2, 0)}\">Sec {s2}</a>")

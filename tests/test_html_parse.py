@@ -187,3 +187,86 @@ def test_ktimes_shallow_tail_drops_trailing_em():
         ("text", "Third with tail.", None),
         ("text", "Fourth  last.", None),
     ]
+
+
+def test_path_qualified_rule_dispatch():
+    """Reference keys some branches on the URL, not the host
+    ('bernama.com/en/' in response.url, :779): the /en/ path resolves the
+    bernama row, any other path falls through to DEFAULT rules."""
+    html = ("<h1>Plain</h1><h1 class='h2'>EN title</h1>"
+            "<span class='pubdate'>2020-01-02</span>"
+            "<div class='text-right'>Jan 5, 2020</div>"
+            "<div class='article-body'><p>P.</p></div>")
+    en = hp.extract_article(html, "www.bern.example", "/en/news/1")
+    assert (en["title"], en["date_raw"]) == ("EN title", "Jan 5, 2020")
+    other = hp.extract_article(html, "www.bern.example", "/my/news/1")
+    assert (other["title"], other["date_raw"]) == ("Plain", "2020-01-02")
+
+
+def test_targeted_pagination_selector_modes():
+    """Selector-keyed targeted pagination follows ALL matching anchors
+    (getall, :797-821); mb's empty-tuple rule follows nothing (:765-772);
+    rule-less hosts follow everything (:759-761)."""
+    html = ("<a href='u1'>story</a>"
+            "<a class='paging__link' href='u2'>2</a>"
+            "<a class='next page-numbers' href='u3'>Next</a>"
+            "<div class='page-nav'><a href='u4'>4</a></div>"
+            "<p class='page-Navigation'><a href='u5'>5</a><a href='u6'>6</a></p>")
+    assert hp.extract_targeted_links(html, "go.kmps.example") == ["u2"]
+    assert hp.extract_targeted_links(html, "www.ktimes.example") == ["u3"]
+    assert hp.extract_targeted_links(html, "english.cdaily.example") == ["u4"]
+    assert hp.extract_targeted_links(html, "www.ppost.example") == ["u5", "u6"]
+    assert hp.extract_targeted_links(html, "www.bpost.example") == ["u5", "u6"]
+    assert hp.extract_targeted_links(html, "www.mbull.example") == []
+    assert len(hp.extract_targeted_links(html, "www.pstar.example")) == 6
+
+
+def test_ppost_publication_date_paragraph():
+    """phnompenhpost (:2349-2369): the date is the LAST direct text node of
+    the 'Publication date' paragraph, split on '|'; those paragraphs and
+    'Reporter :' lines are dropped from the body."""
+    html = ("<div class='section-article-header'><h2>T</h2></div>"
+            "<p>Lead.</p><p>Reporter : X</p>"
+            "<div class='img-captions'><p>cap</p></div>"
+            "<p>Publication date<br>12 February 2023 | 12:12 ICT</p>")
+    art = hp.extract_article(html, "www.ppost.example")
+    assert art["title"] == "T"
+    assert art["date_raw"] == "12 February 2023"
+    assert art["spans"] == [("text", "Lead.", None)]
+
+
+def test_body_include_and_raw_li():
+    """Body-include leaves join the span stream in document order (tjpost
+    tjp-opening h1 :2302, kompas read__content h3 :2313, vietnamplus
+    article-body div :2269 with article-photo exclusion); kompas li text
+    is raw — no stitching (:2313)."""
+    tj = hp.extract_article(
+        "<div class='tjp-opening'><h1>Open</h1></div><p>Body.</p>"
+        "<div class='tjp-newsletter-box'><p>sub</p></div>",
+        "www.tjpost.example")
+    assert tj["spans"] == [("text", "Open", None), ("text", "Body.", None)]
+    km = hp.extract_article(
+        "<div class='read__content'><h3>Sub</h3><p>Para.</p>"
+        "<p>Also Read: drop</p><ul><li>a</li><li>b</li></ul></div>",
+        "go.kmps.example")
+    assert km["spans"] == [("text", "Sub", None), ("text", "Para.", None),
+                           ("text", "a", None), ("text", "b", None)]
+    vp = hp.extract_article(
+        "<p>Para.</p><div class='article-body-note'>Note</div>"
+        "<div class='article-photo'><div class='article-body-note'>x</div></div>",
+        "en.vplus.example")
+    assert vp["spans"] == [("text", "Para.", None), ("text", "Note", None)]
+
+
+def test_domain_rewrite_map():
+    """F8 (reference :708-725): per-country registrable-domain rewrites as
+    declarative rows; wrong-country combinations pass through."""
+    from crawlspark.functions.urls import domain_for_country_py
+
+    assert domain_for_country_py("www.bernama.com", "malaysia") == "bernama.com/en/"
+    assert domain_for_country_py("news.vnanet.vn", "vietnam") == "vnanet.vn/en/"
+    assert domain_for_country_py("www.vietnamplus.vn", "vietnam") == "en.vietnamplus.vn"
+    assert domain_for_country_py("www.kompas.com", "indonesia") == "go.kompas.com"
+    assert domain_for_country_py("www.cambodiadaily.com", "cambodia") == "english.cambodiadaily.com"
+    assert domain_for_country_py("www.kompas.com", "malaysia") == "kompas.com"
+    assert domain_for_country_py("www.bernama.com", "singapore") == "bernama.com"

@@ -40,6 +40,13 @@ PROMOTED = [
     "media_resize",
     "media_frame_sample",
     "recrawl_change_report",
+    # round-5 surface (rule-table completion + F8 rewrites)
+    "url_domain_rewrite",
+    "html_branch_cards",
+    "html_next_page_modes",
+    "html_branch_dates",
+    "html_body_include",
+    "html_path_rules",
 ]
 
 
