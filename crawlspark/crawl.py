@@ -18,6 +18,7 @@ which the pytest oracle comparison asserts.
 from __future__ import annotations
 
 import os
+import threading
 import time as _time
 from dataclasses import dataclass, field
 
@@ -555,21 +556,9 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # pure py4j plan construction before the lists were cached)
     bid = F.lit(batch_id)
     fetched_o = pipe.filter(cols["rec_fetch"]).select("*", cols["outcome_aliased"])
-    progress_new = fetched_o.select(
-        *cols["progress_pre"], bid.alias("batch_id"), *cols["progress_post"]
-    ).unionByName(blocked_progress)
-    # retry re-entry with exponential backoff (reference :543-555, :636)
-    retries = fetched_o.filter(cols["is_retry"]).select(
-        *cols["retries_pre"],
-        bid.alias("discovered_batch"),
-        cols["retry_inc"],
-        (bid + cols["retry_backoff_int"]).alias("not_before_batch"),
-        "page_kind", "meta",
-    )
-
     parsed = pipe.filter(cols["rec_not_fetch"])
 
-    # ---- links path ----
+    # ---- links path (the only plans the STATE job consumes) ----
     links = parsed.filter(cols["rec_link"]).select(*cols["links_sel"])
     links = links.select("*", cols["link_domain_aliased"])
     links = links.filter(~cols["link_skip"]).filter(
@@ -598,32 +587,70 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         "page_kind",
         "meta",
     ).persist()
+    _tick("dag_build", _t)  # lazy-plan construction since the last action
 
-    # ---- docs path ----
-    # same broadcast-scan inversion as the urlseen exact check: the batch's
-    # doc ids are bounded, the documents table grows with the crawl — scan
-    # it against the broadcast batch ids instead of shuffling it
-    docs_new = docs_from_pipe(parsed.filter(cols["rec_doc"]), batch_id)
-    existing_docs = catalog.read("documents", manifest)
-    doc_hits = existing_docs.select("doc_id").join(
-        F.broadcast(docs_new.select("doc_id").distinct()), on="doc_id", how="left_semi"
-    )
-    docs_new = docs_new.join(F.broadcast(doc_hits), on="doc_id", how="left_anti")
+    # ---- commit-time plans (progress / retries / docs / metrics), built
+    # CONCURRENTLY with the state-update job below.  None of these feed
+    # the state job — they are consumed only at commit — and plan
+    # construction is py4j-roundtrip-bound (~0.2-0.3 s of pure driver
+    # time per batch), while state_update blocks the main thread in a JVM
+    # job for ~1-1.5 s with the GIL released.  The helper thread only
+    # BUILDS lazy plans (analysis-time catalog/py4j calls, both
+    # thread-safe); every Spark ACTION stays on the main thread.
+    commit_plans: dict = {}
+    commit_errs: list = []
 
-    # ---- metrics (per batch × host lineage; SURVEY §2.4 A2) ----
-    parsed_counts = parsed.groupBy("host").agg(*cols["parsed_aggs"])
-    metrics = (
-        fetched_o.groupBy("host")
-        .agg(*cols["metrics_aggs"])
-        .join(parsed_counts, on="host", how="left")
-        .select(bid.alias("batch_id"), *cols["metrics_sel"])
-    )
+    def _build_commit_plans() -> None:
+        t0 = _time.time()
+        try:
+            progress_new = fetched_o.select(
+                *cols["progress_pre"], bid.alias("batch_id"), *cols["progress_post"]
+            ).unionByName(blocked_progress)
+            # retry re-entry with exponential backoff (reference :543-555, :636)
+            retries = fetched_o.filter(cols["is_retry"]).select(
+                *cols["retries_pre"],
+                bid.alias("discovered_batch"),
+                cols["retry_inc"],
+                (bid + cols["retry_backoff_int"]).alias("not_before_batch"),
+                "page_kind", "meta",
+            )
+            # docs path: same broadcast-scan inversion as the urlseen exact
+            # check — the batch's doc ids are bounded, the documents table
+            # grows with the crawl, so scan it against the broadcast batch
+            # ids instead of shuffling it
+            docs_new = docs_from_pipe(parsed.filter(cols["rec_doc"]), batch_id)
+            existing_docs = catalog.read("documents", manifest)
+            doc_hits = existing_docs.select("doc_id").join(
+                F.broadcast(docs_new.select("doc_id").distinct()),
+                on="doc_id", how="left_semi",
+            )
+            docs_new = docs_new.join(
+                F.broadcast(doc_hits), on="doc_id", how="left_anti"
+            )
+            # metrics (per batch × host lineage; SURVEY §2.4 A2)
+            parsed_counts = parsed.groupBy("host").agg(*cols["parsed_aggs"])
+            metrics = (
+                fetched_o.groupBy("host")
+                .agg(*cols["metrics_aggs"])
+                .join(parsed_counts, on="host", how="left")
+                .select(bid.alias("batch_id"), *cols["metrics_sel"])
+            )
+            commit_plans.update(
+                progress_new=progress_new, retries=retries,
+                docs_new=docs_new, metrics=metrics,
+            )
+        except BaseException as e:  # surfaced on the main thread post-join
+            commit_errs.append(e)
+        finally:
+            _tick("dag_commit_async", t0)
+
+    plan_thread = threading.Thread(target=_build_commit_plans, daemon=True)
+    plan_thread.start()
 
     # ---- state updates (tiny driver-side collects: host names + either
     # bucket summaries (partitioned) or delta blobs (broadcast), all
     # piggybacked on one job — blob BYTES never reach the driver in
     # partitioned mode) --
-    _tick("dag_build", _t)  # lazy-plan construction since the last action
     _t = _time.time()
     if store is not None:
         store, new_hosts = update_buckets_partitioned(
@@ -644,6 +671,13 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         bloom.merge(delta)
         lineage = _bloom_lineage(bloom)
     _tick("state_update", _t)
+    plan_thread.join()
+    if commit_errs:
+        raise commit_errs[0]
+    progress_new = commit_plans["progress_new"]
+    retries = commit_plans["retries"]
+    docs_new = commit_plans["docs_new"]
+    metrics = commit_plans["metrics"]
     # robots fetch only for genuinely-new hosts (tiny per-batch set); the
     # known-hosts cache skips the membership JOB outright when every
     # accepted host was already verified present in an earlier batch

@@ -17,7 +17,7 @@ cluster size, no rand()) downsamples at export time, row-locally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -28,6 +28,46 @@ def _sample(docs: DataFrame, sample_pct: int | None) -> DataFrame:
     return docs.filter(slot < F.lit(int(sample_pct)))
 
 
+def _with_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, _text) — the text spans joined in offset order (spans are
+    stored ordered), the near-dup pipeline's input shape."""
+    txt = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    return docs.select("doc_id", txt.alias("_text"))
+
+
+def _drop_neardups(docs: DataFrame, threshold: float) -> DataFrame:
+    """Keep only near-dup cluster roots (root = min doc_id): MinHash/LSH
+    band join + exact-Jaccard verify + O(log n) star clustering — the same
+    operators the dedup queries prove out (operators/dedup_text.py)."""
+    from crawlspark.operators.dedup_text import (
+        connected_components,
+        verified_neardup_pairs,
+    )
+
+    pairs = verified_neardup_pairs(_with_text(docs), "doc_id", "_text", threshold)
+    non_roots = connected_components(pairs).select(F.col("id").alias("doc_id"))
+    # plain anti-join (no broadcast hint): the non-root set scales with the
+    # corpus's duplicate mass — AQE picks broadcast when it is small
+    return docs.join(non_roots, on="doc_id", how="left_anti")
+
+
+def _spans_projection(docs: DataFrame) -> DataFrame:
+    s = F.explode("spans").alias("s")
+    return docs.select(
+        "doc_id", "source", "published_date", s
+    ).select(
+        "doc_id", "source", "published_date",
+        F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"), F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def export_documents(
     catalog,
     out_dir: str,
@@ -35,22 +75,21 @@ def export_documents(
     partition_by: tuple = ("source",),
     sample_pct: int | None = None,
     manifest: dict | None = None,
+    dedupe: bool = False,
+    dedupe_threshold: float = 0.7,
 ) -> dict:
     """Write the documents table as a partitioned training dataset;
-    returns {'rows': n, 'mode': ..., 'partitions': [...]}."""
+    returns {'rows': n, 'mode': ..., 'partitions': [...]}.
+
+    ``dedupe=True`` drops near-duplicate documents at export time, keeping
+    each cluster's root (min doc_id) — exact duplicates are already
+    impossible (doc_id is globally unique at crawl time), so this is the
+    MinHash/LSH near-dup pass over span text."""
     assert mode in ("docs", "spans"), mode
     docs = _sample(catalog.read("documents", manifest), sample_pct)
-    if mode == "spans":
-        s = F.explode("spans").alias("s")
-        out = docs.select(
-            "doc_id", "source", "published_date", s
-        ).select(
-            "doc_id", "source", "published_date",
-            F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"), F.col("s.media_ref").alias("media_ref"),
-        )
-    else:
-        out = docs
+    if dedupe:
+        docs = _drop_neardups(docs, dedupe_threshold)
+    out = _spans_projection(docs) if mode == "spans" else docs
     out.write.mode("overwrite").partitionBy(*partition_by).parquet(out_dir)
     written = catalog.spark.read.parquet(out_dir)
     parts = [r[0] for r in written.select(*partition_by).distinct().collect()]
@@ -65,6 +104,8 @@ def export_incremental(
     partition_by: tuple = ("source",),
     sample_pct: int | None = None,
     manifest: dict | None = None,
+    dedupe: bool = False,
+    dedupe_threshold: float = 0.7,
 ) -> dict:
     """Export ONLY documents committed after ``since_snap`` — the
     recurring-pipeline shape: a nightly training-data refresh over a
@@ -80,32 +121,43 @@ def export_incremental(
 
     Returns {'rows': n, 'since_snap': ..., 'export_snap': ...}; feed
     ``export_snap`` back as the next call's ``since_snap``.
+
+    ``dedupe=True`` makes the increment near-dup-clean AND incremental-
+    safe: a delta document is dropped when it near-duplicates (a) any
+    document committed at or before ``since_snap`` — i.e. state earlier
+    increments already exported — via the cross-corpus band join
+    (neardup_ids_against: old side scanned, only the delta probes), or
+    (b) another delta document, keeping the cluster root (min doc_id).
     """
     assert mode in ("docs", "spans"), mode
     m = manifest or catalog.latest() or {"snapshot_id": 0, "tables": {}}
-    delta_files = [
-        p for p in m.get("tables", {}).get("documents", [])
-        if catalog.snap_of(p) > since_snap
-    ]
+    all_files = m.get("tables", {}).get("documents", [])
+    delta_files = [p for p in all_files if catalog.snap_of(p) > since_snap]
     export_snap = m["snapshot_id"]
     if not delta_files:
         return {"rows": 0, "since_snap": since_snap, "export_snap": export_snap,
                 "mode": mode, "files_read": 0}
     docs = _sample(catalog.read_files("documents", delta_files), sample_pct)
-    if mode == "spans":
-        s = F.explode("spans").alias("s")
-        out = docs.select(
-            "doc_id", "source", "published_date", s
-        ).select(
-            "doc_id", "source", "published_date",
-            F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"), F.col("s.media_ref").alias("media_ref"),
-        )
-    else:
-        out = docs
+    if dedupe:
+        docs = _drop_neardups(docs, dedupe_threshold)  # delta-internal
+        old_files = [p for p in all_files if catalog.snap_of(p) <= since_snap]
+        if old_files:
+            from crawlspark.operators.dedup_text import neardup_ids_against
+
+            old = _with_text(catalog.read_files("documents", old_files))
+            dup_ids = neardup_ids_against(
+                _with_text(docs), old, "doc_id", "_text", dedupe_threshold
+            ).select(F.col("id").alias("doc_id"))
+            docs = docs.join(dup_ids, on="doc_id", how="left_anti")
+    out = _spans_projection(docs) if mode == "spans" else docs
+    # single-pass write+count: the Observation collects the row count
+    # DURING the write job — the old `out.count()` after the write
+    # re-ran the whole read(+dedupe)(+explode) DAG a second time
+    obs = Observation("export_rows")
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     out.write.mode("append").partitionBy(*partition_by).parquet(out_dir)
-    # report the rows actually WRITTEN (spans mode explodes, so doc count
-    # would disagree with the shard row count a pipeline validates against)
-    return {"rows": out.count(), "since_snap": since_snap,
+    # rows actually WRITTEN (spans mode explodes, so doc count would
+    # disagree with the shard row count a pipeline validates against)
+    return {"rows": obs.get["rows"], "since_snap": since_snap,
             "export_snap": export_snap, "mode": mode,
             "files_read": len(delta_files)}

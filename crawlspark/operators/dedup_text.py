@@ -69,12 +69,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "id", text_col: str = "text"
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """Docs sharing any band key → (a_id, b_id) with a_id < b_id."""
-    stacked = signatures.selectExpr(
-        "id",
-        "stack({n}, {cols}) as (band_idx, band_key)".format(
-            n=BANDS, cols=", ".join(f"'{b}', band{b}" for b in range(BANDS))
-        ),
-    )
+    stacked = _stack_bands(signatures)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -107,6 +102,59 @@ def verified_neardup_pairs(
     return (
         pairs.select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _stack_bands(signatures: DataFrame) -> DataFrame:
+    return signatures.selectExpr(
+        "id",
+        "stack({n}, {cols}) as (band_idx, band_key)".format(
+            n=BANDS, cols=", ".join(f"'{b}', band{b}" for b in range(BANDS))
+        ),
+    )
+
+
+def neardup_ids_against(
+    new_df: DataFrame, old_df: DataFrame,
+    id_col: str = "id", text_col: str = "text", threshold: float = 0.7,
+) -> DataFrame:
+    """ids in ``new_df`` that near-duplicate ANY ``old_df`` row → (id).
+
+    The cross-corpus variant of the LSH pipeline (incremental dedup: a
+    delta deduping against already-exported state).  Both sides compute
+    row-local signatures (no shuffle); the ONLY shuffle is the band-key
+    join, whose probe side is delta-bounded — the old corpus is scanned,
+    never self-joined.  A production deployment persists the old side's
+    (id, band_key) and word-set tables incrementally instead of
+    recomputing them per increment; the join shape is identical.
+    """
+    nb = new_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    ob = old_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    cand = (
+        _stack_bands(minhash_signatures(nb)).alias("a")
+        .join(
+            _stack_bands(minhash_signatures(ob)).alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_idx") == F.col("b.band_idx")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    words_n = nb.select(
+        F.col("id").alias("a_id"),
+        F.array_distinct(F.split("text", " ")).alias("wa"),
+    ).withColumn("na", F.size("wa"))
+    words_o = ob.select(
+        F.col("id").alias("b_id"),
+        F.array_distinct(F.split("text", " ")).alias("wb"),
+    ).withColumn("nb", F.size("wb"))
+    pairs = cand.join(words_n, on="a_id").join(words_o, on="b_id")
+    inter = F.size(F.array_intersect("wa", "wb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        pairs.filter(jac >= threshold)
+        .select(F.col("a_id").alias("id"))
+        .distinct()
     )
 
 

@@ -35,15 +35,68 @@ from crawlspark.operators.bloom import BloomState
 
 _H2_SALT = "bloom-h2"
 
+# Hash/bucket Column lists, built once per (SparkContext, n_buckets): the
+# crawl loop probes EVERY politeness batch and each pyspark.sql.functions
+# call is a ~1-3 ms py4j roundtrip — three withColumns per probe totalled
+# ~25 ms/batch of pure driver-side plan construction (same rationale and
+# keying as crawl._COLS_CACHE).
+_HASH_COLS_CACHE: dict = {}
+
+
+def _hash_cols(spark, n_buckets: int | None) -> list:
+    key = (spark.sparkContext.applicationId, n_buckets)
+    c = _HASH_COLS_CACHE.get(key)
+    if c is None:
+        if next(iter(_HASH_COLS_CACHE), (None,))[0] != key[0]:
+            _HASH_COLS_CACHE.clear()  # new context: drop dead Column trees
+        h1 = F.xxhash64("url")
+        c = [h1.alias("_h1"), F.xxhash64(F.lit(_H2_SALT), F.col("url")).alias("_h2")]
+        if n_buckets is not None:
+            c = c + [F.pmod(h1, F.lit(n_buckets)).cast("int").alias("bucket")]
+        _HASH_COLS_CACHE[key] = c
+    return c
+
 
 def _with_hashes(df: DataFrame) -> DataFrame:
-    return df.withColumn("_h1", F.xxhash64("url")).withColumn(
-        "_h2", F.xxhash64(F.lit(_H2_SALT), F.col("url"))
-    )
+    return df.select("*", *_hash_cols(df.sparkSession, None))
 
 
 def _u64(s: pd.Series) -> np.ndarray:
     return s.to_numpy(dtype=np.int64).view(np.uint64)
+
+
+def _split_and_verify(spark: SparkSession, probed: DataFrame, urlseen: DataFrame,
+                      small_positives: bool, drop: tuple) -> DataFrame:
+    """probed(+maybe_seen) → unseen rows: guaranteed-fresh negatives UNION
+    the exactly-verified Bloom-positive sliver.
+
+    The small_positives (crawl-loop) path issues ONE spark.sql statement
+    over temp views instead of the 8-op DataFrame chain (2 filters, 2
+    drops, distinct, 2 broadcast joins, union) — same physical plan
+    (verified by test_bloom equality + the broadcast assertions), ~3 py4j
+    roundtrips instead of ~15 per politeness batch.  The join semantics
+    are identical to _exact_unseen: urlseen is only ever broadcast-SCANNED
+    against the batch-bounded positive sliver, never shuffled.
+    """
+    if not small_positives:
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", *drop)
+        positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", *drop)
+        return fresh.unionByName(_exact_unseen(positives, urlseen, False))
+    keep = ", ".join(
+        f"`{c}`" for c in probed.columns if c != "maybe_seen" and c not in drop
+    )
+    probed.createOrReplaceTempView("cs_probe_t")
+    urlseen.createOrReplaceTempView("cs_urlseen_t")
+    return spark.sql(f"""
+        WITH pos AS (SELECT {keep} FROM cs_probe_t WHERE maybe_seen),
+             hits AS (SELECT /*+ BROADCAST(ids) */ u.url FROM cs_urlseen_t u
+                      LEFT SEMI JOIN (SELECT DISTINCT url FROM pos) ids
+                      ON u.url = ids.url)
+        SELECT {keep} FROM cs_probe_t WHERE NOT maybe_seen
+        UNION ALL
+        SELECT /*+ BROADCAST(hits) */ p.* FROM pos p
+        LEFT ANTI JOIN hits ON p.url = hits.url
+    """)
 
 
 def _exact_unseen(positives: DataFrame, urlseen: DataFrame,
@@ -100,11 +153,8 @@ def probe_unseen(spark: SparkSession, candidates: DataFrame, urlseen: DataFrame,
     # two branches below recompute the cheap probe rather than
     # materializing 10^6+ rows.
     probed = withh.mapInArrow(probe, schema=out_schema)
-    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2")
-    positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2")
-    # exact check only for the Bloom-positive sliver
-    survivors = _exact_unseen(positives, urlseen, small_positives)
-    return fresh.unionByName(survivors)
+    return _split_and_verify(spark, probed, urlseen, small_positives,
+                             drop=("_h1", "_h2"))
 
 
 def bloom_delta(
@@ -217,17 +267,13 @@ def probe_unseen_partitioned(
         bits = (blob[byte_idx] >> bit) & 1
         return pdf.assign(maybe_seen=bits.all(axis=1))
 
-    withh = _with_hashes(candidates).withColumn(
-        "bucket", F.pmod(F.col("_h1"), F.lit(nb)).cast("int")
-    )
+    withh = candidates.select("*", *_hash_cols(spark, nb))
     out_schema = T.StructType(
         list(withh.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
     )
     probed = withh.groupBy("bucket").applyInPandas(per_bucket, schema=out_schema)
-    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2", "bucket")
-    positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "_h1", "_h2", "bucket")
-    survivors = _exact_unseen(positives, urlseen, small_positives)
-    return fresh.unionByName(survivors)
+    return _split_and_verify(spark, probed, urlseen, small_positives,
+                             drop=("_h1", "_h2", "bucket"))
 
 
 def update_buckets_partitioned(

@@ -90,3 +90,90 @@ def test_export_incremental_reads_only_delta_files(spark, tmp_path):
     assert r3 == {"rows": 0, "since_snap": r2["export_snap"],
                   "export_snap": r2["export_snap"], "mode": "docs",
                   "files_read": 0}
+
+
+def _doc_row(doc_id, text, batch_id=1):
+    import datetime as dt
+
+    words = text.split()
+    return (
+        doc_id, f"https://www.cna.example/news/{doc_id}", f"T {doc_id}",
+        dt.date(2021, 3, 1), "CNA", batch_id,
+        [{"kind": "text", "text": " ".join(words[: len(words) // 2]),
+          "media_ref": None, "offset": 0},
+         {"kind": "text", "text": " ".join(words[len(words) // 2:]),
+          "media_ref": None, "offset": 1}],
+    )
+
+
+_BASE_TEXT = ("health ministry reported new cases of the virus today as "
+              "hospitals prepare additional capacity for patients while "
+              "officials urged residents to remain calm")
+
+
+def test_export_dedupe_keeps_cluster_roots(spark, tmp_path):
+    """dedupe=True: planted near-dups collapse to their cluster root
+    (min doc_id); unique docs all survive (span text is joined across
+    spans before shingling)."""
+    from crawlspark import schemas
+    from crawlspark.export import export_documents
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    rows = [
+        _doc_row("a1", _BASE_TEXT),                      # cluster root
+        _doc_row("a2", _BASE_TEXT + " tonight"),         # near-dup of a1
+        _doc_row("a3", _BASE_TEXT.replace("calm", "indoors")),  # near-dup
+        _doc_row("b1", "completely different story about markets rates "
+                       "growth inflation currency trade exports policy "
+                       "bank investors bonds equity sectors outlook"),
+    ]
+    cat.commit(1, appends={"documents": spark.createDataFrame(rows, schemas.DOCUMENTS)})
+    out = str(tmp_path / "out")
+    r = export_documents(cat, out, mode="docs", dedupe=True)
+    ids = {x[0] for x in spark.read.parquet(out).select("doc_id").collect()}
+    assert ids == {"a1", "b1"}
+    assert r["rows"] == 2
+
+
+def test_export_incremental_dedupes_against_prior_state(spark, tmp_path, monkeypatch):
+    """Incremental dedupe: a later delta drops (a) near-dups of documents
+    already exported in an earlier increment — via the cross-corpus band
+    join — and (b) in-delta near-dups, keeping the root.  Also pins the
+    single-pass write: the export must not re-run the DAG with a count()
+    action (the row count comes from an Observation on the write job)."""
+    import pyspark.sql.dataframe as pdf_mod
+
+    from crawlspark import schemas
+    from crawlspark.export import export_incremental
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.commit(1, appends={"documents": spark.createDataFrame(
+        [_doc_row("a1", _BASE_TEXT),
+         _doc_row("b1", "completely different story about markets rates "
+                        "growth inflation currency trade exports policy "
+                        "bank investors bonds equity sectors outlook")],
+        schemas.DOCUMENTS)})
+    out = str(tmp_path / "inc")
+    r1 = export_incremental(cat, out, since_snap=0, dedupe=True)
+    assert r1["rows"] == 2
+
+    cat.commit(2, appends={"documents": spark.createDataFrame(
+        [_doc_row("c1", _BASE_TEXT + " again", 2),       # dups exported a1
+         _doc_row("d1", "fresh topic entirely about weather storms rain "
+                        "flooding rivers dams forecasts warnings wind "
+                        "coastal towns evacuation shelters response", 2),
+         _doc_row("d2", "fresh topic entirely about weather storms rain "
+                        "flooding rivers dams forecasts warnings wind "
+                        "coastal towns evacuation shelters planning", 2),  # dup of d1
+        ], schemas.DOCUMENTS)})
+
+    # any count() during the export means the DAG ran twice — forbid it
+    def _no_count(self):
+        raise AssertionError("count() action during incremental export")
+
+    monkeypatch.setattr(pdf_mod.DataFrame, "count", _no_count)
+    r2 = export_incremental(cat, out, since_snap=r1["export_snap"], dedupe=True)
+    monkeypatch.undo()
+    assert r2["rows"] == 1
+    ids = {x[0] for x in spark.read.parquet(out).select("doc_id").collect()}
+    assert ids == {"a1", "b1", "d1"}
