@@ -96,6 +96,36 @@ def export_documents(
     return {"rows": written.count(), "mode": mode, "partitions": sorted(parts)}
 
 
+def export_media_frames(
+    catalog,
+    out_dir: str,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    partition_by: tuple = ("source",),
+    manifest: dict | None = None,
+) -> dict:
+    """Export sampled VIDEO frames from the crawl's media spans: documents
+    → media spans (kind='media') → payload table (blob-store-fetch
+    stand-in) → sample_frames (1→N exploding mapInPandas) → partitioned
+    parquet shards carrying (doc_id, media_ref, frame_idx, ts_ms,
+    frame_hash, frame bytes) — the multimodal training-data delivery
+    shape.  Frame extraction itself is the documented codec seam."""
+    from crawlspark.operators.multimodal import (
+        media_payloads_from_documents,
+        sample_frames,
+    )
+
+    docs = catalog.read("documents", manifest)
+    payloads = media_payloads_from_documents(docs)
+    frames = sample_frames(payloads, every_ms=every_ms, max_frames=max_frames)
+    out = frames.join(docs.select("doc_id", "source"), on="doc_id", how="left")
+    obs = Observation("frame_rows")
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+    out.write.mode("overwrite").partitionBy(*partition_by).parquet(out_dir)
+    return {"rows": obs.get["rows"], "every_ms": every_ms,
+            "max_frames": max_frames}
+
+
 def export_incremental(
     catalog,
     out_dir: str,

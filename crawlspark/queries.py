@@ -3126,6 +3126,98 @@ def media_frame_sample(spark, sf_dir):
     )
 
 
+@q(
+    "media_span_pipeline",
+    """
+    WITH refs AS (
+      SELECT doc_id::VARCHAR AS doc_id,
+             CAST(1 + 2 * j AS INT) AS "offset",
+             'https://img.cna.example/m/' || doc_id || '-' || j || '.jpg' AS media_ref
+      FROM documents, unnest([0, 1]) AS t(j)
+    ),
+    b AS (
+      SELECT doc_id, "offset", media_ref,
+             md5(repeat(sha256(media_ref), 4)) AS hx
+      FROM refs
+    ),
+    dims AS (
+      SELECT doc_id, "offset", media_ref,
+             ('0x' || substr(hx, 1, 2))::BIGINT AS h0,
+             160 + ('0x' || substr(hx, 3, 2))::BIGINT % 480 AS w,
+             120 + ('0x' || substr(hx, 5, 2))::BIGINT % 360 AS h
+      FROM b
+    )
+    SELECT doc_id, "offset", media_ref,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(CASE WHEN w <= 320 AND h <= 240 THEN w
+                     WHEN w * 240 <= h * 320 THEN greatest(1, w * 240 // h)
+                     ELSE 320 END AS INT) AS new_width,
+           CAST(CASE WHEN w <= 320 AND h <= 240 THEN h
+                     WHEN w * 240 <= h * 320 THEN 240
+                     ELSE greatest(1, h * 320 // w) END AS INT) AS new_height
+    FROM dims WHERE h0 % 3 = 0
+    """,
+)
+def media_span_pipeline(spark, sf_dir):
+    """The full media pipeline SHAPE over REAL crawl spans: article HTML →
+    extract_article interleaved spans → media spans (kind='media', their
+    true interleaved offsets) → payload table
+    (multimodal.media_payloads_from_documents, the blob-store-fetch
+    stand-in) → fake decode → aspect-preserving resize — then geometry
+    joined back to the span offsets.  This is the crawl → spans → media
+    table → ops join the training pipeline runs; the oracle replays the
+    payload/decoder hash math and fit-box arithmetic in SQL."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_article
+    from crawlspark.operators.multimodal import (
+        media_payloads_from_documents,
+        resize_media,
+    )
+
+    src = T(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.doc_id)
+                figs = "".join(
+                    f"<p>Para {i}-{j}.</p>"
+                    f"<figure><img src=\"https://img.cna.example/m/{i}-{j}.jpg\">"
+                    f"<figcaption>Cap {i}-{j}</figcaption></figure>"
+                    for j in (0, 1)
+                )
+                html = (f"<html><body><h1>T {i}</h1>"
+                        f"<span class='pubdate'>2021-01-02</span>"
+                        f"<div class='article-body'>{figs}</div></body></html>")
+                art = extract_article(html, "www.cna.example")
+                rows.append({
+                    "doc_id": str(i),
+                    "spans": [
+                        {"kind": k, "text": t, "media_ref": m, "offset": off}
+                        for off, (k, t, m) in enumerate(art["spans"])
+                    ],
+                })
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    docs = src.mapInPandas(
+        run,
+        schema="doc_id string, spans array<struct<kind:string,text:string,"
+               "media_ref:string,offset:int>>",
+    )
+    offsets = docs.select("doc_id", F.explode("spans").alias("s")).filter(
+        F.col("s.kind") == "media"
+    ).select("doc_id", F.col("s.offset").alias("offset"),
+             F.col("s.media_ref").alias("media_ref"))
+    payloads = media_payloads_from_documents(docs)
+    resized = resize_media(payloads, max_w=320, max_h=240).select(
+        "doc_id", "media_ref", "width", "height", "new_width", "new_height"
+    )
+    return offsets.join(resized, on=["doc_id", "media_ref"], how="inner")
+
+
 # ---- S9 composition: recrawl change detection over the fetched log -------
 
 @q(
@@ -3577,6 +3669,10 @@ _DEMOTED = [
     "date_parse",
     "keyword_filter",
     "token_count",
+    # window room for media_span_pipeline (the spans→media-table→resize
+    # join); curation keeps stratified_sample windowed and the quantile
+    # mechanics underlie it (4 green rows r01-r04)
+    "doc_length_quantiles",
 ]
 
 

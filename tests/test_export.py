@@ -177,3 +177,42 @@ def test_export_incremental_dedupes_against_prior_state(spark, tmp_path, monkeyp
     assert r2["rows"] == 1
     ids = {x[0] for x in spark.read.parquet(out).select("doc_id").collect()}
     assert ids == {"a1", "b1", "d1"}
+
+
+def test_export_media_frames_from_crawl_spans(spark, tmp_path):
+    """Frame export over REAL crawl media spans: documents → media spans →
+    payload table → sample_frames → partitioned shards.  Row count must
+    equal the frame schedule over the table's video payloads, and every
+    frame row must trace back to a media span's ref."""
+    from crawlspark.export import export_media_frames
+    from crawlspark.operators.multimodal import (
+        media_payloads_from_documents,
+        sample_frames,
+    )
+
+    wh = str(tmp_path / "wh")
+    run_crawl(spark, CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=0.05),
+                                 max_batches=8, budget_override=15))
+    cat = SnapshotCatalog(spark, wh)
+    docs = cat.read("documents")
+    expected = sample_frames(media_payloads_from_documents(docs)).count()
+    assert expected > 0
+
+    out = str(tmp_path / "frames")
+    r = export_media_frames(cat, out)
+    assert r["rows"] == expected
+    back = spark.read.parquet(out)
+    assert back.count() == expected
+    assert set(back.columns) >= {"doc_id", "media_ref", "frame_idx", "ts_ms",
+                                 "frame_hash", "frame", "source"}
+    refs = {x[0] for x in docs.select(F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "media")
+            .select("s.media_ref").distinct().collect()}
+    assert {x[0] for x in back.select("media_ref").distinct().collect()} <= refs
+    # frame schedule: per (doc, ref), frame_idx is 0..n-1 at every_ms steps
+    one = back.filter(F.col("frame_idx") == 0).limit(1).collect()[0]
+    series = sorted(
+        (r["frame_idx"], r["ts_ms"]) for r in
+        back.filter((F.col("doc_id") == one["doc_id"])
+                    & (F.col("media_ref") == one["media_ref"])).collect())
+    assert series == [(i, i * 1000) for i in range(len(series))]

@@ -27,7 +27,8 @@ PROMOTED = [
     "html_shallow_tail",
     "stream_dedup",
     "stratified_sample",
-    "doc_length_quantiles",
+    # doc_length_quantiles rotated OUT in round 5 (4 green driver rows
+    # r01-r04; curation family keeps stratified_sample windowed)
     # round-4 surface
     "html_tstar_spans",
     "html_anchor_cards",
@@ -47,6 +48,7 @@ PROMOTED = [
     "html_branch_dates",
     "html_body_include",
     "html_path_rules",
+    "media_span_pipeline",
 ]
 
 
