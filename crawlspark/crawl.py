@@ -115,14 +115,15 @@ def _hosts_frame(hosts_df: DataFrame) -> DataFrame:
     contact; ROBOTSTXT_OBEY settings.py:20)."""
 
     def gen(batches):
-        cols = ["host", "crawl_delay_s", "budget_per_batch", "robots_disallow"]
+        cols = ["host", "crawl_delay_s", "budget_per_batch",
+                "robots_disallow", "robots_allow"]
         for pdf in batches:
             recs = []
             for h in pdf["host"]:
                 s = synthetic.robots_for_host(h)
                 recs.append(
                     (h, float(s["crawl_delay_s"]), int(s["budget_per_batch"]),
-                     list(s["disallow"]))
+                     list(s["disallow"]), list(s.get("allow") or []))
                 )
             yield pd.DataFrame(recs, columns=cols)
 
@@ -254,12 +255,27 @@ def _hosts_with_rx(hosts: DataFrame, budget_override: int | None) -> DataFrame:
     grow to web scale (it is only ever broadcast into the schedule join)."""
 
     @F.pandas_udf("string")
-    def rx_udf(dis: pd.Series) -> pd.Series:
-        return dis.map(
-            lambda d: scheduler.robots_rx_py(list(d) if d is not None else None)
+    def rx_udf(dis: pd.Series, alw: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                scheduler.robots_rx_py(
+                    list(d) if d is not None else None,
+                    list(a) if a is not None else None,
+                )
+                for d, a in zip(dis.tolist(), alw.tolist())
+            ],
+            dtype=object,
         )
 
-    out = hosts.withColumn("robots_rx", rx_udf("robots_disallow"))
+    out = hosts.withColumn(
+        "robots_rx",
+        rx_udf("robots_disallow",
+               # pre-round-5 hosts rows lack robots_allow entirely when the
+               # table was written before the column existed; the schema
+               # read nulls it and the compiler treats null as no overrides
+               F.col("robots_allow") if "robots_allow" in hosts.columns
+               else F.lit(None).cast("array<string>")),
+    )
     if budget_override:
         out = out.withColumn("budget_per_batch", F.lit(int(budget_override)))
     return out

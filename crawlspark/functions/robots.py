@@ -1,7 +1,9 @@
-"""Minimal robots.txt parser (reference: ROBOTSTXT_OBEY settings.py:20,
-parsed by Protego per requirements.txt:50; this is a clean-room parser of
-the subset the engine enforces: User-agent groups, Disallow prefixes,
-Crawl-delay).
+"""Robots.txt parser + REP matcher (reference: ROBOTSTXT_OBEY
+settings.py:20, parsed by Protego per requirements.txt:50; this is a
+clean-room implementation of the Robots Exclusion Protocol subset the
+engine enforces: User-agent groups, Disallow AND Allow rules with `*`
+wildcards and the `$` end anchor, longest-match precedence with
+allow-wins-ties, Crawl-delay).
 
 Rules applied for a given agent: the most specific matching User-agent
 group wins ('*' is the fallback); empty Disallow means allow-all.
@@ -9,12 +11,19 @@ group wins ('*' is the fallback); empty Disallow means allow-all.
 
 from __future__ import annotations
 
+import re
+
+
+def _empty_rules() -> dict:
+    return {"disallow": [], "allow": [], "crawl_delay": None}
+
 
 def parse_robots_txt(text: str, agent: str = "crawlspark") -> dict:
-    """→ {'disallow': [prefixes], 'crawl_delay': float | None}."""
+    """→ {'disallow': [patterns], 'allow': [patterns],
+    'crawl_delay': float | None}."""
     groups: list[tuple[list[str], dict]] = []  # (agents, rules)
     cur_agents: list[str] = []
-    cur_rules: dict = {"disallow": [], "crawl_delay": None}
+    cur_rules: dict = _empty_rules()
     in_group_body = False
 
     def flush():
@@ -22,7 +31,7 @@ def parse_robots_txt(text: str, agent: str = "crawlspark") -> dict:
         if cur_agents:
             groups.append((cur_agents, cur_rules))
         cur_agents = []
-        cur_rules = {"disallow": [], "crawl_delay": None}
+        cur_rules = _empty_rules()
         in_group_body = False
 
     for raw in (text or "").splitlines():
@@ -36,10 +45,10 @@ def parse_robots_txt(text: str, agent: str = "crawlspark") -> dict:
             if in_group_body:
                 flush()
             cur_agents.append(val.lower())
-        elif key == "disallow":
+        elif key in ("disallow", "allow"):
             in_group_body = True
             if val:
-                cur_rules["disallow"].append(val)
+                cur_rules[key].append(val)
         elif key == "crawl-delay":
             in_group_body = True
             try:
@@ -53,4 +62,34 @@ def parse_robots_txt(text: str, agent: str = "crawlspark") -> dict:
     if exact is not None:
         return exact
     star = next((r for ags, r in groups if "*" in ags), None)
-    return star if star is not None else {"disallow": [], "crawl_delay": None}
+    return star if star is not None else _empty_rules()
+
+
+def pattern_rx(pat: str) -> str:
+    """Robots path pattern → UNanchored regex body (`*` → any sequence,
+    trailing `$` → end anchor; everything else literal).  Callers anchor
+    at the path start: Python via re.match, Spark via a leading `^`."""
+    end = pat.endswith("$")
+    body = pat[:-1] if end else pat
+    rx = ".*".join(re.escape(part) for part in body.split("*"))
+    return rx + "$" if end else rx
+
+
+def path_allowed(path: str, disallow: list[str] | None,
+                 allow: list[str] | None = None) -> bool:
+    """REP longest-match: among all matching rules the one with the
+    longest pattern wins; ties go to Allow; no match → allowed.
+    Equivalently (the form both the Python and the compiled-regex engine
+    paths use): BLOCKED iff some Disallow matches and no Allow with
+    pattern length >= that Disallow's also matches."""
+    dis = disallow or []
+    alw = allow or []
+    matched_allow_lens = [
+        len(a) for a in alw if re.match(pattern_rx(a), path) is not None
+    ]
+    for d in dis:
+        if re.match(pattern_rx(d), path) is None:
+            continue
+        if not any(la >= len(d) for la in matched_allow_lens):
+            return False
+    return True

@@ -48,26 +48,44 @@ def priority_py(depth: int, page_kind: str, url: str) -> float:
     return p - 0.1 * depth
 
 
-def robots_rx_py(disallow: list[str] | None) -> str | None:
-    """Compile a host's Disallow prefixes into one anchored alternation —
-    computed once per host on the driver (the hosts dimension is tiny),
-    evaluated row-wise with regexp_like (no higher-order functions, whose
-    outer-lambda references miscompile under the broadcast join)."""
-    import re as _re
+def robots_rx_py(disallow: list[str] | None,
+                 allow: list[str] | None = None) -> str | None:
+    """Compile a host's robots rules into ONE anchored 'blocked' regex —
+    computed once per host (the hosts dimension is tiny), evaluated
+    row-wise with regexp_like (no higher-order functions, whose
+    outer-lambda references miscompile under the broadcast join).
+
+    Exact REP longest-match semantics (functions/robots.path_allowed) as
+    a single regular expression: blocked iff some Disallow D matches with
+    no Allow of pattern length >= len(D) also matching — each D
+    alternative carries a negative lookahead over exactly the Allow
+    patterns that beat it, all anchored at the path start.  Wildcards and
+    `$` anchors come from the shared pattern_rx converter, so the regex
+    engine path and the Python oracle path can never drift."""
+    from crawlspark.functions.robots import pattern_rx
 
     if not disallow:
         return None
-    return "^(?:" + "|".join(_re.escape(d) for d in disallow) + ")"
+    alw = allow or []
+    alts = []
+    for d in disallow:
+        beating = [pattern_rx(a) for a in alw if len(a) >= len(d)]
+        guard = f"(?!(?:{'|'.join(beating)}))" if beating else ""
+        alts.append(guard + pattern_rx(d))
+    return "^(?:" + "|".join(alts) + ")"
 
 
-def robots_allowed_py(url: str, disallow: list[str] | None) -> bool:
+def robots_allowed_py(url: str, disallow: list[str] | None,
+                      allow: list[str] | None = None) -> bool:
+    from crawlspark.functions.robots import path_allowed
+
     if not disallow:
         return True
     try:
         path = "/" + url.split("://", 1)[1].split("/", 1)[1]
     except IndexError:
         path = "/"
-    return not any(path.startswith(d) for d in disallow)
+    return path_allowed(path, disallow, allow)
 
 
 def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int,
@@ -96,7 +114,13 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int,
             "schedule() fallback collects hosts driver-side; pass a "
             "robots_rx column (crawl._hosts_with_rx) for large host dims"
         )
-        rx_map = {r["host"]: robots_rx_py(r["robots_disallow"]) for r in rows}
+        rx_map = {
+            r["host"]: robots_rx_py(
+                r["robots_disallow"],
+                r["robots_allow"] if "robots_allow" in r.__fields__ else None,
+            )
+            for r in rows
+        }
         hosts = hosts.sparkSession.createDataFrame(
             [(h, rx) for h, rx in sorted(rx_map.items())],
             T.StructType([T.StructField("host", T.StringType()),
@@ -110,7 +134,8 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int,
     raw_path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     is_blocked = F.col("robots_rx").isNotNull() & F.regexp_like(path, F.col("robots_rx"))
-    drop_cols = ["crawl_delay_s", "budget_per_batch", "robots_disallow", "robots_rx"]
+    drop_cols = ["crawl_delay_s", "budget_per_batch", "robots_disallow",
+                 "robots_allow", "robots_rx"]
     blocked = df.filter(is_blocked).drop(*drop_cols)
     df = df.filter(~is_blocked)
 

@@ -73,7 +73,7 @@ def crawl_oracle(
             if r["not_before"] > batch:
                 continue
             rb = robots(r["host"])
-            if not robots_allowed_py(r["url"], rb["disallow"]):
+            if not robots_allowed_py(r["url"], rb["disallow"], rb.get("allow")):
                 blocked.append(r)  # retire with a terminal record (engine twin)
                 continue
             eligible.setdefault(r["host"], []).append(r)

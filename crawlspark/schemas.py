@@ -150,6 +150,10 @@ HOSTS = T.StructType(
         T.StructField("crawl_delay_s", T.DoubleType(), False),
         T.StructField("budget_per_batch", T.IntegerType(), False),
         T.StructField("robots_disallow", T.ArrayType(T.StringType()), True),
+        # Allow-override patterns (REP longest-match; pre-round-5
+        # warehouses lack the column — parquet schema read yields null,
+        # which the rx compiler treats as no overrides)
+        T.StructField("robots_allow", T.ArrayType(T.StringType()), True),
     ]
 )
 

@@ -85,18 +85,28 @@ def seed_urls(spec: WebSpec) -> list[str]:
 # crawl delay :427-428).  Served as real robots.txt text by fetch() and
 # parsed with functions/robots.py — the engine never sees these dicts.
 _ROBOTS = {
-    "www.fmt.example": {"disallow": ["/section/1"], "crawl_delay": None},
-    "www.tstar.example": {"disallow": ["/section/2"], "crawl_delay": None},
-    "www.ktimes.example": {"disallow": [], "crawl_delay": 1.0},
+    "www.fmt.example": {"disallow": ["/section/1"], "allow": [],
+                        "crawl_delay": None},
+    # REP breadth the parser/compiler must honor end-to-end: a prefix
+    # Disallow (all of section 2), a wildcard + $-anchored Disallow
+    # (exactly page 1 of every section — NOT page 10), and an equal-length
+    # Allow that wins its tie and re-opens section 3's page 1
+    "www.tstar.example": {
+        "disallow": ["/section/2", "/section/*/page/1$"],
+        "allow": ["/section/3/page/1$"],
+        "crawl_delay": None,
+    },
+    "www.ktimes.example": {"disallow": [], "allow": [], "crawl_delay": 1.0},
 }
 
 
 def robots_txt(host: str) -> str:
     """The robots.txt body the synthetic web serves for ``host``."""
-    r = _ROBOTS.get(host, {"disallow": [], "crawl_delay": None})
+    r = _ROBOTS.get(host, {"disallow": [], "allow": [], "crawl_delay": None})
     lines = ["# synthetic robots", "User-agent: badbot", "Disallow: /", "",
              "User-agent: *"]
     lines += [f"Disallow: {d}" for d in r["disallow"]] or ["Disallow:"]
+    lines += [f"Allow: {a}" for a in r.get("allow") or []]
     if r["crawl_delay"]:
         lines.append(f"Crawl-delay: {r['crawl_delay']}")
     return "\n".join(lines) + "\n"
@@ -111,6 +121,7 @@ def robots_for_host(host: str) -> dict:
     delay = parsed["crawl_delay"] or rules.DEFAULT_CRAWL_DELAY_S
     return {
         "disallow": list(parsed["disallow"]),
+        "allow": list(parsed["allow"]),
         "crawl_delay_s": delay,
         "budget_per_batch": max(1, int(rules.BATCH_PERIOD_S / delay)),
     }

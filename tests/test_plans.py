@@ -79,7 +79,7 @@ def test_scheduler_uses_broadcast_for_hosts(spark):
         F.lit(None).cast(schemas.META).alias("meta"),
     )
     hosts = spark.createDataFrame(
-        [(f"www.h{i}.example", 0.5, 10, []) for i in range(5)], schemas.HOSTS
+        [(f"www.h{i}.example", 0.5, 10, [], []) for i in range(5)], schemas.HOSTS
     )
     p = _plan(spark, schedule(pending, hosts, 1))
     assert "BroadcastHashJoin" in p

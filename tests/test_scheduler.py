@@ -25,9 +25,10 @@ def _pending(spark, n, n_hosts=3):
     )
 
 
-def _hosts(spark, hosts, budget=25, disallow=None):
+def _hosts(spark, hosts, budget=25, disallow=None, allow=None):
     return spark.createDataFrame(
-        [(h, 0.5, budget, disallow or []) for h in hosts], schemas.HOSTS
+        [(h, 0.5, budget, disallow or [], allow or []) for h in hosts],
+        schemas.HOSTS,
     )
 
 
