@@ -90,10 +90,15 @@ def export_documents(
     if dedupe:
         docs = _drop_neardups(docs, dedupe_threshold)
     out = _spans_projection(docs) if mode == "spans" else docs
+    # single-pass write+count (same Observation pattern as
+    # export_incremental); the partition listing still reads back the
+    # written dataset, but only its hive directory column
+    obs = Observation("export_rows")
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     out.write.mode("overwrite").partitionBy(*partition_by).parquet(out_dir)
     written = catalog.spark.read.parquet(out_dir)
     parts = [r[0] for r in written.select(*partition_by).distinct().collect()]
-    return {"rows": written.count(), "mode": mode, "partitions": sorted(parts)}
+    return {"rows": obs.get["rows"], "mode": mode, "partitions": sorted(parts)}
 
 
 def export_media_frames(

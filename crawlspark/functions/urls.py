@@ -96,6 +96,17 @@ def host_of_py(url: str) -> str:
         return ""
 
 
+def path_of_py(url: str) -> str:
+    """URL path ('/'-prefixed; '' for bare hosts) — the host+path input of
+    PATH-QUALIFIED rule keys (reference keys some branches on the url:
+    'bernama.com/en/' in response.url :779).  Shared by the engine parse
+    stage and the oracle so the two can never drift."""
+    try:
+        return "/" + url.split("://", 1)[1].partition("/")[2]
+    except IndexError:
+        return ""
+
+
 _MULTI_SUFFIXES = ("com.my", "com.ph", "com.sg", "co.uk", "com.kh")
 
 

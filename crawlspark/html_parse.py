@@ -361,21 +361,26 @@ def extract_article(html: str, host: str, path: str = "") -> dict:
         for node in body.iter():
             if not isinstance(node, Node) or _excluded(node, r.excluded_classes):
                 continue
-            inc = next(
-                (
-                    s
-                    for s in r.body_include
-                    if node.tag == s[0]
-                    and (s[1] is None or s[1] in node.classes())
-                    and (
-                        s[2] is None
-                        or node.has_ancestor(
-                            lambda p, c=s[2]: isinstance(p, Node) and c in p.classes()
+            # guard before the genexpr: body_include is empty for all but a
+            # few rule rows and this loop is the fused parse stage's hot path
+            inc = None
+            if r.body_include:
+                inc = next(
+                    (
+                        s
+                        for s in r.body_include
+                        if node.tag == s[0]
+                        and (s[1] is None or s[1] in node.classes())
+                        and (
+                            s[2] is None
+                            or node.has_ancestor(
+                                lambda p, c=s[2]: isinstance(p, Node)
+                                and c in p.classes()
+                            )
                         )
-                    )
-                ),
-                None,
-            )
+                    ),
+                    None,
+                )
             if inc is not None:
                 # body-include leaf (tjpost tjp-opening h1 :2302, kompas
                 # read__content h3 :2313, vietnamplus article-body div

@@ -36,10 +36,7 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
         return out
     # URL path, for PATH-QUALIFIED rule keys (reference branches keyed on
     # the url, not the host: 'bernama.com/en/' in response.url :779)
-    try:
-        path = "/" + url.split("://", 1)[1].partition("/")[2]
-    except IndexError:
-        path = ""
+    path = U.path_of_py(url)
     if page_kind == "listing":
         cards = html_parse.extract_listing_cards(body, host, path)
         card_links = set()

@@ -25,6 +25,8 @@ fingerprint set; at 10^10 URLs that set does not fit one machine, so here:
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +36,7 @@ from pyspark.sql import types as T
 from crawlspark.operators.bloom import BloomState
 
 _H2_SALT = "bloom-h2"
+_VIEW_SEQ = itertools.count()
 
 # Hash/bucket Column lists, built once per (SparkContext, n_buckets): the
 # crawl loop probes EVERY politeness batch and each pyspark.sql.functions
@@ -85,18 +88,29 @@ def _split_and_verify(spark: SparkSession, probed: DataFrame, urlseen: DataFrame
     keep = ", ".join(
         f"`{c}`" for c in probed.columns if c != "maybe_seen" and c not in drop
     )
-    probed.createOrReplaceTempView("cs_probe_t")
-    urlseen.createOrReplaceTempView("cs_urlseen_t")
-    return spark.sql(f"""
-        WITH pos AS (SELECT {keep} FROM cs_probe_t WHERE maybe_seen),
-             hits AS (SELECT /*+ BROADCAST(ids) */ u.url FROM cs_urlseen_t u
+    # unique view names per call: createOrReplaceTempView + spark.sql on
+    # fixed names would be a read-modify race if two probes ever ran
+    # concurrently in one session (spark.sql analyzes eagerly, but a
+    # replace landing between B's register and B's sql would silently
+    # rebind B's query to A's batch)
+    n = next(_VIEW_SEQ)
+    pv, uv = f"cs_probe_t_{n}", f"cs_urlseen_t_{n}"
+    probed.createOrReplaceTempView(pv)
+    urlseen.createOrReplaceTempView(uv)
+    out = spark.sql(f"""
+        WITH pos AS (SELECT {keep} FROM {pv} WHERE maybe_seen),
+             hits AS (SELECT /*+ BROADCAST(ids) */ u.url FROM {uv} u
                       LEFT SEMI JOIN (SELECT DISTINCT url FROM pos) ids
                       ON u.url = ids.url)
-        SELECT {keep} FROM cs_probe_t WHERE NOT maybe_seen
+        SELECT {keep} FROM {pv} WHERE NOT maybe_seen
         UNION ALL
         SELECT /*+ BROADCAST(hits) */ p.* FROM pos p
         LEFT ANTI JOIN hits ON p.url = hits.url
     """)
+    # the DataFrame captured the plans at analysis; drop the catalog entries
+    spark.catalog.dropTempView(pv)
+    spark.catalog.dropTempView(uv)
+    return out
 
 
 def _exact_unseen(positives: DataFrame, urlseen: DataFrame,

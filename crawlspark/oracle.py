@@ -120,10 +120,8 @@ def crawl_oracle(
             if outcome != "done":
                 continue
             page_url = final_url or r["url"]
-            try:  # path for PATH-QUALIFIED rule keys (reference :779)
-                path = "/" + page_url.split("://", 1)[1].partition("/")[2]
-            except IndexError:
-                path = ""
+            # path for PATH-QUALIFIED rule keys (reference :779)
+            path = U.path_of_py(page_url)
             if r["kind"] == "listing":
                 cards = html_parse.extract_listing_cards(body, r["host"], path)
                 card_links = set()

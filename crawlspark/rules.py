@@ -71,6 +71,11 @@ SOURCE_CODES = {
     "mnow.example": "MN",
     "fmt.example": "FMT",
     "tstar.example": "TS",
+    # reference get_source rows for the round-5 hosts (:1344-1354): only
+    # CNA/ST/INQ/MB/archive carry labels there; every other site's source
+    # is None — mbull/archive are the two reference-faithful additions
+    "mbull.example": "MB",
+    "archive.example": "archive",
 }
 
 # Footnote boilerplate phrases: the reference's full search_phrases list

@@ -44,8 +44,11 @@ PACK = ["url_skip_filter", "dedup_minhash_lsh", "paragraph_boilerplate",
 
 def replicate_sf(spark, out_dir: str, factor: int = 10) -> None:
     """documents/embeddings at ``factor``x rows: each replica's ids are
-    shifted past the max so dedup/join/group cardinalities scale with the
-    data instead of collapsing onto the same keys."""
+    shifted past the max AND each replica's text is perturbed with its
+    replica index, so id-keyed AND text-derived join/group keys (MinHash
+    bands, paragraph-chunk hashes) both scale with the data instead of
+    collapsing every replica onto the same bucket (which would measure
+    replica-artifact pair blowup, not data scaling)."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -53,9 +56,16 @@ def replicate_sf(spark, out_dir: str, factor: int = 10) -> None:
     max_emb = emb.agg(F.max(emb_id)).collect()[0][0] + 1
     docs_n = docs
     emb_n = emb
+    src_chars = "etaoinshrd"
     for i in range(1, factor):
+        # pervasive per-replica transform: a character translation touches
+        # every word, so every shingle/chunk hash differs across replicas
+        # (an edge-only prefix/suffix would leave interior MinHash minima
+        # identical and the band buckets would still collapse)
+        dst = src_chars[i:] + src_chars[:i]
         docs_n = docs_n.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc)))
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc))
+            .withColumn("text", F.translate("text", src_chars, dst)))
         emb_n = emb_n.unionByName(
             emb.withColumn(emb_id, F.col(emb_id) + F.lit(i * max_emb)))
     docs_n.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")

@@ -135,14 +135,37 @@ def test_export_dedupe_keeps_cluster_roots(spark, tmp_path):
     assert r["rows"] == 2
 
 
-def test_export_incremental_dedupes_against_prior_state(spark, tmp_path, monkeypatch):
+def test_export_incremental_single_pass_write(spark, tmp_path, monkeypatch):
+    """The plain incremental export must not re-run the DAG with a
+    count() action — the row count comes from an Observation on the
+    write job.  The patch targets the CLASSIC DataFrame class (Spark 4's
+    runtime class overrides count in its own __dict__, so patching the
+    base pyspark.sql.dataframe.DataFrame would never intercept).  The
+    dedupe path is excluded here: connected_components legitimately
+    count()s in its fixpoint loop."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from crawlspark import schemas
+    from crawlspark.export import export_incremental
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.commit(1, appends={"documents": spark.createDataFrame(
+        [_doc_row("a1", _BASE_TEXT)], schemas.DOCUMENTS)})
+
+    def _no_count(self):
+        raise AssertionError("count() action during incremental export")
+
+    monkeypatch.setattr(ClassicDF, "count", _no_count)
+    r = export_incremental(cat, str(tmp_path / "inc"), since_snap=0,
+                           mode="spans")
+    monkeypatch.undo()
+    assert r["rows"] == 2  # two text spans, counted on the write job
+
+
+def test_export_incremental_dedupes_against_prior_state(spark, tmp_path):
     """Incremental dedupe: a later delta drops (a) near-dups of documents
     already exported in an earlier increment — via the cross-corpus band
-    join — and (b) in-delta near-dups, keeping the root.  Also pins the
-    single-pass write: the export must not re-run the DAG with a count()
-    action (the row count comes from an Observation on the write job)."""
-    import pyspark.sql.dataframe as pdf_mod
-
+    join — and (b) in-delta near-dups, keeping the root."""
     from crawlspark import schemas
     from crawlspark.export import export_incremental
 
@@ -167,13 +190,7 @@ def test_export_incremental_dedupes_against_prior_state(spark, tmp_path, monkeyp
                         "coastal towns evacuation shelters planning", 2),  # dup of d1
         ], schemas.DOCUMENTS)})
 
-    # any count() during the export means the DAG ran twice — forbid it
-    def _no_count(self):
-        raise AssertionError("count() action during incremental export")
-
-    monkeypatch.setattr(pdf_mod.DataFrame, "count", _no_count)
     r2 = export_incremental(cat, out, since_snap=r1["export_snap"], dedupe=True)
-    monkeypatch.undo()
     assert r2["rows"] == 1
     ids = {x[0] for x in spark.read.parquet(out).select("doc_id").collect()}
     assert ids == {"a1", "b1", "d1"}
