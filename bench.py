@@ -76,6 +76,18 @@ def main():
         # worker-pool spin-up (~4-8s); pay it here so crawl_e2e measures
         # the crawl loop, not session startup
         benchlib.bench_fetch_parse(spark, n_pages=1000)
+        # crawl-path warmup: the FIRST crawl of a session additionally pays
+        # whole-stage-codegen JIT for the loop's plan shapes — measured
+        # same-session spread 76 s → 34 s across four identical runs, far
+        # larger than any code change.  A tiny throwaway crawl compiles
+        # those shapes so the measured run is the engine, not JIT state
+        # (round-5 methodology change; r04's crawl_e2e paid the cold cost).
+        wh0 = tempfile.mkdtemp(prefix="benchwarm-")
+        try:
+            benchlib.bench_crawl(spark, wh0, scale=0.05)
+        finally:
+            shutil.rmtree(wh0, ignore_errors=True)
+        mark("after_warmup")
 
         c = benchlib.bench_crawl(spark, wh, scale=0.5)
         mark("after_crawl_e2e")

@@ -660,8 +660,14 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         finally:
             _tick("dag_commit_async", t0)
 
-    plan_thread = threading.Thread(target=_build_commit_plans, daemon=True)
-    plan_thread.start()
+    # CRAWLSPARK_SYNC_PLANS=1 builds the commit plans synchronously —
+    # the A/B lever for measuring the overlap (and an escape hatch)
+    if os.environ.get("CRAWLSPARK_SYNC_PLANS"):
+        _build_commit_plans()
+        plan_thread = None
+    else:
+        plan_thread = threading.Thread(target=_build_commit_plans, daemon=True)
+        plan_thread.start()
 
     # ---- state updates (tiny driver-side collects: host names + either
     # bucket summaries (partitioned) or delta blobs (broadcast), all
@@ -687,7 +693,8 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         bloom.merge(delta)
         lineage = _bloom_lineage(bloom)
     _tick("state_update", _t)
-    plan_thread.join()
+    if plan_thread is not None:
+        plan_thread.join()
     if commit_errs:
         raise commit_errs[0]
     progress_new = commit_plans["progress_new"]
