@@ -128,3 +128,81 @@ def stream_frontier_dedup(stream: DataFrame, watermark: tuple[str, str] | None =
         col, delay = watermark
         return stream.withWatermark(col, delay).dropDuplicatesWithinWatermark(["url"])
     return stream.dropDuplicates(["url"])
+
+
+SESSION_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("n_fetches", T.IntegerType()),
+        T.StructField("first_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("first_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+
+
+def sessionize_fn(gap_ms: int, timeout_ms: int):
+    """Per-host crawl-session assembly with a PROCESSING-TIME STATE
+    TIMEOUT: fetches within ``gap_ms`` of the previous one extend the open
+    session; a larger gap closes it and opens the next.  A host whose
+    stream goes quiet does not hold state forever — the timeout fires
+    (state.hasTimedOut) and flushes the open session with no input rows,
+    exactly the applyInPandasWithState timeout contract a long-running
+    per-key stateful operator needs at web scale (10^6 hosts cannot each
+    pin state until end-of-stream)."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        if state.hasTimedOut:
+            sid, n, first_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(host, sid, n, first_ms, last_ms)],
+                columns=["host", "session_id", "n_fetches", "first_ms", "last_ms"],
+            )
+            return
+        sid, n, first_ms, last_ms = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        closed = []
+        ts_all = sorted(
+            int(t) for pdf in pdfs for t in pdf["ts_ms"].tolist()
+        )
+        for t in ts_all:
+            if n > 0 and t - last_ms > gap_ms:
+                closed.append((host, sid, n, first_ms, last_ms))
+                sid, n, first_ms = sid + 1, 0, None
+            if n == 0:
+                first_ms = t
+            n += 1
+            last_ms = t
+        state.update((sid, n, first_ms, last_ms))
+        state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["host", "session_id", "n_fetches", "first_ms", "last_ms"],
+            )
+
+    return fn
+
+
+def stream_sessionize(fetch_stream: DataFrame, gap_ms: int = 5_000,
+                      timeout_ms: int = 60_000) -> DataFrame:
+    """fetch_stream(host, ts_ms) → closed crawl sessions per host
+    (custom stateful streaming operator with state timeout)."""
+    return fetch_stream.groupBy("host").applyInPandasWithState(
+        sessionize_fn(gap_ms, timeout_ms),
+        outputStructType=SESSION_OUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -137,3 +137,57 @@ def test_stream_dedup_suppresses_across_triggers(spark, tmp_path):
     assert both == {f"https://h/{i}" for i in range(25)}  # dupes suppressed
     n = spark.sql("select count(*) n from sd_test_out").collect()[0]["n"]
     assert n == 25  # emitted exactly once each
+
+
+def test_stream_sessionize_gap_and_timeout(spark, tmp_path):
+    """Custom stateful operator with STATE TIMEOUT: fetches within gap_ms
+    chain into one session; a larger gap closes it (emitted on the trigger
+    that observes the gap); a host gone quiet is flushed by the
+    processing-time timeout with NO further input for its key.
+
+    With ProcessingTimeTimeout the engine keeps running timeout-check
+    micro-batches even with no new data, so processAllAvailable never
+    settles — the test POLLS the memory sink with a deadline instead."""
+    import time
+
+    from crawlspark.streaming.jobs import stream_sessionize
+
+    def h1_rows():
+        return sorted(
+            (r["session_id"], r["n_fetches"], r["first_ms"], r["last_ms"])
+            for r in spark.sql("select * from sess_out").collect()
+            if r["host"] == "h1"
+        )
+
+    def wait_for(expected, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = h1_rows()
+            if got == expected:
+                return got
+            time.sleep(0.5)
+        return h1_rows()
+
+    src = str(tmp_path / "fetches")
+    # h1: two sessions split by a 10s gap (gap_ms=5000); the first closes
+    # on the trigger that sees the gap, the second stays OPEN and is later
+    # flushed purely by the state timeout (h1 receives no further input)
+    b1 = [("h1", 1_000), ("h1", 2_000), ("h1", 12_000), ("h1", 13_000)]
+    spark.createDataFrame(b1, "host string, ts_ms long").coalesce(1).write.parquet(f"{src}/b1")
+    stream = (spark.readStream
+              .schema("host string, ts_ms long")
+              .parquet(f"{src}/*"))
+    out = stream_sessionize(stream, gap_ms=5_000, timeout_ms=500)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sess_out").start())
+    try:
+        assert wait_for([(0, 2, 1_000, 2_000)], deadline_s=60) == \
+            [(0, 2, 1_000, 2_000)]
+        # the open (12k,13k) session must arrive via hasTimedOut — no new
+        # h1 data is ever written
+        got = wait_for([(0, 2, 1_000, 2_000), (1, 2, 12_000, 13_000)])
+        assert got == [(0, 2, 1_000, 2_000), (1, 2, 12_000, 13_000)]
+        assert q.exception() is None
+    finally:
+        q.stop()
+    shutil.rmtree(src, ignore_errors=True)
