@@ -3603,6 +3603,156 @@ def html_path_rules(spark, sf_dir):
     )
 
 
+# ---- round-5 curation additions: deterministic training-data selection
+# ---- operators (weighted sampling, per-domain quotas, token budgets) and
+# ---- an oracle for the S6 CDX timestamp lookup ---------------------------
+
+@q(
+    "cdx_latest_lookup",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             'ia-sg-' || lpad(doc_id::VARCHAR, 8, '0') AS identifier,
+             ('0x' || substr(md5('cdx:ia-sg-' || lpad(doc_id::VARCHAR, 8, '0')),
+                             1, 16))::UBIGINT AS v
+      FROM documents
+    )
+    SELECT doc_id, identifier,
+           '202' || (v % 3)::VARCHAR || lpad((1 + v % 12)::VARCHAR, 2, '0')
+           || lpad((1 + v % 28)::VARCHAR, 2, '0') || '000000' AS cdx_ts
+    FROM h
+    """,
+)
+def cdx_latest_lookup(spark, sf_dir):
+    """S6 CDX timestamp resolution (reference :584-650: each archive
+    identifier resolves to its latest wayback snapshot timestamp,
+    results[-1][1]).  The engine path runs the REAL seed-enrichment code
+    (sources/archive._api_cdx_latest) inside mapInPandas; the oracle
+    reimplements the md5-derived timestamp independently in SQL, so the
+    deterministic CDX stand-in is value-checked, not just smoke-run."""
+    import pandas as pd
+
+    from crawlspark.sources.archive import _api_cdx_latest
+
+    src = T(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ident = f"ia-sg-{int(r.doc_id):08d}"
+                rows.append({"doc_id": int(r.doc_id), "identifier": ident,
+                             "cdx_ts": _api_cdx_latest(ident)})
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "identifier", "cdx_ts"])
+
+    return src.mapInPandas(
+        run, schema="doc_id long, identifier string, cdx_ts string"
+    )
+
+
+@q(
+    "sample_weighted",
+    """
+    SELECT doc_id, n_chars,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS slot
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+          < least(n_chars * 20, 9999)
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted Bernoulli curation sample: each document's inclusion
+    probability is proportional to its quality weight (here n_chars,
+    capped) — md5-slot arithmetic like stratified_sample, so the sample
+    is a pure row-local function of doc_id: reproducible at any cluster
+    size, no rand(), no shuffle, integer math only (no cross-engine
+    float-ordering hazards)."""
+    d = T(spark, sf_dir, "documents")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    return d.select(
+        "doc_id", "n_chars", slot.alias("slot")
+    ).filter(F.col("slot") < F.least(F.col("n_chars") * 20, F.lit(9999)))
+
+
+@q(
+    "domain_quota_cap",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS INT) AS rk FROM r WHERE rk <= 25
+    """,
+)
+def domain_quota_cap(spark, sf_dir):
+    """Per-domain quota curation (a 100 TB corpus must cap any one
+    domain's contribution): keep at most K documents per source, chosen
+    by deterministic md5 order — one hash-keyed shuffle on source, the
+    same two-phase-saltable shape as the politeness top-K."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 25)
+    )
+
+
+@q(
+    "token_budget_pack",
+    """
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 50000
+    """,
+)
+def token_budget_pack(spark, sf_dir):
+    """Token-budget packing (training-data assembly: fill each source's
+    token budget deterministically): documents in md5 order accumulate
+    whitespace-token counts via a running-sum window; a document is kept
+    while the budget INCLUDING it holds.  One shuffle on source; the
+    window is a single pass."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.select("doc_id", "source", "n_tokens",
+                 F.sum("n_tokens").over(w).alias("cum_tokens"))
+        .filter(F.col("cum_tokens") <= 50000)
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -3673,6 +3823,17 @@ _DEMOTED = [
     # join); curation keeps stratified_sample windowed and the quantile
     # mechanics underlie it (4 green rows r01-r04)
     "doc_length_quantiles",
+    # window room for the round-5 curation quartet (cdx_latest_lookup,
+    # sample_weighted, domain_quota_cap, token_budget_pack) — all four
+    # demotions carry FOUR green driver rows (r01-r04): A2 metrics stay
+    # covered by the crawl e2e span/progress equality; F4's date window
+    # underlies the windowed empty_body_drop doc tail; C6 doc ids underlie
+    # every windowed dedup row; lang-id's n-gram heuristic underlies the
+    # windowed quality_score features
+    "crawl_metrics",
+    "date_window_filter",
+    "doc_fingerprint",
+    "lang_id",
 ]
 
 

@@ -49,6 +49,10 @@ PROMOTED = [
     "html_body_include",
     "html_path_rules",
     "media_span_pipeline",
+    "cdx_latest_lookup",
+    "sample_weighted",
+    "domain_quota_cap",
+    "token_budget_pack",
 ]
 
 
