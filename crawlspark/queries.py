@@ -3753,6 +3753,140 @@ def token_budget_pack(spark, sf_dir):
     )
 
 
+@q(
+    "decontam_flag",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 4),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 2),
+                   i -> w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3]))
+                 AS gram
+          FROM t),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, count(DISTINCT g.gram) AS n_contam_grams
+    FROM g JOIN b USING (gram)
+    WHERE g.doc_id % 50 != 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontam_flag(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a held-out benchmark set (here the deterministic
+    doc_id%50 slice; n=4 because the synthetic vocabulary is tiny — a
+    real corpus uses 13-grams, same plan).  Shingling is row-local
+    (transform over sequence, zero shuffle); the benchmark gram set is
+    DISTINCT-ed and broadcast, so the full corpus scan is shuffle-free —
+    the only corpus-side shuffle is the per-doc count of JOIN HITS,
+    which at 100 TB is the (tiny) contaminated slice, not the corpus."""
+    d = T(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 3),
+        lambda i: F.concat_ws(
+            "_", F.element_at(w, i), F.element_at(w, i + 1),
+            F.element_at(w, i + 2), F.element_at(w, i + 3),
+        ),
+    )
+    g = (
+        d.filter(F.size(F.split("text", " ")) >= 4)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    bench = (
+        g.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    )
+    return (
+        g.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contam_grams"))
+    )
+
+
+@q(
+    "repetition_ratio",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    b AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             1 - len(list_distinct(w)) / len(w) AS dup_word_frac,
+             list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1]) AS bi
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup_word_frac,
+           list_max(list_transform(list_distinct(bi),
+                    g -> len(list_filter(bi, x -> x = g)))) / len(bi)
+           AS top_bigram_frac
+    FROM b
+    """,
+)
+def repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-word fraction and the
+    fraction of all bigrams taken by the single most frequent bigram.
+    Entirely row-local (HOFs over the token array — the per-row mode is
+    an O(k^2) filter-count over <=99 tokens): ZERO shuffle, so at 100 TB
+    this is a pure map stage.  Floats stay cross-engine deterministic:
+    each output is integer math until one final IEEE division."""
+    d = T(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bi = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws("_", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bi")),
+            lambda g: F.size(F.filter(F.col("bi"), lambda x: x == g)),
+        )
+    )
+    return (
+        d.filter(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_tokens"),
+            (F.lit(1) - F.size(F.array_distinct(w)) / F.size(w)).alias("dup_word_frac"),
+            bi.alias("bi"),
+        )
+        .select(
+            "doc_id", "n_tokens", "dup_word_frac",
+            (top / F.size("bi")).alias("top_bigram_frac"),
+        )
+    )
+
+
+@q(
+    "domain_quality_gate",
+    """
+    WITH s AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_sum,
+             count(*) AS src_cnt
+      FROM documents GROUP BY source
+    )
+    SELECT doc_id, d.source, d.n_chars, src_sum, src_cnt
+    FROM documents d JOIN s USING (source)
+    WHERE d.n_chars * src_cnt >= src_sum
+    """,
+)
+def domain_quality_gate(spark, sf_dir):
+    """Domain-reputation gate: keep documents at or above their source's
+    mean length — the per-domain quality floor a curated corpus applies.
+    The comparison is pure integer math (n_chars * count >= sum), so no
+    cross-engine float-mean hazard.  One small groupBy on source, then a
+    broadcast join back: the 100 TB side is never shuffled."""
+    d = T(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum("n_chars").alias("src_sum"), F.count("*").alias("src_cnt")
+    )
+    return (
+        d.join(F.broadcast(s), "source")
+        .filter(F.col("n_chars") * F.col("src_cnt") >= F.col("src_sum"))
+        .select("doc_id", "source", "n_chars", "src_sum", "src_cnt")
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -3834,6 +3968,15 @@ _DEMOTED = [
     "date_window_filter",
     "doc_fingerprint",
     "lang_id",
+    # window room for the round-5 contamination/repetition/reputation trio —
+    # each demotion carries FOUR green driver rows (r01-r04): F1 skip rules
+    # stay exercised by the crawl e2e frontier equality; exact dedup's
+    # groupBy underlies the windowed dedup_minhash_lsh/dedup_cluster_roots
+    # pair; quality_score's feature family is succeeded in-window by
+    # repetition_ratio + sample_weighted
+    "url_skip_filter",
+    "dedup_exact",
+    "quality_score",
 ]
 
 

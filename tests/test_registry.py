@@ -53,6 +53,9 @@ PROMOTED = [
     "sample_weighted",
     "domain_quota_cap",
     "token_budget_pack",
+    "decontam_flag",
+    "repetition_ratio",
+    "domain_quality_gate",
 ]
 
 
