@@ -171,6 +171,50 @@ def probe_unseen(spark: SparkSession, candidates: DataFrame, urlseen: DataFrame,
                              drop=("_h1", "_h2"))
 
 
+def probe_unseen_cuckoo(spark: SparkSession, candidates: DataFrame,
+                        urlseen: DataFrame, cuckoo,
+                        small_positives: bool = False) -> DataFrame:
+    """candidates(url, …) → subset not in the cuckoo seen set.
+
+    The cuckoo twin of probe_unseen — same JVM hashing, same
+    mapInArrow-over-broadcast probe, same _split_and_verify exact check of
+    positives.  What it adds over the Bloom layout is that the state
+    supports DELETION (operators/cuckoo.delete_hashes), so cache expiry
+    can re-admit URLs through this standard unseen path: delete the
+    expired keys and they probe fresh again, no separate staleness join.
+    ``urlseen`` must be the matching exact set (live keys only) so Bloom/
+    cuckoo false positives are verified away identically."""
+    from crawlspark.operators.cuckoo import CuckooState
+
+    b = cuckoo.broadcast(spark)
+
+    def probe(batches):
+        import pyarrow as pa
+
+        nb, ns, mk, table, n_items = b.value
+        st = CuckooState(nb, ns, mk)
+        st.table = table
+        st.n_items = n_items
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h1 = batch.column("_h1").to_numpy(zero_copy_only=False).view(np.uint64)
+            h2 = batch.column("_h2").to_numpy(zero_copy_only=False).view(np.uint64)
+            maybe = st.probe_hashes(h1, h2)
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(maybe)],
+                names=batch.schema.names + ["maybe_seen"],
+            )
+
+    withh = _with_hashes(candidates)
+    out_schema = T.StructType(
+        list(withh.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+    probed = withh.mapInArrow(probe, schema=out_schema)
+    return _split_and_verify(spark, probed, urlseen, small_positives,
+                             drop=("_h1", "_h2"))
+
+
 def bloom_delta(
     spark: SparkSession, accepted: DataFrame, bloom: BloomState, collect_hosts: bool = False,
     small_batch_rows: int | None = None,

@@ -3887,6 +3887,64 @@ def domain_quality_gate(spark, sf_dir):
     )
 
 
+@q(
+    "cuckoo_expire_readmit",
+    """
+    WITH live AS (
+      SELECT 'https://www.h' || (o_orderkey % 50) || '.example/p/' || o_orderkey AS url
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 != 0),
+    cand AS (
+      SELECT DISTINCT 'https://www.h' || (l_orderkey % 50) || '.example/p/' || l_orderkey AS url
+      FROM lineitem)
+    SELECT url FROM cand WHERE url NOT IN (SELECT url FROM live)
+    """,
+)
+def cuckoo_expire_readmit(spark, sf_dir):
+    """Deletable URL-seen layout (north-star 'bloom/cuckoo'): expire a
+    slice of the seen set by DELETING its keys from the cuckoo filter
+    (operators/cuckoo.py), then run the standard unseen probe — expired
+    URLs re-admit through the same path fresh URLs take, no separate
+    staleness join.  This exercises the REAL kernel end to end (JVM
+    xxhash64 pair → delete_hashes → mapInArrow probe →
+    exact-verify positives via urlseen._split_and_verify); the oracle is
+    the exact set semantics (cand minus live), which the engine matches
+    because negatives are collision-checked here and positives are
+    verified exactly.  State build collects JVM-computed hashes (seen set
+    is query-bounded; the 10^10-key path is cuckoo.apply_partitioned,
+    parity-tested in test_cuckoo)."""
+    import numpy as np
+
+    from crawlspark.operators.cuckoo import CuckooState
+    from crawlspark.operators.urlseen import (
+        _hash_cols, probe_unseen_cuckoo,
+    )
+
+    od = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+
+    def mkurl(key):
+        return F.concat(
+            F.lit("https://www.h"), (key % 50).cast("string"),
+            F.lit(".example/p/"), key.cast("string"),
+        )
+
+    seen = od.filter(F.col("o_orderkey") % 2 == 0).select(
+        mkurl(F.col("o_orderkey")).alias("url"),
+        (F.col("o_orderkey") % 10 == 0).alias("expired"),
+    )
+    rows = seen.select("expired", *_hash_cols(spark, None)).collect()
+    h1 = np.array([r["_h1"] for r in rows], dtype=np.int64).view(np.uint64)
+    h2 = np.array([r["_h2"] for r in rows], dtype=np.int64).view(np.uint64)
+    exp = np.array([r["expired"] for r in rows], dtype=bool)
+    st = CuckooState.for_keys(len(rows), n_buckets=32)
+    st.add_hashes(h1, h2)
+    st.delete_hashes(h1[exp], h2[exp])
+
+    live = seen.filter(~F.col("expired")).select("url")
+    cand = li.select(mkurl(F.col("l_orderkey")).alias("url")).distinct()
+    return probe_unseen_cuckoo(spark, cand, live, st)
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -3977,6 +4035,10 @@ _DEMOTED = [
     "url_skip_filter",
     "dedup_exact",
     "quality_score",
+    # window room for cuckoo_expire_readmit — footnote_truncate carries 3
+    # green driver rows (r02-r04) and C3 keeps its recursion/property
+    # coverage in test_textclean
+    "footnote_truncate",
 ]
 
 

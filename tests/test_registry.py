@@ -56,6 +56,7 @@ PROMOTED = [
     "decontam_flag",
     "repetition_ratio",
     "domain_quality_gate",
+    "cuckoo_expire_readmit",
 ]
 
 
