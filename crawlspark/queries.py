@@ -3945,6 +3945,387 @@ def cuckoo_expire_readmit(spark, sf_dir):
     return probe_unseen_cuckoo(spark, cand, live, st)
 
 
+# ---- round-5 continuation: privacy, chunking, corpus paragraph dedup,
+# ---- URL quality signals, a fused curation decision, and embedding
+# ---- (semantic) dedup roots --------------------------------------------
+
+# Shared regex constants (Java regex and RE2 agree on every construct used:
+# char classes, bounded repeats, \d, \b).  The synthetic corpus carries no
+# PII, so both sides append the SAME deterministic PII suffix first — the
+# redaction pass is then value-checked against real matches, not a no-op.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{2}-\d{8}"
+
+
+@q(
+    "pii_redact",
+    f"""
+    WITH a AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id || '@mail' || (doc_id % 7)
+                  || '.example or 10.' || (doc_id % 200) || '.'
+                  || (doc_id % 250) || '.9 tel +65-'
+                  || lpad((doc_id * 37 % 100000000)::VARCHAR, 8, '0') AS aug
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_PII_IP}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS INT) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM a
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII detection + redaction (training-data privacy pass): count and
+    mask emails, IPv4 addresses and phone numbers with a fixed-order
+    regex chain (emails first so their dotted hostnames can never be
+    half-eaten by the IP pass).  Entirely row-local — at 100 TB this is a
+    pure map stage inside whole-stage codegen, zero shuffle; the regexes
+    use only constructs Java regex and RE2 interpret identically."""
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact u"), did.cast("string"),
+        F.lit("@mail"), (did % 7).cast("string"),
+        F.lit(".example or 10."), (did % 200).cast("string"),
+        F.lit("."), (did % 250).cast("string"), F.lit(".9 tel +65-"),
+        F.lpad((did * 37 % 100000000).cast("string"), 8, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_IP), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_PHONE), 0)).alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+@q(
+    "doc_chunk_windows",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 generate_subscripts(range(1, len(w) + 1, 30), 1) AS pos,
+                 unnest(range(1, len(w) + 1, 30)) AS st
+          FROM t)
+    SELECT doc_id, CAST(pos AS INT) AS chunk_idx, CAST(st AS BIGINT) AS chunk_start,
+           CAST(least(40, len(w) - st + 1) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(w[st:st+39], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunk_windows(spark, sf_dir):
+    """Context-window chunking for training-data assembly: split each
+    document into 40-token windows with a 30-token stride (10-token
+    overlap carries context across boundaries).  Row-local sequence +
+    slice + explode — zero shuffle, a pure generator stage at 100 TB;
+    chunk boundaries are a deterministic function of the token count, so
+    re-chunking a grown corpus never moves existing chunk ids."""
+    d = T(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    src = d.select(
+        "doc_id", w.alias("w"),
+        F.posexplode(F.sequence(F.lit(1), F.size(w), F.lit(30))).alias("pos", "st"),
+    )
+    return src.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("chunk_idx"),
+        F.col("st").cast("long").alias("chunk_start"),
+        F.least(F.lit(40), F.size("w") - F.col("st") + 1).cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(F.slice("w", F.col("st"), 40), " ").alias("chunk_text"),
+    )
+
+
+@q(
+    "paragraph_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '{_B1} {_B2} ' || text
+                  ELSE '{_B1} ' || text END AS text2
+      FROM documents),
+    w AS (SELECT doc_id, string_split(text2, ' ') AS ws FROM t),
+    p AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             md5(array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ')) AS ph
+      FROM w, unnest(range(1, CAST(ceil(len(ws)/10.0) AS INT) + 1)) AS u(i)),
+    r AS (
+      SELECT doc_id, chunk_idx, ph,
+             row_number() OVER (PARTITION BY ph ORDER BY doc_id, chunk_idx) AS rn,
+             count(*) OVER (PARTITION BY ph) AS n_copies
+      FROM p)
+    SELECT doc_id, chunk_idx, ph, CAST(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rn = 1
+    """,
+)
+def paragraph_dedup(spark, sf_dir):
+    """Corpus-level exact paragraph dedup (RefinedWeb-style line dedup):
+    hash each 10-word chunk (same segmentation and planted boilerplate as
+    paragraph_boilerplate) and keep only the FIRST occurrence corpus-wide
+    — every later copy of a shared paragraph is dropped, reported with
+    its corpus copy count.  One hash-keyed shuffle; the keep-first window
+    is a single pass per hash partition, nothing driver-resident."""
+    d = T(spark, sf_dir, "documents")
+    text2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(_B1 + " " + _B2 + " "), F.col("text")),
+    ).otherwise(F.concat(F.lit(_B1 + " "), F.col("text")))
+    words = F.split(text2, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+    )
+    h = d.select("doc_id", F.posexplode(paras).alias("pos", "para")).select(
+        "doc_id", (F.col("pos") + 1).cast("int").alias("chunk_idx"),
+        F.md5("para").alias("ph"),
+    )
+    wspec = Window.partitionBy("ph").orderBy("doc_id", "chunk_idx")
+    return (
+        h.select(
+            "doc_id", "chunk_idx", "ph",
+            F.row_number().over(wspec).alias("rn"),
+            F.count("*").over(Window.partitionBy("ph")).alias("n_copies"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_idx", "ph", "n_copies")
+    )
+
+
+@q(
+    "url_quality_signals",
+    """
+    WITH u AS (
+      SELECT 'https://www.h' || (o_orderkey % 50) || '.example/'
+             || repeat('d/', CAST(o_orderkey % 6 AS INT)) || 'page-' || o_orderkey
+             || CASE WHEN o_orderkey % 3 = 0
+                     THEN '?utm_source=feed&ref=r' || (o_orderkey % 7)
+                     WHEN o_orderkey % 5 = 0 THEN '?id=' || o_orderkey
+                     ELSE '' END AS url
+      FROM orders),
+    p AS (
+      SELECT url,
+             string_split(split_part(url, '.example', 2), '?')[1] AS path,
+             CASE WHEN contains(url, '?') THEN split_part(url, '?', 2)
+                  ELSE '' END AS qs
+      FROM u)
+    SELECT url,
+           CAST(length(path) - length(replace(path, '/', '')) AS INT) AS path_depth,
+           CAST(CASE WHEN qs = '' THEN 0 ELSE len(string_split(qs, '&')) END AS INT)
+             AS n_params,
+           contains(qs, 'utm_') AS has_tracking,
+           CAST(length(path) - length(regexp_replace(path, '[0-9]', '', 'g')) AS INT)
+             AS n_digits,
+           CAST(length(path) AS INT) AS path_len,
+           CAST(
+             (length(path) - length(replace(path, '/', ''))) * 2
+             + CASE WHEN qs = '' THEN 0 ELSE len(string_split(qs, '&')) END * 3
+             + CASE WHEN contains(qs, 'utm_') THEN 5 ELSE 0 END
+             + CASE WHEN (length(path)
+                          - length(regexp_replace(path, '[0-9]', '', 'g'))) * 2
+                         > length(path) THEN 2 ELSE 0 END
+             AS INT) AS spam_score,
+           (length(path) - length(replace(path, '/', ''))) * 2
+           + CASE WHEN qs = '' THEN 0 ELSE len(string_split(qs, '&')) END * 3
+           + CASE WHEN contains(qs, 'utm_') THEN 5 ELSE 0 END
+           + CASE WHEN (length(path)
+                        - length(regexp_replace(path, '[0-9]', '', 'g'))) * 2
+                       > length(path) THEN 2 ELSE 0 END
+           <= 8 AS keep
+    FROM p
+    """,
+)
+def url_quality_signals(spark, sf_dir):
+    """URL-derived quality signals for frontier curation: path depth,
+    query-parameter count, tracking-parameter presence, digit density —
+    fused into an integer spam score and a keep decision (deep paths and
+    parameter-heavy tracking URLs are classic crawler-trap / low-value
+    signals).  Signals are parsed FROM the URL string (the op must work
+    on arbitrary frontier rows); everything is integer math on string
+    lengths, zero shuffle, pure map stage at 100 TB."""
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.lit("https://www.h"), (k % 50).cast("string"), F.lit(".example/"),
+        F.repeat(F.lit("d/"), (k % 6).cast("int")),
+        F.lit("page-"), k.cast("string"),
+        F.when(k % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&ref=r"), (k % 7).cast("string")))
+        .when(k % 5 == 0, F.concat(F.lit("?id="), k.cast("string")))
+        .otherwise(F.lit("")),
+    )
+    u = T(spark, sf_dir, "orders").select(url.alias("url"))
+    path = F.substring_index(F.substring_index("url", ".example", -1), "?", 1)
+    qs = F.when(F.col("url").contains("?"),
+                F.substring_index("url", "?", -1)).otherwise(F.lit(""))
+    p = u.select("url", path.alias("path"), qs.alias("qs"))
+    depth = F.length("path") - F.length(F.replace(F.col("path"), F.lit("/"), F.lit("")))
+    n_params = F.when(F.col("qs") == "", F.lit(0)).otherwise(
+        F.size(F.split("qs", "&")))
+    has_tracking = F.col("qs").contains("utm_")
+    n_digits = F.length("path") - F.length(F.regexp_replace("path", "[0-9]", ""))
+    score = (
+        depth * 2 + n_params * 3
+        + F.when(has_tracking, 5).otherwise(0)
+        + F.when(n_digits * 2 > F.length("path"), 2).otherwise(0)
+    )
+    return p.select(
+        "url",
+        depth.cast("int").alias("path_depth"),
+        n_params.cast("int").alias("n_params"),
+        has_tracking.alias("has_tracking"),
+        n_digits.cast("int").alias("n_digits"),
+        F.length("path").cast("int").alias("path_len"),
+        score.cast("int").alias("spam_score"),
+        (score <= 8).alias("keep"),
+    )
+
+
+@q(
+    "curation_decision",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents)
+    SELECT doc_id, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN doc_id % 50 = 0 THEN 'benchmark_slice'
+                WHEN n_chars < 100 THEN 'too_short'
+                WHEN n_tokens < 20 THEN 'too_few_tokens'
+                WHEN n_distinct * 10 < n_tokens * 3 THEN 'too_repetitive'
+                ELSE 'keep' END AS reason,
+           CASE WHEN doc_id % 50 = 0 THEN 'benchmark_slice'
+                WHEN n_chars < 100 THEN 'too_short'
+                WHEN n_tokens < 20 THEN 'too_few_tokens'
+                WHEN n_distinct * 10 < n_tokens * 3 THEN 'too_repetitive'
+                ELSE 'keep' END = 'keep' AS keep
+    FROM t
+    """,
+)
+def curation_decision(spark, sf_dir):
+    """Fused curation decision: the quality-filter chain a training-data
+    pipeline applies per document — benchmark-slice exclusion
+    (decontamination), minimum length, minimum token count, repetition
+    gate (distinct-token fraction >= 0.3 as integer math) — evaluated in
+    one pass with the FIRST failing rule reported as the drop reason.
+    Entirely row-local integer comparisons: zero shuffle, one codegen'd
+    map stage at 100 TB, and the fused form reads the corpus ONCE where
+    chained single-signal filters would read it once per signal."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id", "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    reason = (
+        F.when(F.col("doc_id") % 50 == 0, "benchmark_slice")
+        .when(F.col("n_chars") < 100, "too_short")
+        .when(F.col("n_tokens") < 20, "too_few_tokens")
+        .when(F.col("n_distinct") * 10 < F.col("n_tokens") * 3, "too_repetitive")
+        .otherwise("keep")
+    )
+    return t.select(
+        "doc_id", "n_chars", "n_tokens",
+        reason.alias("reason"), (reason == "keep").alias("keep"),
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    """DuckDB twin of the LSH-bucketed semantic dedup: same md5-derived
+    ±1 hyperplanes as the engine (similarity.rademacher_planes), same
+    planted near-duplicates (vec_id%25 slice, +0.05 on coordinate 1)."""
+    from crawlspark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(64, 8)
+    terms = []
+    for j in range(8):
+        lit = "[" + ", ".join(f"{v:.1f}" for v in planes[:, j]) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ({lit})[i])) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = "\n        + ".join(terms)
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dup AS (SELECT vec_id + 100000 AS vec_id,
+                   list_transform(range(1, 65),
+                     i -> v[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END) AS v
+            FROM base WHERE vec_id % 25 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+    sig AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM u),
+    p AS (SELECT a.vec_id AS vid, b.vec_id AS nid
+          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+          WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(b.v, x -> x * x)))) > 0.99),
+    m AS (SELECT vid, min(nid) AS mn FROM p GROUP BY vid)
+    SELECT s.vec_id, s.bucket,
+           least(s.vec_id, coalesce(m.mn, s.vec_id)) AS root_id,
+           least(s.vec_id, coalesce(m.mn, s.vec_id)) = s.vec_id AS is_root
+    FROM sig s LEFT JOIN m ON m.vid = s.vec_id
+    """
+
+
+@q("semantic_dedup_roots", _semantic_dedup_sql())
+def semantic_dedup_roots(spark, sf_dir):
+    """Semantic (embedding-space) dedup: plant near-duplicate vectors
+    (the vec_id%25 slice, nudged by +0.05 on one coordinate — cosine
+    ~0.9996 with the original), bucket everything with the deterministic
+    8-plane hyperplane LSH (GEMM signatures, one Arrow batch matmul),
+    pair within buckets above cosine 0.99, and assign each vector its
+    min-id neighbor as cluster root — planted copies resolve to their
+    source, everything else self-roots.  At 100 TB: one bucket equi-join
+    shuffle, pair work bounded by bucket size (the LSH honesty
+    trade-off: a near-dup pair split across buckets is missed, and the
+    oracle mirrors exactly that)."""
+    from crawlspark.operators.similarity import (
+        _cosine_expr, lsh_signatures, rademacher_planes,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", to_d.alias("embedding"))
+    dup = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    u = base.unionByName(dup)
+    sig = lsh_signatures(u, dim=64, n_planes=8,
+                         planes=rademacher_planes(64, 8))
+    a = sig.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("va"),
+                   "bucket")
+    b = sig.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"),
+                   F.col("bucket").alias("nbucket"))
+    pairs = (
+        a.join(b, (F.col("bucket") == F.col("nbucket"))
+               & (F.col("vid") != F.col("nid")))
+        .filter(_cosine_expr(F.col("va"), F.col("vb")) > 0.99)
+        .groupBy("vid").agg(F.min("nid").alias("mn"))
+    )
+    root = F.least(F.col("vec_id"), F.coalesce(F.col("mn"), F.col("vec_id")))
+    return (
+        sig.join(pairs, sig.vec_id == pairs.vid, "left")
+        .select("vec_id", "bucket", root.alias("root_id"),
+                (root == F.col("vec_id")).alias("is_root"))
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -4039,6 +4420,22 @@ _DEMOTED = [
     # green driver rows (r02-r04) and C3 keeps its recursion/property
     # coverage in test_textclean
     "footnote_truncate",
+    # window room for the round-5 continuation six (pii_redact,
+    # doc_chunk_windows, paragraph_dedup, url_quality_signals,
+    # curation_decision, semantic_dedup_roots).  Every demotion carries
+    # FOUR green driver rows (r01-r04) except transfer_decode (r02+r04):
+    # C1 canonicalize keeps its idempotence property + codegen-barrier
+    # plan tests and underlies every windowed URL row; the unseen-probe
+    # family keeps cuckoo_expire_readmit windowed (same probe kernel);
+    # W1/A1 scheduling stays exercised by the crawl e2e order equality;
+    # dedup keeps cluster_roots + the new paragraph/semantic rows
+    # windowed; S2 decode keeps fetched_cache_staleness windowed + e2e
+    "url_canonicalize",
+    "url_dedup_antijoin",
+    "frontier_topk_per_host",
+    "politeness_budget",
+    "dedup_minhash_lsh",
+    "transfer_decode",
 ]
 
 

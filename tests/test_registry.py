@@ -13,7 +13,8 @@ WINDOW = 50
 # Queries that have never had a driver correctness row before round 4 —
 # the whole round-3 surface.  Must be inside the first-50 window.
 PROMOTED = [
-    "transfer_decode",
+    # transfer_decode rotated OUT in round 5 (green driver rows r02+r04;
+    # S2 stays covered by fetched_cache_staleness + the crawl e2e)
     "ann_ivf_assign",
     "ann_ivf_topk",
     "dedup_cluster_roots",
@@ -57,6 +58,14 @@ PROMOTED = [
     "repetition_ratio",
     "domain_quality_gate",
     "cuckoo_expire_readmit",
+    # round-5 continuation surface (privacy/chunking/corpus-dedup/URL
+    # quality/fused curation/semantic dedup)
+    "pii_redact",
+    "doc_chunk_windows",
+    "paragraph_dedup",
+    "url_quality_signals",
+    "curation_decision",
+    "semantic_dedup_roots",
 ]
 
 
