@@ -4326,6 +4326,146 @@ def semantic_dedup_roots(spark, sf_dir):
     )
 
 
+@q(
+    "token_rarity_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS cf FROM tok GROUP BY tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(cf) AS BIGINT) AS freq_sum,
+           CAST(sum(cf) AS BIGINT) / CAST(count(*) AS BIGINT) AS mean_freq
+    FROM tok JOIN freq USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def token_rarity_score(spark, sf_dir):
+    """Corpus-frequency quality signal (the integer-exact stand-in for
+    CCNet's LM-perplexity gate): score each document by the mean corpus
+    frequency of its tokens — gibberish scores low, template text scores
+    high.  Vocabulary counts are a small aggregate BROADCAST back to the
+    exploded corpus (a natural-language vocabulary is millions of rows at
+    most, never corpus-sized), so the big side shuffles once for the
+    per-doc sum.  Both sums are exact integers; the single IEEE division
+    at the end is bit-identical across engines."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("cf"))
+    return (
+        tok.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cf").alias("freq_sum"),
+        )
+        .select(
+            "doc_id", "n_tokens", "freq_sum",
+            (F.col("freq_sum") / F.col("n_tokens")).alias("mean_freq"),
+        )
+    )
+
+
+@q(
+    "anchor_text_agg",
+    """
+    WITH l AS (
+      SELECT doc_id,
+             'https://www.h' || (doc_id % 20) || '.example/t/' || (doc_id % 40)
+               AS target,
+             'read story ' || (doc_id % 5) AS anchor
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             'https://www.h' || (doc_id % 20) || '.example/t/'
+               || ((doc_id + 1) % 40) AS target,
+             'more coverage ' || (doc_id % 3) AS anchor
+      FROM documents WHERE doc_id % 2 = 0)
+    SELECT target,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sources,
+           array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
+    FROM l GROUP BY target
+    """,
+)
+def anchor_text_agg(spark, sf_dir):
+    """Anchor-text aggregation per link target (the web-graph labeling
+    signal: what the REST of the web calls a page — used for retrieval
+    training data and page-quality priors).  Inbound edges are grouped by
+    target with link/source counts and the sorted-distinct anchor set
+    joined into one deterministic string.  One hash-keyed shuffle on
+    target; collect_list stays bounded because anchors are
+    distinct-ed per target (cap with slice() at real web scale)."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    e1 = d.select(
+        "doc_id",
+        F.concat(F.lit("https://www.h"), (did % 20).cast("string"),
+                 F.lit(".example/t/"), (did % 40).cast("string")).alias("target"),
+        F.concat(F.lit("read story "), (did % 5).cast("string")).alias("anchor"),
+    )
+    e2 = d.filter(did % 2 == 0).select(
+        "doc_id",
+        F.concat(F.lit("https://www.h"), (did % 20).cast("string"),
+                 F.lit(".example/t/"),
+                 ((did + 1) % 40).cast("string")).alias("target"),
+        F.concat(F.lit("more coverage "), (did % 3).cast("string")).alias("anchor"),
+    )
+    return (
+        e1.unionByName(e2)
+        .groupBy("target")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_sources"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.collect_list("anchor"))), "|"
+            ).alias("anchors"),
+        )
+    )
+
+
+@q(
+    "host_graph_edges",
+    """
+    WITH e AS (
+      SELECT 'h' || (l_orderkey % 50) AS src_host,
+             'h' || (l_partkey % 50) AS dst_host
+      FROM lineitem WHERE l_orderkey % 50 != l_partkey % 50),
+    w AS (SELECT src_host, dst_host, count(*) AS w
+          FROM e GROUP BY src_host, dst_host)
+    SELECT src_host, dst_host, CAST(w AS BIGINT) AS w,
+           CAST(sum(w) OVER (PARTITION BY src_host) AS BIGINT) AS out_total,
+           CAST(w AS BIGINT) / CAST(sum(w) OVER (PARTITION BY src_host) AS BIGINT)
+             AS transition_p
+    FROM w
+    """,
+)
+def host_graph_edges(spark, sf_dir):
+    """Weighted host-level link graph (the input shape for PageRank-style
+    frontier prioritisation): collapse page edges to (src_host, dst_host)
+    weights and per-source transition probabilities.  At 100 TB the page
+    edge set aggregates by host FIRST (partial map-side combine crushes
+    the fan-in before the shuffle), then one window over the already
+    host-sized graph; weights are exact integers, the transition
+    probability is the single IEEE division."""
+    li = T(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 50).cast("string"))
+        .alias("src_host"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 50).cast("string"))
+        .alias("dst_host"),
+    ).filter(F.col("l_orderkey") % 50 != F.col("l_partkey") % 50)
+    w = e.groupBy("src_host", "dst_host").agg(F.count("*").alias("w"))
+    wspec = Window.partitionBy("src_host")
+    return w.select(
+        "src_host", "dst_host", F.col("w").cast("long").alias("w"),
+        F.sum("w").over(wspec).alias("out_total"),
+    ).select(
+        "src_host", "dst_host", "w", "out_total",
+        (F.col("w") / F.col("out_total")).alias("transition_p"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -4436,6 +4576,16 @@ _DEMOTED = [
     "politeness_budget",
     "dedup_minhash_lsh",
     "transfer_decode",
+    # window room for the web-graph/corpus-stat trio (token_rarity_score,
+    # anchor_text_agg, host_graph_edges): H1 link extraction keeps the e2e
+    # link-discovery equality + the windowed card/branch rows (3 green
+    # driver rows r02-r04); H3 span assembly keeps html_tstar_spans +
+    # html_shallow_tail + html_branch_* windowed (3 green rows r02-r04);
+    # S9 staleness keeps recrawl_change_report windowed + the recrawl e2e
+    # (2 green rows r03-r04)
+    "html_link_extract",
+    "html_article_spans",
+    "fetched_cache_staleness",
 ]
 
 

@@ -66,6 +66,9 @@ PROMOTED = [
     "url_quality_signals",
     "curation_decision",
     "semantic_dedup_roots",
+    "token_rarity_score",
+    "anchor_text_agg",
+    "host_graph_edges",
 ]
 
 
