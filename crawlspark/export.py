@@ -17,8 +17,37 @@ cluster size, no rand()) downsamples at export time, row-locally.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+_FORMATS = ("parquet", "jsonl")
+
+
+def _write(out: DataFrame, out_dir: str, fmt: str, mode: str,
+           partition_by: tuple) -> None:
+    assert fmt in _FORMATS, fmt
+    w = out.write.mode(mode).partitionBy(*partition_by)
+    if fmt == "jsonl":
+        # gzip'd JSON-lines shards — the lingua franca hand-off format for
+        # tokenizer pipelines that don't speak parquet
+        w.option("compression", "gzip").json(out_dir)
+    else:
+        w.parquet(out_dir)
+
+
+def _hive_partitions(out_dir: str, partition_by: tuple) -> list:
+    """First-level partition values from the hive directory names —
+    metadata-only (a directory listing), no data read, works for every
+    output format.  A production object store answers the same question
+    with its list call."""
+    key = partition_by[0] + "="
+    return sorted(
+        unquote(d[len(key):]) for d in os.listdir(out_dir)
+        if d.startswith(key)
+    )
 
 
 def _sample(docs: DataFrame, sample_pct: int | None) -> DataFrame:
@@ -28,17 +57,21 @@ def _sample(docs: DataFrame, sample_pct: int | None) -> DataFrame:
     return docs.filter(slot < F.lit(int(sample_pct)))
 
 
-def _with_text(docs: DataFrame) -> DataFrame:
-    """(doc_id, _text) — the text spans joined in offset order (spans are
-    stored ordered), the near-dup pipeline's input shape."""
-    txt = F.array_join(
+def _text_expr():
+    """Text spans joined in offset order (spans are stored ordered) — the
+    flattened-document expression, row-local (no shuffle)."""
+    return F.array_join(
         F.transform(
             F.filter("spans", lambda s: s["kind"] == "text"),
             lambda s: s["text"],
         ),
         " ",
     )
-    return docs.select("doc_id", txt.alias("_text"))
+
+
+def _with_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, _text) — the near-dup pipeline's input shape."""
+    return docs.select("doc_id", _text_expr().alias("_text"))
 
 
 def _drop_neardups(docs: DataFrame, threshold: float) -> DataFrame:
@@ -77,6 +110,7 @@ def export_documents(
     manifest: dict | None = None,
     dedupe: bool = False,
     dedupe_threshold: float = 0.7,
+    fmt: str = "parquet",
 ) -> dict:
     """Write the documents table as a partitioned training dataset;
     returns {'rows': n, 'mode': ..., 'partitions': [...]}.
@@ -84,21 +118,27 @@ def export_documents(
     ``dedupe=True`` drops near-duplicate documents at export time, keeping
     each cluster's root (min doc_id) — exact duplicates are already
     impossible (doc_id is globally unique at crawl time), so this is the
-    MinHash/LSH near-dup pass over span text."""
+    MinHash/LSH near-dup pass over span text.
+
+    ``fmt='jsonl'`` writes gzip'd JSON-lines shards instead of parquet;
+    docs mode additionally carries the text spans flattened into a
+    top-level ``text`` field so each line is directly tokenizer-ready."""
     assert mode in ("docs", "spans"), mode
     docs = _sample(catalog.read("documents", manifest), sample_pct)
     if dedupe:
         docs = _drop_neardups(docs, dedupe_threshold)
     out = _spans_projection(docs) if mode == "spans" else docs
-    # single-pass write+count (same Observation pattern as
-    # export_incremental); the partition listing still reads back the
-    # written dataset, but only its hive directory column
+    if fmt == "jsonl" and mode == "docs":
+        # row-local column add — NOT a join; the flatten is a lambda-HOF
+        # over the already-loaded spans array
+        out = out.withColumn("text", _text_expr())
+    # single-pass write+count; the partition listing is a directory list,
+    # never a data read
     obs = Observation("export_rows")
     out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
-    out.write.mode("overwrite").partitionBy(*partition_by).parquet(out_dir)
-    written = catalog.spark.read.parquet(out_dir)
-    parts = [r[0] for r in written.select(*partition_by).distinct().collect()]
-    return {"rows": obs.get["rows"], "mode": mode, "partitions": sorted(parts)}
+    _write(out, out_dir, fmt, "overwrite", partition_by)
+    return {"rows": obs.get["rows"], "mode": mode, "fmt": fmt,
+            "partitions": _hive_partitions(out_dir, partition_by)}
 
 
 def export_media_frames(
@@ -141,6 +181,7 @@ def export_incremental(
     manifest: dict | None = None,
     dedupe: bool = False,
     dedupe_threshold: float = 0.7,
+    fmt: str = "parquet",
 ) -> dict:
     """Export ONLY documents committed after ``since_snap`` — the
     recurring-pipeline shape: a nightly training-data refresh over a
@@ -185,12 +226,14 @@ def export_incremental(
             ).select(F.col("id").alias("doc_id"))
             docs = docs.join(dup_ids, on="doc_id", how="left_anti")
     out = _spans_projection(docs) if mode == "spans" else docs
+    if fmt == "jsonl" and mode == "docs":
+        out = out.withColumn("text", _text_expr())
     # single-pass write+count: the Observation collects the row count
     # DURING the write job — the old `out.count()` after the write
     # re-ran the whole read(+dedupe)(+explode) DAG a second time
     obs = Observation("export_rows")
     out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
-    out.write.mode("append").partitionBy(*partition_by).parquet(out_dir)
+    _write(out, out_dir, fmt, "append", partition_by)
     # rows actually WRITTEN (spans mode explodes, so doc count would
     # disagree with the shard row count a pipeline validates against)
     return {"rows": obs.get["rows"], "since_snap": since_snap,

@@ -233,3 +233,57 @@ def test_export_media_frames_from_crawl_spans(spark, tmp_path):
         back.filter((F.col("doc_id") == one["doc_id"])
                     & (F.col("media_ref") == one["media_ref"])).collect())
     assert series == [(i, i * 1000) for i in range(len(series))]
+
+
+def test_export_jsonl_tokenizer_ready(spark, tmp_path):
+    """fmt='jsonl': gzip'd JSON-lines shards, hive-partitioned; docs mode
+    carries a flattened top-level `text` field (text spans joined in
+    offset order) so each line is directly tokenizer-ready; incremental
+    appends compose across formats identically to parquet."""
+    import glob
+    import gzip
+    import json
+
+    from crawlspark import schemas
+    from crawlspark.export import export_documents, export_incremental
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.commit(1, appends={"documents": spark.createDataFrame(
+        [_doc_row("a1", _BASE_TEXT),
+         _doc_row("b1", "different story about markets and trade")],
+        schemas.DOCUMENTS)})
+
+    out = str(tmp_path / "jl")
+    r = export_documents(cat, out, mode="docs", fmt="jsonl")
+    assert r["rows"] == 2 and r["fmt"] == "jsonl"
+    assert r["partitions"] == ["CNA"]
+    shards = glob.glob(out + "/source=*/*.json.gz")
+    assert shards, os.listdir(out)
+    lines = []
+    for p in shards:
+        with gzip.open(p, "rt") as f:
+            lines += [json.loads(l) for l in f if l.strip()]
+    by_id = {l["doc_id"]: l for l in lines}
+    assert set(by_id) == {"a1", "b1"}
+    # flattened text == spans joined in offset order
+    assert by_id["a1"]["text"] == _BASE_TEXT
+    assert [s["offset"] for s in by_id["a1"]["spans"]] == [0, 1]
+
+    # spans mode: one line per span, no flatten column
+    out2 = str(tmp_path / "jl_spans")
+    r2 = export_documents(cat, out2, mode="spans", fmt="jsonl")
+    assert r2["rows"] == 4
+    back = spark.read.json(out2 + "/source=CNA")
+    assert "text" in back.columns and "offset" in back.columns
+
+    # incremental append in jsonl: delta lines land next to the old shards
+    cat.commit(2, appends={"documents": spark.createDataFrame(
+        [_doc_row("c1", "fresh weather report storms and rain", 2)],
+        schemas.DOCUMENTS)})
+    r3 = export_incremental(cat, out, since_snap=1, fmt="jsonl")
+    assert r3["rows"] == 1
+    all_lines = []
+    for p in glob.glob(out + "/source=*/*.json.gz"):
+        with gzip.open(p, "rt") as f:
+            all_lines += [json.loads(l)["doc_id"] for l in f if l.strip()]
+    assert sorted(all_lines) == ["a1", "b1", "c1"]
