@@ -4466,6 +4466,219 @@ def host_graph_edges(spark, sf_dir):
     )
 
 
+@q(
+    "host_pagerank",
+    """
+    WITH e AS (
+      SELECT 'h' || (l_orderkey % 50) AS src, 'h' || (l_partkey % 50) AS dst
+      FROM lineitem WHERE l_orderkey % 50 != l_partkey % 50),
+    w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY src, dst),
+    deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM w GROUP BY src),
+    v AS (SELECT DISTINCT src AS h FROM w UNION SELECT DISTINCT dst AS h FROM w),
+    r0 AS (SELECT h, CAST(1000000000000 AS BIGINT) AS r FROM v),
+    c1 AS (SELECT w.dst AS h, CAST(sum((r0.r * w.w) // deg.outw) AS BIGINT) AS c
+           FROM w JOIN deg USING (src) JOIN r0 ON r0.h = w.src GROUP BY w.dst),
+    r1 AS (SELECT v.h,
+                  CAST(150000000000 + (85 * coalesce(c1.c, 0)) // 100 AS BIGINT) AS r
+           FROM v LEFT JOIN c1 ON c1.h = v.h),
+    c2 AS (SELECT w.dst AS h, CAST(sum((r1.r * w.w) // deg.outw) AS BIGINT) AS c
+           FROM w JOIN deg USING (src) JOIN r1 ON r1.h = w.src GROUP BY w.dst),
+    r2 AS (SELECT v.h,
+                  CAST(150000000000 + (85 * coalesce(c2.c, 0)) // 100 AS BIGINT) AS r
+           FROM v LEFT JOIN c2 ON c2.h = v.h),
+    c3 AS (SELECT w.dst AS h, CAST(sum((r2.r * w.w) // deg.outw) AS BIGINT) AS c
+           FROM w JOIN deg USING (src) JOIN r2 ON r2.h = w.src GROUP BY w.dst),
+    r3 AS (SELECT v.h,
+                  CAST(150000000000 + (85 * coalesce(c3.c, 0)) // 100 AS BIGINT) AS r
+           FROM v LEFT JOIN c3 ON c3.h = v.h)
+    SELECT h AS host, r AS rank_scaled,
+           CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+    FROM r3
+    """,
+)
+def host_pagerank(spark, sf_dir):
+    """Weighted PageRank over the host link graph (3 damped power
+    iterations, d=0.85) — the crawl-frontier prioritisation signal the
+    reference's fixed seed list sidesteps, and a standard page-quality
+    prior for training-data curation.
+
+    Integer-exact across engines: ranks live at a 1e12 fixed-point scale;
+    each edge contribution is ``(rank * w) DIV out_weight`` (integer
+    floor-division, all operands non-negative so Spark's truncating DIV ==
+    DuckDB's flooring ``//``), per-vertex sums are exact integer sums
+    (order-independent — no float-accumulation drift), damping is the
+    integer ``(85 * c) DIV 100``.  The single IEEE division at the end
+    produces the float rank bit-identically on both engines.
+
+    100 TB shape: page edges collapse to the host graph FIRST (map-side
+    partial combine crushes the fan-in), then each iteration is one
+    shuffle — edges joined to ranks on ``src`` (AQE broadcasts when the
+    rank table is small; at a billion hosts both sides hash-partition on
+    the same key so the partitioning is reused across iterations), summed
+    on ``dst``.  The DAG holds all 3 iterations; nothing driver-resident."""
+    li = T(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 50).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 50).cast("string"))
+        .alias("dst"),
+    ).filter(F.col("l_orderkey") % 50 != F.col("l_partkey") % 50)
+    w = e.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    deg = w.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = w.join(deg, "src")
+    v = (
+        w.select(F.col("src").alias("h"))
+        .union(w.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    r = v.select("h", F.lit(10**12).cast("long").alias("r"))
+    for _ in range(3):
+        contribs = (
+            ew.join(r.select(F.col("h").alias("src"), F.col("r").alias("rs")),
+                    "src")
+            .select(F.col("dst").alias("h"),
+                    F.expr("(rs * w) DIV outw").alias("contrib"))
+            .groupBy("h")
+            .agg(F.sum("contrib").alias("c"))
+        )
+        r = v.join(contribs, "h", "left").select(
+            "h",
+            (F.lit(150_000_000_000)
+             + F.expr("(85 * coalesce(c, 0)) DIV 100")).alias("r"),
+        )
+    return r.select(
+        F.col("h").alias("host"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(1000000000000.0)).alias("rank"),
+    )
+
+
+@q(
+    "warc_record_fields",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example/news/' || doc_id AS uri,
+             text
+      FROM documents)
+    SELECT doc_id, uri, 'response' AS warc_type,
+           CAST(strlen(text) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM d
+    """,
+)
+def warc_record_fields(spark, sf_dir):
+    """WARC serialize→parse inverse proof (sources/warc.py): each document
+    is serialized to a WARC/1.0 response record and parsed back by the
+    SAME grammar the ``.warc.gz`` sink/source shards use; every output
+    field comes from the PARSED record, while the oracle derives them
+    straight from the table — so a hash match proves parse∘serialize = id
+    over the whole corpus.  Row-local Arrow-batched work, zero shuffle;
+    at 100 TB this is exactly the per-shard cost of the WARC sink."""
+    from crawlspark.sources.warc import parse_records, record_bytes
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.lit(".example/news/"),
+                 F.col("doc_id").cast("string")).alias("uri"),
+        "text",
+    )
+
+    def _roundtrip(batches):
+        import hashlib as _h
+
+        for pdf in batches:
+            recs = [
+                next(parse_records(record_bytes(u, t.encode())))
+                for u, t in zip(pdf["uri"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "uri": [r["target_uri"] for r in recs],
+                    "warc_type": [r["warc_type"] for r in recs],
+                    "content_length": [r["content_length"] for r in recs],
+                    "payload_md5": [
+                        _h.md5(r["payload"]).hexdigest() for r in recs
+                    ],
+                }
+            )
+
+    return d.mapInPandas(
+        _roundtrip,
+        schema="doc_id long, uri string, warc_type string, "
+               "content_length long, payload_md5 string",
+    )
+
+
+@q(
+    "sitemap_urlset_parse",
+    """
+    WITH sm AS (
+      SELECT source,
+             '<?xml version="1.0"?><urlset>' || string_agg(
+               '<url><loc>https://www.' || source || '.example/news/' || doc_id
+               || '</loc><lastmod>2021-03-'
+               || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               || '</lastmod></url>', '' ORDER BY doc_id) || '</urlset>' AS xml
+      FROM documents GROUP BY source),
+    blocks AS (
+      SELECT source, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS b
+      FROM sm)
+    SELECT source,
+           regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
+           regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+    FROM blocks
+    """,
+)
+def sitemap_urlset_parse(spark, sf_dir):
+    """Sitemap intake (the standard crawler seed source the reference's
+    hand-typed seed list sidesteps; sitemaps.org urlset grammar): parse
+    ``<url><loc>…<lastmod>…`` entries out of sitemap XML into frontier
+    seed rows.  The sitemap documents are synthesized per source from the
+    table (deterministic ORDER BY agg), then parsed with the same
+    regexp-extraction both engines run; one shuffle to assemble the
+    per-source sitemap, the parse itself is row-local.  At 100 TB the
+    sitemaps arrive as fetched payloads (no assembly shuffle) and only
+    the row-local parse remains — then seeds flow into the same
+    seed-union + anti-join intake as every other source."""
+    d = T(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://www."), F.col("source"),
+        F.lit(".example/news/"), F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2021-03-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"),
+    )
+    sm = (
+        d.select("source", F.struct("doc_id", entry.alias("e")).alias("s"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")),
+                                lambda s: s["e"]),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    b = sm.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all("xml", F.lit("<url>(.*?)</url>"), 1)
+        ).alias("b"),
+    )
+    return b.select(
+        "source",
+        F.regexp_extract("b", "<loc>([^<]*)</loc>", 1).alias("loc"),
+        F.regexp_extract("b", "<lastmod>([^<]*)</lastmod>", 1).alias("lastmod"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -4586,6 +4799,16 @@ _DEMOTED = [
     "html_link_extract",
     "html_article_spans",
     "fetched_cache_staleness",
+    # window room for the graph/interchange trio (host_pagerank,
+    # warc_record_fields, sitemap_urlset_parse) — all three demotions
+    # carry FIVE green driver rows (r01-r05): J3 redirect detection stays
+    # exercised by the crawl e2e redirect-discovery equality; J2
+    # meta pass-through is a projection the windowed card/branch rows
+    # re-exercise; C4 whitespace cleanup underlies every windowed span
+    # row's byte-for-byte fixture equality
+    "redirect_flag",
+    "meta_passthrough",
+    "whitespace_cleanup",
 ]
 
 

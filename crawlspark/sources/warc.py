@@ -1,0 +1,204 @@
+"""WARC (Web ARChive, ISO 28500) sink + source.
+
+The reference delivers fetched pages as one text file per article
+(covid_news_spider.py:2474-2567).  At web scale the interchange format for
+raw crawl payloads is WARC — Common Crawl, archive.org, and every serious
+fetch pipeline speak it — so the engine publishes and ingests WARC
+response records natively:
+
+  * ``write_warc(df, out_dir)``  — one ``.warc.gz`` shard per partition,
+    one gzip MEMBER per record (the standard layout: readers can seek to
+    a record and decompress it alone).  Executors stream their partition
+    straight to disk — nothing is collected.
+  * ``read_warc(spark, path)``   — ``binaryFile`` scan → Arrow-batched
+    parse of the concatenated gzip members back into one row per record.
+    File-level parallelism: each shard is parsed where it lands.
+
+Record grammar (the subset every WARC reader understands): a header block
+of ``Key: Value`` lines terminated by a blank line, a payload of exactly
+``Content-Length`` octets, then the ``\\r\\n\\r\\n`` record separator.
+Serialization and parsing share this module so they cannot drift; the
+``warc_record_fields`` query proves parse∘serialize = id against a DuckDB
+oracle that derives the same fields straight from the table.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+import uuid
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_CRLF = b"\r\n"
+
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("record_id", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_length", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def record_id_for(uri: str) -> str:
+    """Deterministic WARC-Record-ID: a UUID derived from the target URI's
+    md5 (replayable — re-serializing the same corpus yields byte-identical
+    records, which the snapshot/export story depends on)."""
+    return f"<urn:uuid:{uuid.UUID(hashlib.md5(uri.encode()).hexdigest())}>"
+
+
+def record_bytes(
+    uri: str,
+    payload: bytes,
+    warc_date: str = "2021-03-01T00:00:00Z",
+    warc_type: str = "response",
+    record_id: str | None = None,
+) -> bytes:
+    """Serialize ONE WARC record (header block + payload + separator)."""
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: " + (record_id or record_id_for(uri)).encode(),
+        b"WARC-Date: " + warc_date.encode(),
+        b"WARC-Target-URI: " + uri.encode(),
+        b"Content-Type: text/html",
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    return _CRLF.join(headers) + _CRLF * 2 + payload + _CRLF * 2
+
+
+def parse_records(blob: bytes) -> Iterator[dict]:
+    """Parse a concatenation of WARC records (one file's decompressed
+    bytes) into dicts; tolerant of trailing garbage after the last
+    separator."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.find(_CRLF * 2, pos)
+        if head_end < 0:
+            break
+        head = blob[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break
+        fields = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip()] = v.strip()
+        clen = int(fields.get("Content-Length", "0"))
+        body_start = head_end + 4
+        payload = blob[body_start:body_start + clen]
+        yield {
+            "record_id": fields.get("WARC-Record-ID", ""),
+            "warc_type": fields.get("WARC-Type", ""),
+            "target_uri": fields.get("WARC-Target-URI", ""),
+            "warc_date": fields.get("WARC-Date", ""),
+            "content_length": clen,
+            "payload": payload,
+        }
+        pos = body_start + clen + 4  # skip the record separator
+
+
+def _gzip_member(record: bytes) -> bytes:
+    buf = io.BytesIO()
+    # mtime=0: reproducible shards (gzip stamps wall-clock otherwise)
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(record)
+    return buf.getvalue()
+
+
+def write_warc(df: DataFrame, out_dir: str) -> dict:
+    """Write ``(uri, payload, warc_date)`` rows as ``.warc.gz`` shards,
+    one shard per partition, one gzip member per record.  Runs entirely
+    executor-side (mapInPandas streaming each partition to its shard);
+    only the per-shard manifest rows come back.  Returns
+    ``{'files': n, 'records': n}``."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.columns
+    assert {"uri", "payload"} <= set(cols), cols
+    out_schema = StructType(
+        [StructField("file", StringType()), StructField("records", LongType())]
+    )
+
+    def _write_partition(batches) -> Iterable:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        n = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                dates = (
+                    pdf["warc_date"]
+                    if "warc_date" in pdf.columns
+                    else ["2021-03-01T00:00:00Z"] * len(pdf)
+                )
+                for uri, payload, date in zip(pdf["uri"], pdf["payload"], dates):
+                    raw = payload if isinstance(payload, bytes) else bytes(payload)
+                    f.write(_gzip_member(record_bytes(uri, raw, warc_date=date)))
+                    n += 1
+        if n == 0:
+            os.remove(path)  # empty partitions leave no shard behind
+            return
+        yield pd.DataFrame({"file": [path], "records": [n]})
+
+    manifest = df.mapInPandas(_write_partition, schema=out_schema).collect()
+    return {"files": len(manifest), "records": sum(r["records"] for r in manifest)}
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Scan ``.warc.gz`` shards back into one row per record.  The
+    ``binaryFile`` source gives file-level parallelism (a 100 TB WARC
+    corpus is millions of ~1 GB shards — natural partition grain);
+    ``gzip.decompress`` handles the concatenated members in one call."""
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.warc.gz"))
+
+    def _parse(batches) -> Iterable:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                blob = gzip.decompress(bytes(content))
+                rows.extend(parse_records(blob))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return files.select("content").mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
+
+
+def documents_to_warc_rows(docs: DataFrame) -> DataFrame:
+    """Project the crawl's documents table into the sink's input shape:
+    (uri, payload, warc_date) with the span text flattened as the payload
+    and the published date as the WARC date — all row-local."""
+    txt = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    return docs.select(
+        F.col("url").alias("uri"),
+        F.encode(txt, "UTF-8").alias("payload"),
+        F.concat(
+            F.date_format("published_date", "yyyy-MM-dd"),
+            F.lit("T00:00:00Z"),
+        ).alias("warc_date"),
+    )

@@ -18,13 +18,13 @@ PROMOTED = [
     "ann_ivf_assign",
     "ann_ivf_topk",
     "dedup_cluster_roots",
-    "redirect_flag",
+    # redirect_flag / whitespace_cleanup / meta_passthrough rotated OUT in
+    # round 5 (5 green driver rows each, r01-r05; J3 stays covered by the
+    # crawl e2e redirect discovery, C4/J2 by the windowed span fixtures)
     "empty_body_drop",
     "seed_file_union",
     "html_domain_fallbacks",
     "html_card_union",
-    "whitespace_cleanup",
-    "meta_passthrough",
     "html_shallow_tail",
     "stream_dedup",
     "stratified_sample",
@@ -69,6 +69,10 @@ PROMOTED = [
     "token_rarity_score",
     "anchor_text_agg",
     "host_graph_edges",
+    # round-5 graph/interchange trio
+    "host_pagerank",
+    "warc_record_fields",
+    "sitemap_urlset_parse",
 ]
 
 

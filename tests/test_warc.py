@@ -1,0 +1,93 @@
+"""WARC sink/source: shard round-trip fidelity, standard gzip-member
+layout, determinism, and the documents-table projection."""
+
+import glob
+import gzip
+
+from pyspark.sql import functions as F
+
+from crawlspark.sources.warc import (
+    documents_to_warc_rows,
+    parse_records,
+    read_warc,
+    record_bytes,
+    record_id_for,
+    write_warc,
+)
+
+
+def _rows(spark, n=37):
+    return spark.range(n).select(
+        F.concat(F.lit("https://www.cna.example/news/"),
+                 F.col("id").cast("string")).alias("uri"),
+        F.encode(F.concat(F.lit("body text for page "),
+                          F.col("id").cast("string"),
+                          F.lit(" éé")), "UTF-8").alias("payload"),
+        F.lit("2021-03-01T00:00:00Z").alias("warc_date"),
+    ).repartition(4)
+
+
+def test_warc_roundtrip_through_shards(spark, tmp_path):
+    out = str(tmp_path / "warc")
+    df = _rows(spark)
+    r = write_warc(df, out)
+    assert r["records"] == 37
+    assert r["files"] == len(glob.glob(out + "/*.warc.gz")) <= 4
+
+    back = read_warc(spark, out)
+    got = {(x["target_uri"], bytes(x["payload"])) for x in back.collect()}
+    want = {(x["uri"], bytes(x["payload"])) for x in df.collect()}
+    assert got == want
+    one = back.limit(1).collect()[0]
+    assert one["warc_type"] == "response"
+    assert one["warc_date"] == "2021-03-01T00:00:00Z"
+    assert one["content_length"] == len(bytes(one["payload"]))
+    assert one["record_id"] == record_id_for(one["target_uri"])
+
+
+def test_warc_gzip_member_per_record(tmp_path):
+    """Standard WARC-gz layout: each record its own gzip member, so a
+    reader can decompress one record without touching the rest — and a
+    plain multi-member gunzip still yields the clean concatenation."""
+    import zlib
+
+    recs = [record_bytes(f"https://h.example/{i}", f"p{i}".encode())
+            for i in range(3)]
+    from crawlspark.sources.warc import _gzip_member
+
+    blob = b"".join(_gzip_member(r) for r in recs)
+    # member boundaries: decompressing the FIRST member alone (zlib stops
+    # at the member trailer) yields exactly record 0 — the seekable layout
+    d = zlib.decompressobj(wbits=31)
+    assert d.decompress(blob) == recs[0] and d.eof
+    assert gzip.decompress(blob) == b"".join(recs)
+    parsed = list(parse_records(gzip.decompress(blob)))
+    assert [p["target_uri"] for p in parsed] == [
+        f"https://h.example/{i}" for i in range(3)]
+    # reproducible bytes (mtime=0): same records -> same shard bytes
+    assert blob == b"".join(_gzip_member(r) for r in recs)
+
+
+def test_documents_to_warc_projection(spark, tmp_path):
+    """Crawl documents → WARC rows: payload is the flattened span text,
+    WARC date is the published date; the full pipeline lands readable
+    shards."""
+    import datetime as dt
+
+    from crawlspark import schemas
+
+    row = (
+        "d1", "https://www.cna.example/news/d1", "T", dt.date(2021, 3, 5),
+        "CNA", 1,
+        [{"kind": "text", "text": "first span", "media_ref": None, "offset": 0},
+         {"kind": "media", "text": None, "media_ref": "m1", "offset": 1},
+         {"kind": "text", "text": "second span", "media_ref": None, "offset": 2}],
+    )
+    docs = spark.createDataFrame([row], schemas.DOCUMENTS)
+    out = str(tmp_path / "warc")
+    r = write_warc(documents_to_warc_rows(docs), out)
+    assert r == {"files": 1, "records": 1}
+    rec = read_warc(spark, out).collect()[0]
+    assert rec["target_uri"] == "https://www.cna.example/news/d1"
+    assert bytes(rec["payload"]) == b"first span second span"
+    assert rec["warc_date"] == "2021-03-05T00:00:00Z"
