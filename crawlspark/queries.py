@@ -4679,6 +4679,83 @@ def sitemap_urlset_parse(spark, sf_dir):
     )
 
 
+@q(
+    "token_mix_plan",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS BIGINT) AS weight
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(weight) AS BIGINT) AS total_weight
+            FROM per)
+    SELECT source, n_docs, n_tokens, weight,
+           CAST(((total_tokens // 2) * weight) // total_weight AS BIGINT)
+             AS target_tokens,
+           CAST(least(1000,
+             ((((total_tokens // 2) * weight) // total_weight) * 1000)
+               // n_tokens) AS BIGINT) AS sample_permille,
+           CAST((n_tokens * least(1000,
+             ((((total_tokens // 2) * weight) // total_weight) * 1000)
+               // n_tokens)) // 1000 AS BIGINT) AS expected_tokens
+    FROM per, tot
+    """,
+)
+def token_mix_plan(spark, sf_dir):
+    """Training-data mixing plan: given per-source target WEIGHTS and a
+    total token budget (half the corpus here), compute each source's
+    deterministic sampling rate — the 'mix CC at 60%, news at 20%…' step
+    every LLM data recipe runs before tokenization.  The rate feeds the
+    same md5-slot Bernoulli machinery as sample_weighted (no rand(),
+    reproducible at any cluster size).
+
+    Integer-exact end to end: token counts and weights are integers, the
+    budget is an integer floor-half, target allocations and permille
+    rates use integer floor-division (Spark DIV == DuckDB // on
+    non-negative operands) — no float ever appears, so the oracle matches
+    bit-for-bit.  100 TB shape: ONE corpus-scale shuffle (the per-source
+    agg, with map-side partial sums); the totals join is over the
+    source-count-sized table (a few thousand rows at web scale) and
+    broadcasts."""
+    d = T(spark, sf_dir, "documents")
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight",
+            (F.substring("source", 4, 10).cast("long") % 4 + 1).cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("weight").cast("long").alias("total_weight"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    target = F.expr("((total_tokens DIV 2) * weight) DIV total_weight")
+    permille = F.least(
+        F.lit(1000).cast("long"),
+        F.expr(
+            "((((total_tokens DIV 2) * weight) DIV total_weight) * 1000)"
+            " DIV n_tokens"
+        ),
+    )
+    return j.select(
+        "source", "n_docs", "n_tokens", "weight",
+        target.cast("long").alias("target_tokens"),
+        permille.cast("long").alias("sample_permille"),
+        F.expr(
+            "(n_tokens * least(1000, "
+            "((((total_tokens DIV 2) * weight) DIV total_weight) * 1000)"
+            " DIV n_tokens)) DIV 1000"
+        ).cast("long").alias("expected_tokens"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -4809,6 +4886,10 @@ _DEMOTED = [
     "redirect_flag",
     "meta_passthrough",
     "whitespace_cleanup",
+    # window room for token_mix_plan — F5's one-expression filter carries
+    # five green driver rows (r01-r05) and stays exercised by the crawl
+    # e2e doc-set equality (empty bodies never reach the documents table)
+    "empty_body_drop",
 ]
 
 

@@ -127,7 +127,13 @@ def write_warc(df: DataFrame, out_dir: str) -> dict:
     one shard per partition, one gzip member per record.  Runs entirely
     executor-side (mapInPandas streaming each partition to its shard);
     only the per-shard manifest rows come back.  Returns
-    ``{'files': n, 'records': n}``."""
+    ``{'files': n, 'records': n}``.
+
+    Multi-node: ``out_dir`` must be a shared filesystem / object-store
+    mount (each executor opens its shard path directly), and speculative
+    execution should stay off for this job — two attempts of the same
+    partition would race on one shard file (the shard name is the
+    partition id so a retry after failure safely overwrites)."""
     os.makedirs(out_dir, exist_ok=True)
     cols = df.columns
     assert {"uri", "payload"} <= set(cols), cols

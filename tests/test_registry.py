@@ -18,10 +18,10 @@ PROMOTED = [
     "ann_ivf_assign",
     "ann_ivf_topk",
     "dedup_cluster_roots",
-    # redirect_flag / whitespace_cleanup / meta_passthrough rotated OUT in
-    # round 5 (5 green driver rows each, r01-r05; J3 stays covered by the
-    # crawl e2e redirect discovery, C4/J2 by the windowed span fixtures)
-    "empty_body_drop",
+    # redirect_flag / whitespace_cleanup / meta_passthrough /
+    # empty_body_drop rotated OUT in round 5 (5 green driver rows each,
+    # r01-r05; J3 stays covered by the crawl e2e redirect discovery,
+    # C4/J2/F5 by the windowed span fixtures + e2e doc-set equality)
     "seed_file_union",
     "html_domain_fallbacks",
     "html_card_union",
@@ -69,10 +69,11 @@ PROMOTED = [
     "token_rarity_score",
     "anchor_text_agg",
     "host_graph_edges",
-    # round-5 graph/interchange trio
+    # round-5 graph/interchange trio + mixing plan
     "host_pagerank",
     "warc_record_fields",
     "sitemap_urlset_parse",
+    "token_mix_plan",
 ]
 
 
