@@ -4756,6 +4756,581 @@ def token_mix_plan(spark, sf_dir):
     )
 
 
+# ============ Gopher-style document quality battery (round-5 cont.) ======
+
+_GOPHER_STOPWORDS = ("the", "a", "of", "to", "in")
+_GOPHER_STOP_IN = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+
+
+@q(
+    "gopher_quality_gate",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+               AS sum_word_len,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(w, x -> list_contains([{_GOPHER_STOP_IN}], x)))
+               AS BIGINT) AS n_stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_tokens, sum_word_len, n_alpha_words, n_stop_hits,
+           CAST(n_tokens BETWEEN 5 AND 2000
+                AND sum_word_len >= 3 * n_tokens
+                AND sum_word_len <= 10 * n_tokens
+                AND 10 * n_alpha_words >= 8 * n_tokens
+                AND n_stop_hits >= 2 AS INT) AS gopher_pass
+    FROM b
+    """,
+)
+def gopher_quality_gate(spark, sf_dir):
+    """Gopher-style document-quality rule battery (Rae et al. 2021 §A.1.1
+    analog over this corpus's feature space): token-count bounds, mean
+    word length bounds, alphabetic-word fraction, and a minimum stopword
+    hit count, combined into one pass/fail gate.  Complements the
+    windowed repetition_ratio row (the repetition half of the Gopher
+    rules).  Every signal is integer math over row-local HOFs — the
+    mean-word-length bound is the cross-multiplied `3n <= sum_len <=
+    10n`, the alpha fraction is `10*alpha >= 8*n` — so there is no float
+    anywhere and ZERO shuffle: at 100 TB this is a pure map stage that
+    fuses into the scan."""
+    d = T(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    b = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).alias("sum_word_len"),
+        F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$")))
+        .cast("long").alias("n_alpha_words"),
+        F.size(F.filter(w, lambda x: x.isin(*_GOPHER_STOPWORDS)))
+        .cast("long").alias("n_stop_hits"),
+    )
+    gate = (
+        F.col("n_tokens").between(5, 2000)
+        & (F.col("sum_word_len") >= 3 * F.col("n_tokens"))
+        & (F.col("sum_word_len") <= 10 * F.col("n_tokens"))
+        & (10 * F.col("n_alpha_words") >= 8 * F.col("n_tokens"))
+        & (F.col("n_stop_hits") >= 2)
+    )
+    return b.select(
+        "doc_id", "n_tokens", "sum_word_len", "n_alpha_words",
+        "n_stop_hits", gate.cast("int").alias("gopher_pass"),
+    )
+
+
+# ============ C4-style terminal-punctuation line filter ===================
+
+_HEX_EVEN = ("0", "2", "4", "6", "8", "a", "c", "e")
+_HEX_EVEN_IN = ", ".join(f"'{h}'" for h in _HEX_EVEN)
+
+
+@q(
+    "c4_line_filter",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    e AS (SELECT doc_id, w,
+                 unnest(range(1, (len(w) + 6) // 7 + 1)) AS i
+          FROM t),
+    l AS (SELECT doc_id, i,
+                 array_to_string(w[(i-1)*7+1 : i*7], ' ') AS line
+          FROM e),
+    k AS (SELECT doc_id, i,
+                 CASE WHEN substr(md5(line), 1, 1) IN ({_HEX_EVEN_IN})
+                      THEN line || '.' ELSE line END AS line_f,
+                 substr(md5(line), 1, 1) IN ({_HEX_EVEN_IN})
+                   AND len(string_split(line, ' ')) >= 5 AS kept
+          FROM l)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(CAST(kept AS INT)), 0) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(list(line_f ORDER BY i)
+                                    FILTER (WHERE kept), ' | '), '')
+             AS kept_text,
+           CAST(count(*) FILTER (WHERE kept) >= 3 AS INT) AS keep_doc
+    FROM k GROUP BY doc_id
+    """,
+)
+def c4_line_filter(spark, sf_dir):
+    """C4-style line filtering (Raffel et al. 2020 §2.2 analog): chunk
+    each document into 7-word lines, keep only lines that end in terminal
+    punctuation AND have >= 5 words, and keep the document only if >= 3
+    lines survive.  The corpus is single-line, so terminal punctuation is
+    assigned deterministically from the line's md5 parity (the same
+    derivation on both engines) — the FILTER/reassemble plumbing is the
+    real C4 shape.  Chunking and line scoring are row-local; the only
+    shuffle is the per-doc regroup, and at 100 TB the explode can be
+    skipped entirely by folding the per-line logic into one HOF pass
+    (kept here as an explode so the oracle exercises the grouped
+    ordered-list reassembly path)."""
+    d = T(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_lines = F.expr("(size(split(text, ' ')) + 6) DIV 7")
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.concat_ws(" ", F.slice(w, (i - 1) * 7 + 1, 7)).alias("line"),
+        ),
+    )
+    e = (
+        d.select("doc_id", F.explode(lines).alias("L"))
+        .select("doc_id", F.col("L.i").alias("i"), F.col("L.line").alias("line"))
+    )
+    parity = F.substring(F.md5("line"), 1, 1).isin(*_HEX_EVEN)
+    kept = parity & (F.size(F.split("line", " ")) >= 5)
+    e2 = e.select(
+        "doc_id", "i",
+        F.when(parity, F.concat("line", F.lit("."))).otherwise(F.col("line"))
+        .alias("line_f"),
+        kept.alias("kept"),
+    )
+    return e2.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("kept"),
+                               F.struct("i", F.col("line_f").alias("line_f")))
+                    )),
+                    lambda s: s["line_f"],
+                ),
+                " | ",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+        (F.sum(F.col("kept").cast("long")) >= 3).cast("int").alias("keep_doc"),
+    )
+
+
+# ============ Inverted-index posting build ================================
+
+
+@q(
+    "token_postings",
+    """
+    WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           array_to_string((list_sort(list(DISTINCT doc_id)))[1:5], ',')
+             AS docs_preview
+    FROM e GROUP BY token
+    """,
+)
+def token_postings(spark, sf_dir):
+    """Inverted-index posting build (the search/retrieval side of a
+    training-data platform — BM25 retrieval and decontamination lookups
+    both start here): token -> term frequency, document frequency, and
+    the head of the sorted posting list.  One shuffle on token with
+    map-side partial aggregation; heavy tokens are naturally handled by
+    the partial agg (counts combine associatively), and the posting-list
+    head is a bounded slice so output rows stay small.  At 100 TB the
+    full posting lists would be written bucketed by token (see
+    operators/bucketed.py) so retrieval joins are exchange-free."""
+    d = T(spark, sf_dir, "documents")
+    e = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return e.groupBy("token").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("docs_preview"),
+    )
+
+
+# ============ WARC revisit-record dedup ===================================
+
+
+@q(
+    "warc_revisit_dedup",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example/news/' || doc_id AS url,
+             md5(array_to_string((string_split(text, ' '))[1:3], ' '))
+               AS digest
+      FROM documents),
+    r AS (
+      SELECT doc_id, url, digest,
+             row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rk,
+             first_value(url) OVER (PARTITION BY digest ORDER BY doc_id)
+               AS fu
+      FROM b)
+    SELECT doc_id, url, digest,
+           CASE WHEN rk = 1 THEN 'response' ELSE 'revisit' END
+             AS record_type,
+           CASE WHEN rk = 1 THEN '' ELSE fu END AS refers_to
+    FROM r
+    """,
+)
+def warc_revisit_dedup(spark, sf_dir):
+    """WARC revisit-record assignment (WARC/1.1 §6.7 — the archive-side
+    dedup every production crawler runs): group fetches by payload
+    digest, store the first as a full `response` record and every later
+    identical payload as a `revisit` record pointing at the original.
+    The digest here is the md5 of the first-3-word payload prefix (the
+    corpus is synthetic-unique, the prefix plants real collisions).  One
+    hash-partitioned window on digest — the exact shuffle the archive
+    writer needs anyway to co-locate identical payloads, and at 100 TB
+    the digest space is uniform so there is no skew.  Pairs with
+    sources/warc.py: record_type/refers_to are the fields its serializer
+    writes."""
+    d = T(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    b = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."), "source", F.lit(".example/news/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.md5(F.concat_ws(" ", F.slice(w, 1, 3))).alias("digest"),
+    )
+    win = Window.partitionBy("digest").orderBy("doc_id")
+    r = b.select(
+        "doc_id", "url", "digest",
+        F.row_number().over(win).alias("rk"),
+        F.first("url").over(win).alias("fu"),
+    )
+    return r.select(
+        "doc_id", "url", "digest",
+        F.when(F.col("rk") == 1, F.lit("response"))
+        .otherwise(F.lit("revisit")).alias("record_type"),
+        F.when(F.col("rk") == 1, F.lit("")).otherwise(F.col("fu"))
+        .alias("refers_to"),
+    )
+
+
+# ============ Unicode NFC normalization ===================================
+
+
+@q(
+    "unicode_nfc_normalize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                    THEN substr(text, 1, 24) || ' caf' || 'e' || chr(769)
+                  WHEN doc_id % 3 = 1
+                    THEN substr(text, 1, 24) || ' caf' || chr(233)
+                  ELSE substr(text, 1, 24) END AS mixed
+      FROM documents)
+    SELECT doc_id,
+           md5(nfc_normalize(mixed)) AS norm_md5,
+           CAST(strlen(mixed) AS BIGINT) AS n_bytes_raw,
+           CAST(strlen(nfc_normalize(mixed)) AS BIGINT) AS n_bytes_norm
+    FROM m
+    """,
+)
+def unicode_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization — the first text-cleanup step of every
+    multilingual training-data pipeline (decomposed `e`+U+0301 and
+    precomposed U+00E9 must dedup/tokenize identically).  Spark has no
+    built-in normalizer, so this is the documented Arrow-vectorized
+    seam: a pandas UDF over unicodedata.normalize, batch-transferred,
+    never per-row Python.  The corpus is ASCII, so each doc is salted
+    deterministically with a decomposed, a precomposed, or no accent
+    (doc_id % 3) and the oracle runs DuckDB's utf8proc-backed
+    nfc_normalize over the identical construction; byte lengths before/
+    after prove the recomposition happened.  Row-local: ZERO shuffle at
+    any scale."""
+    import unicodedata
+
+    d = T(spark, sf_dir, "documents")
+    mixed = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.substring("text", 1, 24), F.lit(" caf"),
+                     F.lit("é")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.substring("text", 1, 24), F.lit(" café")),
+        )
+        .otherwise(F.substring("text", 1, 24))
+    )
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    m = d.select("doc_id", mixed.alias("mixed"))
+    return m.select(
+        "doc_id",
+        F.md5(nfc(F.col("mixed"))).alias("norm_md5"),
+        F.octet_length("mixed").cast("long").alias("n_bytes_raw"),
+        F.octet_length(nfc(F.col("mixed"))).cast("long").alias("n_bytes_norm"),
+    )
+
+
+# ============ Two-level sitemap-index expansion ===========================
+
+
+@q(
+    "sitemap_index_expand",
+    """
+    WITH src AS (SELECT DISTINCT source FROM documents),
+    parents AS (
+      SELECT source,
+             '<sitemapindex>' || array_to_string(list_transform(range(0, 3),
+               k -> '<sitemap><loc>https://www.' || source || '.example/sm_'
+                    || k || '.xml</loc></sitemap>'), '')
+             || '</sitemapindex>' AS xml
+      FROM src),
+    ch AS (SELECT source, unnest(range(0, 3)) AS k FROM src),
+    children AS (
+      SELECT 'https://www.' || source || '.example/sm_' || k || '.xml'
+               AS loc,
+             '<urlset>' || array_to_string(list_transform(range(0, 4),
+               i -> '<url><loc>https://www.' || source || '.example/p/'
+                    || k || '_' || i || '</loc></url>'), '')
+             || '</urlset>' AS cxml
+      FROM ch),
+    locs AS (
+      SELECT source,
+             unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1))
+               AS sitemap_loc
+      FROM parents)
+    SELECT source, sitemap_loc,
+           unnest(regexp_extract_all(cxml,
+                  '<url><loc>([^<]*)</loc></url>', 1)) AS url
+    FROM locs JOIN children ON sitemap_loc = loc
+    """,
+)
+def sitemap_index_expand(spark, sf_dir):
+    """Two-level sitemap recursion (sitemaps.org index grammar): a
+    `<sitemapindex>` names child sitemaps, each child is fetched and its
+    `<urlset>` parsed into frontier seeds — the standard deep-site intake
+    that sitemap_urlset_parse's single level doesn't cover.  Parent and
+    child payloads are synthesized deterministically per source; the
+    expansion is extract-all -> explode -> broadcast join to the child
+    payloads -> extract-all again, which is exactly the fetch-join shape
+    at 100 TB (the child-loc dimension is crawl-frontier-sized and the
+    join key is the URL the fetcher keys on anyway)."""
+    d = T(spark, sf_dir, "documents")
+    src = d.select("source").distinct()
+    parents = src.select(
+        "source",
+        F.concat(
+            F.lit("<sitemapindex>"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(2)),
+                    lambda k: F.concat(
+                        F.lit("<sitemap><loc>https://www."), F.col("source"),
+                        F.lit(".example/sm_"), k.cast("string"),
+                        F.lit(".xml</loc></sitemap>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</sitemapindex>"),
+        ).alias("xml"),
+    )
+    children = (
+        src.select("source", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"))
+        .select(
+            F.concat(
+                F.lit("https://www."), "source", F.lit(".example/sm_"),
+                F.col("k").cast("string"), F.lit(".xml"),
+            ).alias("loc"),
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(3)),
+                        lambda i: F.concat(
+                            F.lit("<url><loc>https://www."), F.col("source"),
+                            F.lit(".example/p/"), F.col("k").cast("string"),
+                            F.lit("_"), i.cast("string"),
+                            F.lit("</loc></url>"),
+                        ),
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("cxml"),
+        )
+    )
+    locs = parents.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all("xml", F.lit("<loc>([^<]*)</loc>"), 1)
+        ).alias("sitemap_loc"),
+    )
+    return (
+        locs.join(F.broadcast(children),
+                  locs.sitemap_loc == children.loc)
+        .select(
+            "source", "sitemap_loc",
+            F.explode(
+                F.regexp_extract_all(
+                    "cxml", F.lit("<url><loc>([^<]*)</loc></url>"), 1)
+            ).alias("url"),
+        )
+    )
+
+
+# ============ Rendezvous (HRW) shard assignment ===========================
+
+
+@q(
+    "rendezvous_shard",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST((list_max(list_transform(range(0, 8),
+               s -> {'h': md5(doc_id || ':' || s), 's': s}))).s AS INT)
+               AS shard8,
+             CAST((list_max(list_transform(range(0, 9),
+               s -> {'h': md5(doc_id || ':' || s), 's': s}))).s AS INT)
+               AS shard9
+      FROM documents)
+    SELECT doc_id, shard8, shard9,
+           CAST(shard8 != shard9 AS INT) AS moved
+    FROM b
+    """,
+)
+def rendezvous_shard(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998) — the stable doc->shard mapping a training-data
+    store wants: when the shard count grows from 8 to 9, only ~1/9 of
+    documents move (visible in the `moved` column), versus ~8/9 under
+    mod-N.  shard(d) = argmax_s md5(d ':' s), computed as an array_max
+    over (hash, shard) structs — a row-local HOF with ZERO shuffle, so
+    at 100 TB this fuses into the scan; the struct max is lexicographic
+    on the hash first, identical in both engines."""
+    d = T(spark, sf_dir, "documents")
+
+    def hrw(n_shards):
+        return F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_shards - 1)),
+                lambda s: F.struct(
+                    F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":"), s.cast("string"))).alias("h"),
+                    s.cast("int").alias("s"),
+                ),
+            )
+        )["s"]
+
+    return d.select(
+        "doc_id", hrw(8).alias("shard8"), hrw(9).alias("shard9"),
+    ).withColumn(
+        "moved", (F.col("shard8") != F.col("shard9")).cast("int")
+    )
+
+
+# ============ Robots REP audit (oracle row for the matcher) ===============
+
+_REP_HOSTS = {
+    "h0.example": (["/p/"], ["/p/ok"]),
+    "h1.example": (["/*.php$", "/x*y"], []),
+    "h2.example": (["/"], ["/news/"]),
+    "h3.example": ([], []),
+}
+
+
+def _rep_rule_values() -> str:
+    from crawlspark.functions.robots import pattern_rx
+
+    rows = []
+    for h, (dis, alw) in _REP_HOSTS.items():
+        for p in dis:
+            rows.append(f"('{h}', '{p}', 0, '{pattern_rx(p)}')")
+        for p in alw:
+            rows.append(f"('{h}', '{p}', 1, '{pattern_rx(p)}')")
+    return ", ".join(rows)
+
+
+@q(
+    "robots_rep_audit",
+    f"""
+    WITH f AS (
+      SELECT 'h' || (o_orderkey % 4) || '.example' AS host,
+             CASE o_orderkey % 6
+               WHEN 0 THEN '/p/' || o_orderkey
+               WHEN 1 THEN '/p/ok' || o_orderkey
+               WHEN 2 THEN '/a' || o_orderkey || '.php'
+               WHEN 3 THEN '/a' || o_orderkey || '.php?x=1'
+               WHEN 4 THEN '/x' || o_orderkey || 'y'
+               ELSE '/news/' || o_orderkey
+             END AS path
+      FROM orders),
+    r(host, pat, is_allow, rx) AS (VALUES {{REP_VALUES}}),
+    m AS (
+      SELECT f.host, f.path, r.pat, r.is_allow
+      FROM f LEFT JOIN r
+        ON f.host = r.host
+       AND regexp_matches(f.path, '^(?:' || r.rx || ')'))
+    SELECT 'https://' || host || path AS url, host, path,
+           CAST(CASE WHEN count(pat) = 0 THEN 1
+                ELSE arg_max(is_allow, length(pat) * 2 + is_allow)
+                END AS INT) AS allowed
+    FROM m GROUP BY host, path
+    """,
+)
+def robots_rep_audit(spark, sf_dir):
+    """Frontier-wide robots REP audit — the first oracle-checked row for
+    the full Robots Exclusion Protocol matcher (Allow overrides, `*`
+    wildcards, `$` anchors, longest-match with allow-wins-ties), which
+    until now was pytest + e2e only.  The Spark side runs the REAL
+    engine path: scheduler.robots_rx_py compiles each host's rules into
+    ONE anchored blocked-regex with negative-lookahead Allow guards,
+    broadcast-joined to the frontier and evaluated with regexp_like —
+    row-local after a broadcast, ZERO frontier shuffle.  RE2 (DuckDB)
+    has no lookaheads, so the oracle instead plays the REP longest-match
+    rule directly: join every matching per-pattern regex and take the
+    arg_max over (pattern length, allow-bit) — an independent derivation
+    of the same semantics, which is exactly what makes the row a real
+    check of the lookahead compilation."""
+    from crawlspark.operators.scheduler import robots_rx_py
+
+    rows = [
+        (h, robots_rx_py(dis, alw)) for h, (dis, alw) in _REP_HOSTS.items()
+    ]
+    hosts = spark.createDataFrame(rows, "host string, blocked_rx string")
+    od = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    host = F.concat(F.lit("h"), (k % 4).cast("string"), F.lit(".example"))
+    path = (
+        F.when(k % 6 == 0, F.concat(F.lit("/p/"), ks))
+        .when(k % 6 == 1, F.concat(F.lit("/p/ok"), ks))
+        .when(k % 6 == 2, F.concat(F.lit("/a"), ks, F.lit(".php")))
+        .when(k % 6 == 3, F.concat(F.lit("/a"), ks, F.lit(".php?x=1")))
+        .when(k % 6 == 4, F.concat(F.lit("/x"), ks, F.lit("y")))
+        .otherwise(F.concat(F.lit("/news/"), ks))
+    )
+    f = od.select(host.alias("host"), path.alias("path"))
+    j = f.join(F.broadcast(hosts), "host", "left")
+    allowed = (
+        F.when(F.col("blocked_rx").isNull(), F.lit(True))
+        .otherwise(~F.expr("regexp_like(path, blocked_rx)"))
+    )
+    return j.select(
+        F.concat(F.lit("https://"), "host", "path").alias("url"),
+        "host", "path", allowed.cast("int").alias("allowed"),
+    )
+
+
+ORACLE_SQL["robots_rep_audit"] = ORACLE_SQL["robots_rep_audit"].replace(
+    "{REP_VALUES}", _rep_rule_values()
+)
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -4890,6 +5465,26 @@ _DEMOTED = [
     # five green driver rows (r01-r05) and stays exercised by the crawl
     # e2e doc-set equality (empty bodies never reach the documents table)
     "empty_body_drop",
+    # window room for the round-5 continuation batch (gopher_quality_gate,
+    # c4_line_filter, token_postings, warc_revisit_dedup,
+    # unicode_nfc_normalize, sitemap_index_expand, rendezvous_shard,
+    # robots_rep_audit).  Every demotion carries a FRESH r04 driver-green
+    # row and keeps family coverage windowed: the card family keeps
+    # html_card_union + html_anchor_cards + html_branch_cards; pagination
+    # keeps html_next_page_modes; the fallback/date families keep
+    # html_domain_fallbacks + html_branch_dates + html_body_include;
+    # multimodal keeps media_frame_sample + media_span_pipeline (whose
+    # join replays the resize geometry); curation keeps sample_weighted +
+    # domain_quota_cap + token_budget_pack + curation_decision; S1 seed
+    # intake keeps the crawl e2e + test_seed_modes' 10^6-line zero-collect
+    "html_archive_pill",
+    "html_next_page_targeted",
+    "html_attr_cards",
+    "html_attr_fallbacks",
+    "html_date_splits",
+    "media_resize",
+    "stratified_sample",
+    "seed_file_union",
 ]
 
 

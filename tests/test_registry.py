@@ -22,24 +22,22 @@ PROMOTED = [
     # empty_body_drop rotated OUT in round 5 (5 green driver rows each,
     # r01-r05; J3 stays covered by the crawl e2e redirect discovery,
     # C4/J2/F5 by the windowed span fixtures + e2e doc-set equality)
-    "seed_file_union",
+    # seed_file_union / stratified_sample rotated OUT in the round-5
+    # continuation (fresh r04 driver-green rows; S1 stays covered by the
+    # crawl e2e + test_seed_modes, curation by the windowed quartet)
     "html_domain_fallbacks",
     "html_card_union",
     "html_shallow_tail",
     "stream_dedup",
-    "stratified_sample",
     # doc_length_quantiles rotated OUT in round 5 (4 green driver rows
     # r01-r04; curation family keeps stratified_sample windowed)
-    # round-4 surface
+    # round-4 surface (html_archive_pill / html_next_page_targeted /
+    # html_attr_cards / html_attr_fallbacks / html_date_splits /
+    # media_resize rotated OUT in the round-5 continuation — each with a
+    # fresh r04 driver-green row and windowed family coverage)
     "html_tstar_spans",
     "html_anchor_cards",
-    "html_archive_pill",
-    "html_next_page_targeted",
-    "html_attr_cards",
-    "html_attr_fallbacks",
-    "html_date_splits",
     "paragraph_boilerplate",
-    "media_resize",
     "media_frame_sample",
     "recrawl_change_report",
     # round-5 surface (rule-table completion + F8 rewrites)
@@ -74,6 +72,17 @@ PROMOTED = [
     "warc_record_fields",
     "sitemap_urlset_parse",
     "token_mix_plan",
+    # round-5 continuation batch 2: quality batteries, posting build,
+    # archive revisit dedup, NFC normalization, sitemap recursion, HRW
+    # sharding, and the first oracle row for the full REP matcher
+    "gopher_quality_gate",
+    "c4_line_filter",
+    "token_postings",
+    "warc_revisit_dedup",
+    "unicode_nfc_normalize",
+    "sitemap_index_expand",
+    "rendezvous_shard",
+    "robots_rep_audit",
 ]
 
 
