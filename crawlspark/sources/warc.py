@@ -51,8 +51,12 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("warc_date", StringType()),
         StructField("content_length", LongType()),
         StructField("payload", BinaryType()),
+        StructField("refers_to", StringType()),
+        StructField("payload_digest", StringType()),
     ]
 )
+
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
 
 
 def record_id_for(uri: str) -> str:
@@ -68,6 +72,7 @@ def record_bytes(
     warc_date: str = "2021-03-01T00:00:00Z",
     warc_type: str = "response",
     record_id: str | None = None,
+    extra_headers: dict[str, str] | None = None,
 ) -> bytes:
     """Serialize ONE WARC record (header block + payload + separator)."""
     headers = [
@@ -76,10 +81,25 @@ def record_bytes(
         b"WARC-Record-ID: " + (record_id or record_id_for(uri)).encode(),
         b"WARC-Date: " + warc_date.encode(),
         b"WARC-Target-URI: " + uri.encode(),
+    ]
+    for k, v in (extra_headers or {}).items():
+        headers.append(f"{k}: {v}".encode())
+    headers += [
         b"Content-Type: text/html",
         b"Content-Length: " + str(len(payload)).encode(),
     ]
     return _CRLF.join(headers) + _CRLF * 2 + payload + _CRLF * 2
+
+
+def revisit_headers(original_uri: str, payload_digest: str) -> dict[str, str]:
+    """The WARC/1.1 §6.7.2 header set for an identical-payload-digest
+    revisit record pointing at the original response for ``original_uri``."""
+    return {
+        "WARC-Refers-To": record_id_for(original_uri),
+        "WARC-Refers-To-Target-URI": original_uri,
+        "WARC-Payload-Digest": f"md5:{payload_digest}",
+        "WARC-Profile": REVISIT_PROFILE,
+    }
 
 
 def parse_records(blob: bytes) -> Iterator[dict]:
@@ -110,6 +130,8 @@ def parse_records(blob: bytes) -> Iterator[dict]:
             "warc_date": fields.get("WARC-Date", ""),
             "content_length": clen,
             "payload": payload,
+            "refers_to": fields.get("WARC-Refers-To", ""),
+            "payload_digest": fields.get("WARC-Payload-Digest", ""),
         }
         pos = body_start + clen + 4  # skip the record separator
 
@@ -120,6 +142,39 @@ def _gzip_member(record: bytes) -> bytes:
     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
         g.write(record)
     return buf.getvalue()
+
+
+def revisit_dedup(df: DataFrame) -> DataFrame:
+    """Archive-side payload dedup (WARC/1.1 §6.7): among rows sharing an
+    identical payload, keep the first (by uri) as a full ``response`` and
+    turn the rest into zero-payload ``revisit`` rows that point at it.
+    One hash-partitioned window on the payload digest — uniform keys, no
+    skew at any scale — and the payload bytes of every duplicate are
+    dropped BEFORE the sink writes, which is the entire storage win.
+    Output adds (warc_type, refers_to_uri, payload_digest) and empties
+    ``payload`` for revisits; feed straight into :func:`write_warc`."""
+    from pyspark.sql import Window
+
+    digest = F.md5("payload")
+    win = Window.partitionBy("payload_digest").orderBy("uri")
+    b = df.withColumn("payload_digest", digest)
+    r = b.withColumn("rk", F.row_number().over(win)).withColumn(
+        "first_uri", F.first("uri").over(win)
+    )
+    is_first = F.col("rk") == 1
+    return (
+        r.withColumn(
+            "warc_type", F.when(is_first, "response").otherwise("revisit")
+        )
+        .withColumn(
+            "refers_to_uri", F.when(is_first, F.lit("")).otherwise(F.col("first_uri"))
+        )
+        .withColumn(
+            "payload",
+            F.when(is_first, F.col("payload")).otherwise(F.lit(b"")),
+        )
+        .drop("rk", "first_uri")
+    )
 
 
 def write_warc(df: DataFrame, out_dir: str) -> dict:
@@ -150,14 +205,42 @@ def write_warc(df: DataFrame, out_dir: str) -> dict:
         n = 0
         with open(path, "wb") as f:
             for pdf in batches:
+                m = len(pdf)
                 dates = (
                     pdf["warc_date"]
                     if "warc_date" in pdf.columns
-                    else ["2021-03-01T00:00:00Z"] * len(pdf)
+                    else ["2021-03-01T00:00:00Z"] * m
                 )
-                for uri, payload, date in zip(pdf["uri"], pdf["payload"], dates):
+                types = (
+                    pdf["warc_type"]
+                    if "warc_type" in pdf.columns
+                    else ["response"] * m
+                )
+                refs = (
+                    pdf["refers_to_uri"]
+                    if "refers_to_uri" in pdf.columns
+                    else [""] * m
+                )
+                digests = (
+                    pdf["payload_digest"]
+                    if "payload_digest" in pdf.columns
+                    else [""] * m
+                )
+                for uri, payload, date, wt, ref, dg in zip(
+                    pdf["uri"], pdf["payload"], dates, types, refs, digests
+                ):
                     raw = payload if isinstance(payload, bytes) else bytes(payload)
-                    f.write(_gzip_member(record_bytes(uri, raw, warc_date=date)))
+                    extra = (
+                        revisit_headers(ref, dg) if wt == "revisit" else None
+                    )
+                    f.write(
+                        _gzip_member(
+                            record_bytes(
+                                uri, raw, warc_date=date, warc_type=wt,
+                                extra_headers=extra,
+                            )
+                        )
+                    )
                     n += 1
         if n == 0:
             os.remove(path)  # empty partitions leave no shard behind

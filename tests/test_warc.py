@@ -91,3 +91,51 @@ def test_documents_to_warc_projection(spark, tmp_path):
     assert rec["target_uri"] == "https://www.cna.example/news/d1"
     assert bytes(rec["payload"]) == b"first span second span"
     assert rec["warc_date"] == "2021-03-05T00:00:00Z"
+
+
+def test_warc_revisit_dedup_roundtrip(spark, tmp_path):
+    """Planted duplicate payloads → revisit records: one full response per
+    distinct payload, every duplicate becomes a zero-payload revisit whose
+    WARC-Refers-To is the original's record id — and the whole thing
+    round-trips through the .warc.gz shards."""
+    import hashlib
+
+    from crawlspark.sources.warc import revisit_dedup
+
+    df = spark.range(12).select(
+        F.concat(F.lit("https://www.cna.example/news/"),
+                 F.col("id").cast("string")).alias("uri"),
+        # 12 fetches, only 4 distinct payloads (id % 4)
+        F.encode(F.concat(F.lit("payload "),
+                          (F.col("id") % 4).cast("string")), "UTF-8")
+        .alias("payload"),
+        F.lit("2021-03-01T00:00:00Z").alias("warc_date"),
+    ).repartition(3)
+
+    out = str(tmp_path / "warc")
+    deduped = revisit_dedup(df)
+    r = write_warc(deduped, out)
+    assert r["records"] == 12
+
+    back = read_warc(spark, out).collect()
+    resp = [x for x in back if x["warc_type"] == "response"]
+    revs = [x for x in back if x["warc_type"] == "revisit"]
+    assert len(resp) == 4 and len(revs) == 8
+
+    # responses carry the payload; revisits carry none but keep the digest
+    for x in revs:
+        assert x["content_length"] == 0 and bytes(x["payload"]) == b""
+        # WARC-Refers-To carries the original's record id
+        orig = [p for p in resp
+                if record_id_for(p["target_uri"]) == x["refers_to"]]
+        assert len(orig) == 1
+        want_digest = "md5:" + hashlib.md5(bytes(orig[0]["payload"])).hexdigest()
+        assert x["payload_digest"] == want_digest
+    # keep-first: each response uri is the lexicographic min of its group
+    groups = {}
+    for row in df.collect():
+        groups.setdefault(bytes(row["payload"]), []).append(row["uri"])
+    for p in resp:
+        assert p["target_uri"] == min(groups[bytes(p["payload"])])
+    # storage win: the 8 duplicates wrote no payload bytes
+    assert all(x["record_id"] for x in back)
