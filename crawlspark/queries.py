@@ -5331,6 +5331,238 @@ ORACLE_SQL["robots_rep_audit"] = ORACLE_SQL["robots_rep_audit"].replace(
 )
 
 
+# ============ Adaptive recrawl policy (operators/freshness.py) ============
+
+
+@q(
+    "adaptive_recrawl_policy",
+    """
+    WITH h AS (
+      SELECT 'https://www.' || source || '.example/news/' || doc_id AS url,
+             e.i AS snap_id,
+             md5(doc_id || ':' ||
+                 (CASE WHEN e.i >= (3 - doc_id % 3) % 3
+                       THEN (e.i - (3 - doc_id % 3) % 3) // 3 + 1
+                       ELSE 0 END)) AS body_hash
+      FROM documents, (SELECT unnest(range(0, 4)) AS i) e),
+    c AS (
+      SELECT url, snap_id, body_hash,
+             (lag(body_hash) OVER w IS NULL
+              OR body_hash != lag(body_hash) OVER w) AS changed
+      FROM h WINDOW w AS (PARTITION BY url ORDER BY snap_id)),
+    l AS (
+      SELECT url, snap_id,
+             max(CASE WHEN changed THEN snap_id END)
+               OVER (PARTITION BY url) AS last_change_snap
+      FROM c),
+    g AS (
+      SELECT url, CAST(max(snap_id) AS BIGINT) AS last_snap,
+             CAST(max(last_change_snap) AS BIGINT) AS last_change_snap,
+             CAST(sum(CAST(snap_id > last_change_snap AS INT)) AS BIGINT)
+               AS unchanged_streak
+      FROM l GROUP BY url)
+    SELECT url, last_snap, last_change_snap, unchanged_streak,
+           CAST(2 * (1 << least(unchanged_streak, 3)) AS BIGINT)
+             AS interval_snaps,
+           CAST(last_snap + 2 * (1 << least(unchanged_streak, 3)) AS BIGINT)
+             AS next_due_snap,
+           CAST(last_snap + 2 * (1 << least(unchanged_streak, 3)) <= 8
+                AS INT) AS due_now
+    FROM g
+    """,
+)
+def adaptive_recrawl_policy(spark, sf_dir):
+    """Adaptive refetch intervals from observed change history
+    (operators/freshness.py — the per-URL generalisation of the
+    reference's single global HTTPCACHE_EXPIRATION_SECS): pages that
+    keep changing stay at the base interval, pages that never change
+    back off exponentially (capped).  A 4-epoch fetch history is
+    synthesized per URL with deterministic change points (each URL
+    changes once every 3 epochs, phase doc_id % 3), the REAL operator
+    computes (last change, unchanged streak, interval, next due), and
+    the oracle replays the same lag-window derivation in SQL.  ONE
+    shuffle on url shared by the window and the aggregate; the
+    due_for_refetch frontier at snapshot 8 comes out as the due_now
+    flag."""
+    from crawlspark.operators.freshness import freshness_state
+
+    d = T(spark, sf_dir, "documents")
+    e0 = (3 - F.col("doc_id") % 3) % 3
+    e = d.select(
+        "doc_id", "source",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+    )
+    # integer epoch version: (i - e0) DIV 3 + 1 when i >= e0 else 0
+    v = F.when(
+        F.col("i") >= e0,
+        F.expr("(i - (3 - doc_id % 3) % 3) DIV 3 + 1"),
+    ).otherwise(F.lit(0))
+    history = e.select(
+        F.concat(
+            F.lit("https://www."), "source", F.lit(".example/news/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("i").cast("long").alias("snap_id"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     v.cast("string"))
+        ).alias("body_hash"),
+    )
+    st = freshness_state(history, base_snaps=2, max_doublings=3)
+    return st.select(
+        "url", "last_snap", "last_change_snap", "unchanged_streak",
+        "interval_snaps", "next_due_snap",
+        (F.col("next_due_snap") <= 8).cast("int").alias("due_now"),
+    )
+
+
+# ============ Embedding scalar quantization (int8) ========================
+
+
+@q(
+    "embed_quantize_int8",
+    """
+    WITH b AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings),
+    m AS (SELECT vec_id, d, list_min(d) AS mn, list_max(d) AS mx FROM b),
+    c AS (
+      SELECT vec_id, d,
+             list_transform(d, x -> CASE WHEN mx > mn
+               THEN CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)
+               ELSE 0 END) AS codes
+      FROM m)
+    SELECT vec_id,
+           CAST(len(d) AS BIGINT) AS n_dims,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS INT) AS code_min,
+           CAST(list_max(codes) AS INT) AS code_max
+    FROM c
+    """,
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Scalar (min-max) int8 quantization of the embedding column — the
+    4x memory cut that makes billion-vector ANN indexes fit executor
+    RAM; IVF/LSH bucketing (operators/similarity.py) runs unchanged over
+    the codes.  Per-vector min/max scaling, each code floor((x-mn)*255/
+    (mx-mn)): all row-local HOFs, ZERO shuffle — at 100 TB this fuses
+    into the scan that writes the quantized table.  Cross-engine float
+    discipline: float32 inputs are widened to double (bit-exact), the
+    affine map is the same left-associated IEEE expression on both
+    engines, and every OUTPUT is an integer (sum/min/max of codes), so
+    the hash comparison never sees a raw float."""
+    em = T(spark, sf_dir, "embeddings")
+    d = F.transform("embedding", lambda x: x.cast("double"))
+    b = em.select("vec_id", d.alias("d"))
+    m = b.select(
+        "vec_id", "d",
+        F.array_min("d").alias("mn"), F.array_max("d").alias("mx"),
+    )
+    codes = F.transform(
+        "d",
+        lambda x: F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor((x - F.col("mn")) * 255 / (F.col("mx") - F.col("mn"))),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    c = m.select("vec_id", "d", codes.alias("codes"))
+    return c.select(
+        "vec_id",
+        F.size("d").cast("long").alias("n_dims"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
+    )
+
+
+# ============ Count-min-sketch heavy hitters ==============================
+
+
+@q(
+    "cms_heavy_hitters",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    js AS (SELECT unnest(range(0, 3)) AS j),
+    cells AS (
+      SELECT js.j,
+             CAST(CAST('0x' || substr(md5(js.j || ':' || token), 1, 8)
+                  AS BIGINT) % 64 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tok CROSS JOIN js
+      GROUP BY js.j, bucket),
+    exact AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM tok GROUP BY token),
+    est AS (
+      SELECT e.token, e.exact_cnt, min(c.c) AS cms_est
+      FROM exact e CROSS JOIN js
+      JOIN cells c ON c.j = js.j
+       AND c.bucket = CAST(CAST('0x' || substr(md5(js.j || ':' || e.token),
+                           1, 8) AS BIGINT) % 64 AS BIGINT)
+      GROUP BY e.token, e.exact_cnt)
+    SELECT token, exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream: depth 3 x width 64 counters keyed by md5-derived hashes,
+    point estimate = min over the 3 rows — the constant-memory
+    heavy-hitter primitive a 100 TB pipeline uses where exact per-key
+    counts don't fit (hot-host detection, vocabulary pruning, frontier
+    hot-key guards).  The sketch table is 192 rows REGARDLESS of corpus
+    size, so the estimate join is a broadcast; exact counts ride along
+    to exhibit the one-sided error (overcount >= 0 always, and 0 for
+    genuinely heavy keys on this corpus).  Shuffles: the two token aggs
+    (both with map-side partials); the sketch build never shuffles more
+    than (depth x width) partial rows per task."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def bucket(jcol, tokcol):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(jcol.cast("string"), F.lit(":"), tokcol)),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % 64
+        )
+
+    tj = tok.select(
+        "token", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    )
+    cells = (
+        tj.select("j", bucket(F.col("j"), F.col("token")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    exact = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    ej = exact.select(
+        "token", "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+    ).withColumn("bucket", bucket(F.col("j"), F.col("token")))
+    est = (
+        ej.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "token", "exact_cnt",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long")
+        .alias("overcount"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -5485,6 +5717,15 @@ _DEMOTED = [
     "media_resize",
     "stratified_sample",
     "seed_file_union",
+    # window room for adaptive_recrawl_policy, embed_quantize_int8 and
+    # cms_heavy_hitters — all three demotions carry r04 driver-green rows
+    # (+ r01-r03 where they existed): IVF keeps ann_ivf_topk windowed
+    # (search replays the assignment join); the span family keeps
+    # html_tstar_spans + the branch rows; the fallback family keeps
+    # html_branch_dates + html_body_include
+    "ann_ivf_assign",
+    "html_shallow_tail",
+    "html_domain_fallbacks",
 ]
 
 

@@ -15,7 +15,8 @@ WINDOW = 50
 PROMOTED = [
     # transfer_decode rotated OUT in round 5 (green driver rows r02+r04;
     # S2 stays covered by fetched_cache_staleness + the crawl e2e)
-    "ann_ivf_assign",
+    # ann_ivf_assign rotated OUT in the round-5 continuation (r04 green;
+    # ann_ivf_topk's search replays the assignment join in-window)
     "ann_ivf_topk",
     "dedup_cluster_roots",
     # redirect_flag / whitespace_cleanup / meta_passthrough /
@@ -25,9 +26,9 @@ PROMOTED = [
     # seed_file_union / stratified_sample rotated OUT in the round-5
     # continuation (fresh r04 driver-green rows; S1 stays covered by the
     # crawl e2e + test_seed_modes, curation by the windowed quartet)
-    "html_domain_fallbacks",
+    # html_domain_fallbacks / html_shallow_tail rotated OUT in the round-5
+    # continuation (r04 green; branch/tstar rows keep the families windowed)
     "html_card_union",
-    "html_shallow_tail",
     "stream_dedup",
     # doc_length_quantiles rotated OUT in round 5 (4 green driver rows
     # r01-r04; curation family keeps stratified_sample windowed)
@@ -83,6 +84,11 @@ PROMOTED = [
     "sitemap_index_expand",
     "rendezvous_shard",
     "robots_rep_audit",
+    # round-5 continuation batch 3: freshness policy, vector quantization,
+    # sketch counting
+    "adaptive_recrawl_policy",
+    "embed_quantize_int8",
+    "cms_heavy_hitters",
 ]
 
 
