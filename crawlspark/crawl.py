@@ -66,6 +66,18 @@ class CrawlConfig:
     # commit clock (per-epoch batch ids reset on recrawl; snapshots don't),
     # and at one commit per batch, N snapshots ≈ N batches of age.
     fetch_cache_max_age_snaps: int | None = None
+    # adaptive per-URL cache freshness (operators/freshness.py): serve an
+    # article from cache while its adaptive interval — base * 2^streak of
+    # unchanged observations, capped — has not elapsed on the snapshot
+    # clock.  Overrides the fixed fetch_cache_max_age_snaps window; pages
+    # that keep changing refetch at the base interval, pages that never
+    # change back off exponentially.  The state is a url-keyed window +
+    # aggregate over the fetched log per scheduling batch; at 10^10 URLs
+    # materialize it once per epoch (or at compaction) instead — the
+    # filter shape is identical.
+    fetch_cache_adaptive: bool = False
+    adaptive_base_snaps: int = 2
+    adaptive_max_doublings: int = 5
     # Bloom capacity auto-guard (partitioned layout): when the worst
     # bucket's theoretical FPR exceeds 10x the design target, the next
     # compaction rebuilds the store at DOUBLE the bucket count from the
@@ -502,7 +514,28 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     cached_progress = None
     if cfg.use_fetch_cache:
         fetched_tbl = catalog.read("fetched", manifest)
-        if cfg.fetch_cache_max_age_snaps is not None:
+        if cfg.fetch_cache_adaptive:
+            # per-URL adaptive freshness: serve while the change-history
+            # interval has not elapsed (operators/freshness.py).  The
+            # coalesce mirrors the fixed-window branch: legacy null
+            # snap_ids read as oldest-possible so they come due first.
+            from crawlspark.operators.freshness import freshness_state
+
+            cur_snap = manifest["snapshot_id"] + 1
+            hist = fetched_tbl.select(
+                "url",
+                F.coalesce(F.col("snap_id"), F.lit(0)).cast("long")
+                .alias("snap_id"),
+                F.coalesce(F.col("body_hash"), F.lit("")).alias("body_hash"),
+            )
+            state = freshness_state(
+                hist, base_snaps=cfg.adaptive_base_snaps,
+                max_doublings=cfg.adaptive_max_doublings,
+            )
+            fetched_cache = state.filter(
+                F.col("next_due_snap") > F.lit(cur_snap)
+            ).select("url")
+        elif cfg.fetch_cache_max_age_snaps is not None:
             # refresh-if-older-than-N: keep only entries whose write commit
             # is within the age window; a url with ANY fresh row is served
             # (row-level filter before distinct ≡ max(snap_id) per url)
@@ -515,7 +548,9 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
                 F.coalesce(F.col("snap_id"), F.lit(0))
                 >= cur_snap - cfg.fetch_cache_max_age_snaps
             )
-        fetched_cache = fetched_tbl.select("url").distinct()
+            fetched_cache = fetched_tbl.select("url").distinct()
+        else:
+            fetched_cache = fetched_tbl.select("url").distinct()
         cached_progress = (
             scheduled.filter(F.col("page_kind") == "article")
             .join(fetched_cache, on="url", how="left_semi")

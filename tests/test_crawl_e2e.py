@@ -273,3 +273,65 @@ def test_recrawl_refreshes_robots(spark, tmp_path):
     # second epoch runs fine on the refreshed table
     s = run_crawl(spark, cfg, resume=True)
     assert s["n_progress"] > 0
+
+
+def test_adaptive_fetch_cache_policy(spark, tmp_path):
+    """Adaptive per-URL cache freshness (operators/freshness.py wired via
+    cfg.fetch_cache_adaptive): base interval 0 makes every cache entry
+    immediately due (all articles refetch); a huge base serves everything
+    from cache — and the freshness state computed over the REAL fetch log
+    shows the unchanged-streak doubling after the forced refetch epoch."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.crawl import reset_for_recrawl
+    from crawlspark.operators.freshness import freshness_state
+
+    wh = str(tmp_path / "wha")
+    spec = synthetic.WebSpec(scale=0.1)
+    cfg1 = CrawlConfig(warehouse=wh, spec=spec, max_batches=20,
+                       budget_override=20, compact_every=4)
+    run_crawl(spark, cfg1)
+    cat = SnapshotCatalog(spark, wh)
+    cache1 = {r["url"] for r in cat.read("fetched").select("url").collect()}
+    art1 = {u for u in cache1 if "/news/" in u}
+    assert art1
+
+    # epoch 2: adaptive with base 0 — next_due == last_snap, so every
+    # entry is due from batch 1 on; all articles refetch
+    cfg2 = CrawlConfig(warehouse=wh, spec=spec, max_batches=30,
+                       budget_override=20, compact_every=4,
+                       use_fetch_cache=True, fetch_cache_adaptive=True,
+                       adaptive_base_snaps=0)
+    reset_for_recrawl(spark, cfg2)
+    s2 = run_crawl(spark, cfg2, resume=True)
+    prog2 = cat.read("progress")
+    done2 = {r["url"] for r in prog2.filter("outcome = 'done'").collect()}
+    assert s2["refetch_skipped"] == 0
+    assert done2 & art1, "due cache entries must refetch"
+
+    # the refetch wrote identical bodies (same spec): the freshness state
+    # over the real log now shows streak >= 1 and a doubled interval
+    hist = cat.read("fetched").select(
+        "url",
+        F.coalesce(F.col("snap_id"), F.lit(0)).cast("long").alias("snap_id"),
+        F.coalesce(F.col("body_hash"), F.lit("")).alias("body_hash"),
+    )
+    st = {r["url"]: r for r in
+          freshness_state(hist, base_snaps=2, max_doublings=5).collect()}
+    doubled = [u for u in art1
+               if u in st and st[u]["unchanged_streak"] >= 1
+               and st[u]["interval_snaps"] >= 4]
+    assert doubled, "refetched-unchanged articles must back off"
+
+    # epoch 3: huge base — nothing is due, every cached article serves
+    cfg3 = CrawlConfig(warehouse=wh, spec=spec, max_batches=30,
+                       budget_override=20, compact_every=4,
+                       use_fetch_cache=True, fetch_cache_adaptive=True,
+                       adaptive_base_snaps=100_000)
+    reset_for_recrawl(spark, cfg3)
+    s3 = run_crawl(spark, cfg3, resume=True)
+    prog3 = cat.read("progress")
+    done3 = {r["url"] for r in prog3.filter("outcome = 'done'").collect()}
+    cache12 = {r["url"] for r in cat.read("fetched").select("url").collect()}
+    assert s3["refetch_skipped"] > 0
+    assert not (done3 & {u for u in cache12 if "/news/" in u})

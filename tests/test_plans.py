@@ -232,3 +232,42 @@ def test_paragraph_boilerplate_bounded_shuffles(spark, qs):
     p = _plan(spark, qs["paragraph_boilerplate"](spark, SF))
     assert p.count("Exchange hashpartitioning") <= 4, p.count("Exchange")
     assert "partial_count" in p or "HashAggregate" in p  # map-side combine
+
+
+def test_row_local_quality_ops_never_shuffle(spark, qs):
+    """The quality/sharding/quantization map stages must stay pure map
+    stages: zero Exchange anywhere in the plan (at 100 TB they fuse into
+    the scan)."""
+    for name in ("gopher_quality_gate", "rendezvous_shard",
+                 "embed_quantize_int8", "repetition_ratio"):
+        p = _plan(spark, qs[name](spark, SF))
+        assert "Exchange" not in p, f"{name} shuffles:\n{p[:800]}"
+
+
+def test_cms_sketch_join_broadcasts(spark, qs):
+    """The CMS cell table is constant-size (depth x width), so the
+    estimate join must broadcast — never shuffle the token side for it.
+    The only exchanges are the two token aggregations' hash shuffles."""
+    p = _plan(spark, qs["cms_heavy_hitters"](spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_robots_audit_broadcasts_hosts(spark, qs):
+    """The per-host blocked-regex dimension is tiny: the frontier join
+    must broadcast it and the frontier itself must not shuffle."""
+    p = _plan(spark, qs["robots_rep_audit"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_freshness_state_single_url_exchange(spark):
+    """The lag window and the per-url aggregate share one url-keyed
+    partitioning: at most one shuffle of the history (+ AQE reads)."""
+    from crawlspark.operators.freshness import freshness_state
+
+    hist = spark.createDataFrame(
+        [("u", 1, "a")], "url string, snap_id long, body_hash string"
+    )
+    p = _plan(spark, freshness_state(hist))
+    assert p.count("Exchange") <= 2  # hashpartitioning(url) + AQE artifact
