@@ -5563,6 +5563,419 @@ def cms_heavy_hitters(spark, sf_dir):
     )
 
 
+# ====== 60. frontier cardinality / trap guard / budget / MIME / sitemaps =
+
+# HyperLogLog constant for m=64 registers at our 2^56 fixed-point scale:
+# E = alpha_64 * m^2 / sum(2^-M_j) = K / S with S = sum(2^(56 - M_j)).
+# ONE shared Python float, embedded as the identical literal on both
+# sides, so the single IEEE division is bit-identical across engines.
+_HLL_K = 0.709 * 4096.0 * float(1 << 56)
+
+
+@q(
+    "hll_frontier_cardinality",
+    f"""
+    WITH u AS (
+      SELECT 'h' || (l_orderkey % 24) AS host,
+             'https://www.h' || (l_orderkey % 24) || '.example/p/'
+               || (l_partkey % 900) AS url
+      FROM lineitem),
+    h AS (SELECT host, url,
+                 CAST('0x' || substr(md5(url), 1, 15) AS BIGINT) AS hv
+          FROM u),
+    r AS (SELECT host, hv % 64 AS j, hv // 64 AS w FROM h),
+    rho AS (SELECT host, j,
+                   CASE WHEN w = 0 THEN 55
+                        ELSE bit_count((w & (-w)) - 1) + 1 END AS rho
+            FROM r),
+    regs AS (SELECT host, j, CAST(max(rho) AS BIGINT) AS m
+             FROM rho GROUP BY host, j),
+    hosts AS (SELECT DISTINCT host FROM u),
+    allregs AS (
+      SELECT hosts.host, js.j, coalesce(regs.m, 0) AS m
+      FROM hosts CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+      LEFT JOIN regs ON regs.host = hosts.host AND regs.j = js.j),
+    s AS (SELECT host,
+                 CAST(sum(CAST(1 AS BIGINT) << (56 - m)) AS BIGINT) AS ssum
+          FROM allregs GROUP BY host),
+    exact AS (SELECT host, CAST(count(DISTINCT url) AS BIGINT) AS n_exact
+              FROM u GROUP BY host),
+    est AS (SELECT s.host, exact.n_exact,
+                   CAST(floor({_HLL_K!r} / CAST(s.ssum AS DOUBLE)) AS BIGINT)
+                     AS hll_est
+            FROM s JOIN exact ON exact.host = s.host)
+    SELECT host, n_exact, hll_est,
+           CAST((abs(hll_est - n_exact) * 10000) // n_exact AS BIGINT)
+             AS err_bp
+    FROM est
+    """,
+)
+def hll_frontier_cardinality(spark, sf_dir):
+    """Deterministic HyperLogLog (Flajolet et al. 2007) per-host frontier
+    cardinality — the 10^10-frontier primitive: estimating distinct-URL
+    counts per host costs 64 small integer registers per host instead of
+    a full-value distinct shuffle (the reference's single-process seen-set
+    sidesteps the problem entirely; dupefilter via queuelib).
+
+    Engine-deterministic by construction: the register index and rank
+    come from md5-derived integers (j = h mod 64; rho = trailing zeros of
+    h div 64, plus 1 — trailing zeros of a uniform hash have the same
+    geometric law as HLL's leading zeros, and `bit_count((w & -w) - 1)`
+    computes them with pure integer ops both engines share).  Register
+    maxima, the 2^(56-M_j) fixed-point harmonic sum, and the error in
+    basis points are exact integers; the ONE IEEE division K/S (K a shared
+    literal) is floored before the cast (Spark truncates, DuckDB rounds —
+    floor first makes the cast identical).  No small-range/bias correction
+    (production HLL adds linear counting below 2.5m); raw estimate is
+    compared against the exact count so the accuracy envelope is visible.
+
+    100 TB shape: one partial-aggregating shuffle to (host, j) registers
+    (map-side combine crushes per-URL fan-in), then a 64-row-per-host
+    fold.  The exact-count branch exists only for the parity check."""
+    li = T(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 24).cast("string"))
+        .alias("host"),
+        F.concat(
+            F.lit("https://www.h"), (F.col("l_orderkey") % 24).cast("string"),
+            F.lit(".example/p/"), (F.col("l_partkey") % 900).cast("string"),
+        ).alias("url"),
+    )
+    h = u.select(
+        "host",
+        F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long")
+        .alias("hv"),
+    )
+    r = h.select(
+        "host", (F.col("hv") % 64).alias("j"),
+        F.expr("hv div 64").alias("w"),
+    )
+    rho = r.select(
+        "host", "j",
+        F.when(F.col("w") == 0, F.lit(55))
+        .otherwise(F.bit_count((F.col("w").bitwiseAND(-F.col("w"))) - 1) + 1)
+        .alias("rho"),
+    )
+    regs = rho.groupBy("host", "j").agg(F.max("rho").cast("long").alias("m"))
+    hosts = u.select("host").distinct()
+    js = spark.range(64).select(F.col("id").alias("j"))
+    allregs = (
+        hosts.crossJoin(js)
+        .join(regs, ["host", "j"], "left")
+        .select("host", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    s = allregs.groupBy("host").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(56 - m AS INT))"))
+        .cast("long").alias("ssum")
+    )
+    exact = u.groupBy("host").agg(
+        F.countDistinct("url").cast("long").alias("n_exact")
+    )
+    est = s.join(exact, "host").select(
+        "host", "n_exact",
+        F.floor(F.lit(_HLL_K) / F.col("ssum").cast("double")).cast("long")
+        .alias("hll_est"),
+    )
+    return est.select(
+        "host", "n_exact", "hll_est",
+        F.expr("(abs(hll_est - n_exact) * 10000) div n_exact").cast("long")
+        .alias("err_bp"),
+    )
+
+
+@q(
+    "url_trap_detect",
+    """
+    WITH u AS (
+      SELECT 'h' || (l_orderkey % 8) AS host,
+             CASE l_linenumber % 3
+               WHEN 0 THEN '/cal/2020/' || l_orderkey || '/day'
+               WHEN 1 THEN '/news/' || (l_partkey % 40)
+               ELSE '/tag/' || (l_suppkey % 25)
+             END AS path
+      FROM lineitem),
+    t AS (SELECT host, path,
+                 regexp_replace(path, '[0-9]+', 'N', 'g') AS template
+          FROM u),
+    g AS (SELECT host, template,
+                 CAST(count(DISTINCT path) AS BIGINT) AS n_urls
+          FROM t GROUP BY host, template),
+    w AS (SELECT host, template, n_urls,
+                 CAST(sum(n_urls) OVER (PARTITION BY host) AS BIGINT)
+                   AS host_total
+          FROM g)
+    SELECT host, template, n_urls, host_total,
+           CAST((n_urls * 10000) // host_total AS BIGINT) AS share_bp,
+           CAST(CASE WHEN n_urls >= 100
+                      AND (n_urls * 10000) // host_total >= 3000
+                     THEN 1 ELSE 0 END AS INT) AS is_trap
+    FROM w
+    """,
+)
+def url_trap_detect(spark, sf_dir):
+    """Spider-trap detection by URL-template explosion (calendar pages,
+    session ids, faceted-search combinatorics): collapse paths to a
+    digit-normalized template and flag (host, template) groups whose
+    distinct-URL count is both large in absolute terms and dominant
+    within the host (share in integer basis points).  The reference's
+    fixed seed lists + allowed-domain filter (covid_news_spider.py, rules
+    at :1658+) make traps impossible by construction; an open 10^10
+    frontier needs this guard or a single calendar widget eats the crawl
+    budget.
+
+    100 TB shape: one partial-aggregating shuffle to (host, template) —
+    map-side combine collapses the URL fan-in — then a host-window over
+    the already template-sized groups.  All integer; no UDFs."""
+    li = T(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber") % 3
+    u = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 8).cast("string"))
+        .alias("host"),
+        F.when(ln == 0, F.concat(F.lit("/cal/2020/"),
+                                 F.col("l_orderkey").cast("string"),
+                                 F.lit("/day")))
+        .when(ln == 1, F.concat(F.lit("/news/"),
+                                (F.col("l_partkey") % 40).cast("string")))
+        .otherwise(F.concat(F.lit("/tag/"),
+                            (F.col("l_suppkey") % 25).cast("string")))
+        .alias("path"),
+    )
+    t = u.select(
+        "host", "path",
+        F.regexp_replace("path", "[0-9]+", "N").alias("template"),
+    )
+    g = t.groupBy("host", "template").agg(
+        F.countDistinct("path").cast("long").alias("n_urls")
+    )
+    w = g.select(
+        "host", "template", "n_urls",
+        F.sum("n_urls").over(Window.partitionBy("host")).cast("long")
+        .alias("host_total"),
+    )
+    share = F.expr("(n_urls * 10000) div host_total")
+    return w.select(
+        "host", "template", "n_urls", "host_total",
+        share.cast("long").alias("share_bp"),
+        ((F.col("n_urls") >= 100) & (share >= 3000)).cast("int")
+        .alias("is_trap"),
+    )
+
+
+@q(
+    "crawl_budget_alloc",
+    """
+    WITH s AS (SELECT 'h' || (l_orderkey % 30) AS host,
+                      CAST(count(*) AS BIGINT) AS score
+               FROM lineitem GROUP BY host),
+    b AS (SELECT host, score,
+                 CAST(sum(score) OVER () AS BIGINT) AS total,
+                 CAST((100000 * score) AS BIGINT) AS num
+          FROM s),
+    d AS (SELECT host, score,
+                 CAST(num // total AS BIGINT) AS base,
+                 CAST(num % total AS BIGINT) AS rem
+          FROM b),
+    r AS (SELECT host, score, base, rem,
+                 CAST(row_number() OVER (ORDER BY rem DESC, host) AS BIGINT)
+                   AS rnk,
+                 CAST(100000 - sum(base) OVER () AS BIGINT) AS leftover
+          FROM d)
+    SELECT host, score, base, rnk,
+           CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r
+    """,
+)
+def crawl_budget_alloc(spark, sf_dir):
+    """Global fetch-budget allocation across hosts by the largest-remainder
+    (Hamilton) method: each host gets floor(B * score / total) fetch slots,
+    and the B - sum(base) leftover slots go to the largest remainders
+    (host-name tiebreak).  This is the frontier scheduler's macro layer —
+    the per-host politeness budget (A1, reference 0.5 s/host) says how
+    fast a host MAY be fetched; this decides how much of a bounded global
+    batch each host SHOULD get, proportional to its priority score,
+    with sum(alloc) == B exactly (no float-share rounding drift).
+
+    Integer-exact across engines: quotas are integer DIV/MOD at
+    numerator scale, the leftover count is an integer window sum, and the
+    remainder ranking is a deterministic row_number.  100 TB shape: one
+    partial-agg shuffle to host scores, then windows over the already
+    host-sized table (ORDER BY-over-all windows are single-partition —
+    fine at host cardinality, the table IS small; the per-URL work never
+    sees a global window)."""
+    li = T(spark, sf_dir, "lineitem")
+    s = li.groupBy(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 30).cast("string"))
+        .alias("host")
+    ).agg(F.count("*").cast("long").alias("score"))
+    b = s.select(
+        "host", "score",
+        F.sum("score").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("long").alias("total"),
+        (F.lit(100000) * F.col("score")).cast("long").alias("num"),
+    )
+    d = b.select(
+        "host", "score",
+        F.expr("num div total").cast("long").alias("base"),
+        (F.col("num") % F.col("total")).cast("long").alias("rem"),
+    )
+    r = d.select(
+        "host", "score", "base", "rem",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.col("rem").desc(), "host")
+        ).cast("long").alias("rnk"),
+        (F.lit(100000) - F.sum("base").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        )).cast("long").alias("leftover"),
+    )
+    return r.select(
+        "host", "score", "base", "rnk",
+        (F.col("base")
+         + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long").alias("alloc"),
+    )
+
+
+@q(
+    "media_mime_sniff",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             unhex(CASE doc_id % 5
+                     WHEN 0 THEN '89504E47'
+                     WHEN 1 THEN 'FFD8FFE0'
+                     WHEN 2 THEN '47494638'
+                     WHEN 3 THEN '25504446'
+                     ELSE ''
+                   END || hex(substr(text, 1, 40))) AS payload
+      FROM documents),
+    s AS (SELECT doc_id, payload,
+                 substr(hex(payload), 1, 8) AS head_hex,
+                 CAST(octet_length(payload) AS BIGINT) AS n_bytes
+          FROM p)
+    SELECT doc_id,
+           CASE WHEN head_hex LIKE '89504E47%' THEN 'image/png'
+                WHEN head_hex LIKE 'FFD8FF%' THEN 'image/jpeg'
+                WHEN head_hex LIKE '47494638%' THEN 'image/gif'
+                WHEN head_hex LIKE '25504446%' THEN 'application/pdf'
+                ELSE 'text/plain' END AS mime,
+           n_bytes, head_hex
+    FROM s
+    """,
+)
+def media_mime_sniff(spark, sf_dir):
+    """Content-type sniffing from magic bytes over an opaque binary
+    payload column (the multimodal-intake gate: servers lie in
+    Content-Type headers, so a crawler routes media by the first payload
+    bytes — PNG/JPEG/GIF/PDF signatures here).  The binary column is
+    built identically on both engines (unhex of a magic prefix + the
+    UTF-8 bytes of the text head), sniffed via a hex-prefix CASE, and
+    never returned raw — the parity columns are the derived mime, byte
+    length and head hex.
+
+    100 TB shape: pure row-local projection — zero shuffles, zero UDFs,
+    whole-stage-codegen'd; the sniff cost is O(8 hex chars) per blob
+    regardless of payload size."""
+    d = T(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("89504E47"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("FFD8FFE0"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("47494638"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("25504446"))
+        .otherwise(F.lit(""))
+    )
+    p = d.select(
+        "doc_id",
+        F.unhex(F.concat(magic, F.hex(F.substring("text", 1, 40))))
+        .alias("payload"),
+    )
+    s = p.select(
+        "doc_id",
+        F.substring(F.hex("payload"), 1, 8).alias("head_hex"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    hh = F.col("head_hex")
+    return s.select(
+        "doc_id",
+        F.when(hh.startswith("89504E47"), F.lit("image/png"))
+        .when(hh.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(hh.startswith("47494638"), F.lit("image/gif"))
+        .when(hh.startswith("25504446"), F.lit("application/pdf"))
+        .otherwise(F.lit("text/plain")).alias("mime"),
+        "n_bytes", "head_hex",
+    )
+
+
+@q(
+    "robots_sitemap_discovery",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT 'h' || (doc_id % 12) AS host, doc_id % 12 AS hid
+      FROM documents),
+    r AS (
+      SELECT host,
+             'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+             || CASE hid % 3
+                  WHEN 0 THEN 'Sitemap: https://www.' || host
+                              || '.example/sitemap_index.xml' || chr(10)
+                              || 'Sitemap: https://www.' || host
+                              || '.example/news-sitemap.xml'
+                  WHEN 1 THEN 'Sitemap: https://www.' || host
+                              || '.example/sitemap.xml'
+                  ELSE ''
+                END AS txt
+      FROM hosts),
+    e AS (SELECT host,
+                 regexp_extract_all(txt, 'Sitemap:\\s*(\\S+)', 1) AS arr
+          FROM r)
+    SELECT host,
+           CAST(generate_subscripts(arr, 1) AS INT) AS sm_idx,
+           unnest(arr) AS sitemap_url
+    FROM e
+    """,
+)
+def robots_sitemap_discovery(spark, sf_dir):
+    """Sitemap discovery from robots.txt (REP `Sitemap:` directives —
+    the standard bootstrap path from politeness metadata to the sitemap
+    intake chain: robots → sitemap_index_expand → sitemap_urlset_parse →
+    frontier).  Extracts every Sitemap line per host with its 1-based
+    position; hosts that advertise none yield no rows.
+
+    100 TB shape: row-local regexp_extract_all + posexplode over the
+    per-host robots blobs (host-cardinality input, not URL-cardinality) —
+    zero shuffles beyond the host distinct."""
+    d = T(spark, sf_dir, "documents")
+    hosts = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 12).cast("string"))
+        .alias("host"),
+        (F.col("doc_id") % 12).alias("hid"),
+    ).distinct()
+    nl = F.lit("\n")
+    sm = lambda name: F.concat(  # noqa: E731
+        F.lit("Sitemap: https://www."), F.col("host"),
+        F.lit(f".example/{name}"))
+    txt = F.concat(
+        F.lit("User-agent: *"), nl, F.lit("Disallow: /private"), nl,
+        F.when(F.col("hid") % 3 == 0,
+               F.concat(sm("sitemap_index.xml"), nl, sm("news-sitemap.xml")))
+        .when(F.col("hid") % 3 == 1, sm("sitemap.xml"))
+        .otherwise(F.lit("")),
+    )
+    e = hosts.select(
+        "host",
+        F.regexp_extract_all(txt, F.lit(r"Sitemap:\s*(\S+)"), 1).alias("arr"),
+    )
+    return e.select(
+        "host", F.posexplode("arr").alias("pos", "sitemap_url")
+    ).select(
+        "host", (F.col("pos") + 1).cast("int").alias("sm_idx"),
+        "sitemap_url",
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -5726,6 +6139,22 @@ _DEMOTED = [
     "ann_ivf_assign",
     "html_shallow_tail",
     "html_domain_fallbacks",
+    # window room for the frontier-scale batch (hll_frontier_cardinality,
+    # url_trap_detect, crawl_budget_alloc, media_mime_sniff,
+    # robots_sitemap_discovery).  interleaved_explode carries FOUR green
+    # driver rows (r01-r04); the other four are r04-green with family
+    # coverage staying windowed: cards keep html_anchor_cards +
+    # html_branch_cards; dedup keeps paragraph_dedup + semantic_dedup_roots
+    # (same star-CC root kernel); S9/freshness keeps adaptive_recrawl_policy
+    # (which subsumes the change-report's epoch diff); multimodal keeps
+    # media_span_pipeline (whose join replays the resize geometry) + the
+    # new media_mime_sniff; the span family keeps html_tstar_spans + the
+    # branch rows + the crawl e2e span equality
+    "interleaved_explode",
+    "html_card_union",
+    "dedup_cluster_roots",
+    "recrawl_change_report",
+    "media_frame_sample",
 ]
 
 

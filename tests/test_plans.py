@@ -271,3 +271,40 @@ def test_freshness_state_single_url_exchange(spark):
     )
     p = _plan(spark, freshness_state(hist))
     assert p.count("Exchange") <= 2  # hashpartitioning(url) + AQE artifact
+
+
+def test_mime_sniff_is_a_pure_map_stage(spark, qs):
+    """Magic-byte sniffing is a row-local projection — zero Exchange (at
+    100 TB it fuses into the payload scan)."""
+    p = _plan(spark, qs["media_mime_sniff"](spark, SF))
+    assert "Exchange" not in p
+
+
+def test_hll_registers_partial_aggregate(spark, qs):
+    """The HLL job's per-URL fan-in must collapse map-side into (host, j)
+    register maxima — partial_max before the exchange — and the only
+    nested-loop join is the 64-row register-index broadcast (never a
+    data-sized cartesian)."""
+    p = _plan(spark, qs["hll_frontier_cardinality"](spark, SF))
+    assert "partial_max" in p
+    assert "CartesianProduct" not in p
+    # tree nodes only (the formatted detail section repeats each one):
+    # register agg + host distinct + exact distinct + final join, no more
+    assert p.count("+- Exchange") <= 5
+
+
+def test_trap_detect_bounded_shuffles(spark, qs):
+    """Trap detection is one (host, template) aggregate plus a host
+    window: hash exchanges only, nothing global."""
+    p = _plan(spark, qs["url_trap_detect"](spark, SF))
+    assert p.count("+- Exchange") <= 4  # tree nodes only
+    assert "SinglePartition" not in p
+
+
+def test_budget_alloc_windows_over_host_table_only(spark, qs):
+    """Largest-remainder allocation: the per-URL work is one partial-agg
+    shuffle to host scores; the global windows run over the already
+    host-sized table (one single-partition exchange of ~hosts rows)."""
+    p = _plan(spark, qs["crawl_budget_alloc"](spark, SF))
+    assert "partial_count" in p  # map-side combine before the host agg
+    assert p.count("Exchange hashpartitioning") <= 2

@@ -18,7 +18,8 @@ PROMOTED = [
     # ann_ivf_assign rotated OUT in the round-5 continuation (r04 green;
     # ann_ivf_topk's search replays the assignment join in-window)
     "ann_ivf_topk",
-    "dedup_cluster_roots",
+    # dedup_cluster_roots rotated OUT in continuation batch 4 (r04 green;
+    # semantic_dedup_roots keeps the star-CC root kernel windowed)
     # redirect_flag / whitespace_cleanup / meta_passthrough /
     # empty_body_drop rotated OUT in round 5 (5 green driver rows each,
     # r01-r05; J3 stays covered by the crawl e2e redirect discovery,
@@ -28,7 +29,8 @@ PROMOTED = [
     # crawl e2e + test_seed_modes, curation by the windowed quartet)
     # html_domain_fallbacks / html_shallow_tail rotated OUT in the round-5
     # continuation (r04 green; branch/tstar rows keep the families windowed)
-    "html_card_union",
+    # html_card_union rotated OUT in continuation batch 4 (r04 green;
+    # html_anchor_cards + html_branch_cards keep the card family windowed)
     "stream_dedup",
     # doc_length_quantiles rotated OUT in round 5 (4 green driver rows
     # r01-r04; curation family keeps stratified_sample windowed)
@@ -39,8 +41,9 @@ PROMOTED = [
     "html_tstar_spans",
     "html_anchor_cards",
     "paragraph_boilerplate",
-    "media_frame_sample",
-    "recrawl_change_report",
+    # media_frame_sample / recrawl_change_report rotated OUT in
+    # continuation batch 4 (r04 green; media_span_pipeline +
+    # adaptive_recrawl_policy keep both families windowed)
     # round-5 surface (rule-table completion + F8 rewrites)
     "url_domain_rewrite",
     "html_branch_cards",
@@ -89,6 +92,16 @@ PROMOTED = [
     "adaptive_recrawl_policy",
     "embed_quantize_int8",
     "cms_heavy_hitters",
+    # round-5 continuation batch 4: frontier-scale ops (HLL cardinality,
+    # trap guard, budget allocation, MIME sniff, sitemap discovery).
+    # interleaved_explode / html_card_union / dedup_cluster_roots /
+    # recrawl_change_report / media_frame_sample rotated OUT (r04-green;
+    # family coverage stays windowed — see _DEMOTED rationale)
+    "hll_frontier_cardinality",
+    "url_trap_detect",
+    "crawl_budget_alloc",
+    "media_mime_sniff",
+    "robots_sitemap_discovery",
 ]
 
 
