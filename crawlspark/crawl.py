@@ -92,6 +92,14 @@ class CrawlConfig:
     # rule follow only their "Next Page"-style anchor (:751-758), others
     # extract every anchor in both modes
     search_entire_site: bool = True
+    # spider-trap admission guard (scheduler.cap_template_explosion): at
+    # most N candidate URLs per (host, digit-normalized path template) are
+    # admitted to the frontier per batch; None (default) disables the
+    # guard and leaves every plan untouched.  The reference's fixed seed
+    # lists can't hit traps; an open frontier can, and this bounds any
+    # single template's growth to cap x n_batches.  Winners are
+    # deterministic (lowest URL), preserving crawl-order equality.
+    trap_template_cap: int | None = None
 
     def __post_init__(self):
         if self.expected_urls:
@@ -656,6 +664,8 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     cand = links.groupBy(cols["link_as_url"]).agg(
         cols["cand_winner"]
     ).select(*cols["cand_sel"])
+    if cfg.trap_template_cap is not None:
+        cand = scheduler.cap_template_explosion(cand, cfg.trap_template_cap)
     # small_positives: a batch's Bloom-positive sliver is bounded by its
     # extracted links, so the exact check broadcast-SCANS urlseen instead
     # of shuffling it (at 10^10 seen rows the shuffle, not the sliver, is

@@ -152,3 +152,40 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int,
     if return_blocked:
         return out, blocked
     return out
+
+
+# ---------------------------------------------------------------- trap guard
+
+def template_expr(url):
+    """Digit-normalized path template of a URL (the same normalization the
+    url_trap_detect query uses): scheme+host stripped, digit runs → 'N'.
+    Calendar pages, session ids and facet permutations all collapse to one
+    template."""
+    path = F.regexp_replace(url, r"^[a-z]+://[^/]*", "")
+    return F.regexp_replace(path, "[0-9]+", "N")
+
+
+def cap_template_explosion(cand: DataFrame, cap: int,
+                           url_col: str = "url",
+                           host_col: str = "host") -> DataFrame:
+    """Spider-trap admission guard: keep at most `cap` candidate URLs per
+    (host, path-template) per batch, so a calendar widget / session-id
+    generator / faceted search can't flood the frontier no matter how many
+    links a page emits (the reference's fixed seed lists make traps
+    impossible by construction; an open 10^10 frontier needs this bound).
+
+    Winners are deterministic (lowest URL first) — crawl-order equality
+    across parallelism levels is preserved.  Cost when enabled: one
+    (host, template) hash shuffle of the BATCH's candidates (bounded by
+    n_scheduled × links-per-page, never frontier-sized).  Over a whole
+    crawl a trap's admissions are bounded by cap × n_batches, which turns
+    an exponential blowup into a linear dribble the url_trap_detect
+    report then surfaces for host-level blocklisting."""
+    tpl = template_expr(F.col(url_col)).alias("_tpl")
+    w = Window.partitionBy(host_col, "_tpl").orderBy(url_col)
+    return (
+        cand.select("*", tpl)
+        .withColumn("_tpl_rn", F.row_number().over(w))
+        .filter(F.col("_tpl_rn") <= cap)
+        .drop("_tpl", "_tpl_rn")
+    )

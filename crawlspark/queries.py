@@ -5976,6 +5976,289 @@ def robots_sitemap_discovery(spark, sf_dir):
     )
 
 
+# ====== 61. BFS depth / crawl-delay parse / substring dedup / containment
+
+@q(
+    "link_depth_bfs",
+    """
+    WITH e0 AS (
+      SELECT 'h' || (l_orderkey % 50) AS src, 'h' || (l_partkey % 50) AS dst
+      FROM lineitem WHERE l_orderkey % 50 != l_partkey % 50),
+    e AS (SELECT DISTINCT src, dst FROM e0),
+    v AS (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
+    d0 AS (SELECT 'h' || (10 * x) AS h, CAST(0 AS BIGINT) AS d
+           FROM (SELECT unnest(range(0, 5)) AS x)),
+    r1 AS (SELECT e.dst AS h, CAST(1 AS BIGINT) AS d
+           FROM e JOIN d0 ON e.src = d0.h),
+    d1 AS (SELECT h, CAST(min(d) AS BIGINT) AS d
+           FROM (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY h),
+    r2 AS (SELECT e.dst AS h, CAST(d1.d + 1 AS BIGINT) AS d
+           FROM e JOIN d1 ON e.src = d1.h),
+    d2 AS (SELECT h, CAST(min(d) AS BIGINT) AS d
+           FROM (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY h),
+    r3 AS (SELECT e.dst AS h, CAST(d2.d + 1 AS BIGINT) AS d
+           FROM e JOIN d2 ON e.src = d2.h),
+    d3 AS (SELECT h, CAST(min(d) AS BIGINT) AS d
+           FROM (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY h)
+    SELECT v.h AS host, CAST(coalesce(d3.d, -1) AS BIGINT) AS depth
+    FROM v LEFT JOIN d3 ON d3.h = v.h
+    """,
+)
+def link_depth_bfs(spark, sf_dir):
+    """Seed-distance BFS over the host link graph (3 frontier expansions,
+    min-depth label propagation) — the graph-side generalisation of the
+    reference's per-request depth counter (max_depth stops the spider at
+    a fixed hop count; covid_news_spider.py targeted mode runs depth 0).
+    Computing depth-from-seeds over the WHOLE graph answers the planning
+    question the per-request counter can't: which hosts are unreachable
+    within k hops (depth -1 here) and where the crawl budget should go.
+
+    Each iteration is one edges⨝labels join (labels stay host-sized —
+    AQE broadcasts them; at web scale both sides hash-partition on the
+    same key, reused across iterations) + one min-aggregate.  Fixed
+    iteration count keeps the result deterministic whether or not the
+    frontier converged; all depths are exact integers."""
+    li = T(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            F.concat(F.lit("h"), (F.col("l_orderkey") % 50).cast("string"))
+            .alias("src"),
+            F.concat(F.lit("h"), (F.col("l_partkey") % 50).cast("string"))
+            .alias("dst"),
+        )
+        .filter(F.col("l_orderkey") % 50 != F.col("l_partkey") % 50)
+        .distinct()
+    )
+    v = e.select(F.col("src").alias("h")).union(e.select("dst")).distinct()
+    d = spark.range(5).select(
+        F.concat(F.lit("h"), (F.col("id") * 10).cast("string")).alias("h"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    for _ in range(3):
+        reach = e.join(d, e.src == d.h).select(
+            F.col("dst").alias("h"), (F.col("d") + 1).cast("long").alias("d")
+        )
+        d = d.unionByName(reach).groupBy("h").agg(
+            F.min("d").cast("long").alias("d")
+        )
+    return v.join(d, "h", "left").select(
+        F.col("h").alias("host"),
+        F.coalesce("d", F.lit(-1)).cast("long").alias("depth"),
+    )
+
+
+@q(
+    "robots_crawl_delay",
+    """
+    WITH hosts AS (SELECT DISTINCT 'h' || (doc_id % 12) AS host,
+                          doc_id % 12 AS hid
+                   FROM documents),
+    r AS (SELECT host,
+                 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+                 || CASE hid % 4
+                      WHEN 0 THEN 'Crawl-delay: 2'
+                      WHEN 1 THEN 'Crawl-delay: 1'
+                      WHEN 3 THEN 'Crawl-delay: 10'
+                      ELSE ''
+                    END AS txt
+          FROM hosts),
+    p AS (SELECT host, regexp_extract(txt, 'Crawl-delay:\\s*([0-9]+)', 1) AS raw
+          FROM r)
+    SELECT host,
+           CAST(CASE WHEN raw = '' THEN 500
+                     ELSE CAST(raw AS BIGINT) * 1000 END AS BIGINT) AS delay_ms,
+           CAST(greatest(1, 4000 // CASE WHEN raw = '' THEN 500
+                     ELSE CAST(raw AS BIGINT) * 1000 END) AS BIGINT)
+             AS budget_per_batch
+    FROM p
+    """,
+)
+def robots_crawl_delay(spark, sf_dir):
+    """Crawl-delay directive → per-host politeness budget, with the
+    ENGINE parser under test: the Spark side runs the real
+    functions.robots.parse_robots_txt (the same parser the crawl loop's
+    host bootstrap uses — crawl._hosts_frame) over per-host robots blobs
+    via mapInPandas, while the oracle re-derives the directive with an
+    independent regexp.  Parser semantics (group selection, missing
+    directive → the 500 ms reference default, REP floats floored to ms)
+    must agree with the spec twin — the same two-derivations pattern as
+    robots_rep_audit, completing the REP surface's oracle coverage
+    (Disallow/Allow/wildcards there, Crawl-delay here).
+
+    Budget math is the scheduler's invariant: floor(batch_period /
+    delay), min 1 — exact integers end-to-end.  Host-cardinality input;
+    one distinct shuffle, the parse is a tiny Arrow stage."""
+    from crawlspark.functions.robots import parse_robots_txt
+
+    d = T(spark, sf_dir, "documents")
+    hosts = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 12).cast("string"))
+        .alias("host"),
+        (F.col("doc_id") % 12).alias("hid"),
+    ).distinct()
+    nl = F.lit("\n")
+    txt = F.concat(
+        F.lit("User-agent: *"), nl, F.lit("Disallow: /private"), nl,
+        F.when(F.col("hid") % 4 == 0, F.lit("Crawl-delay: 2"))
+        .when(F.col("hid") % 4 == 1, F.lit("Crawl-delay: 1"))
+        .when(F.col("hid") % 4 == 3, F.lit("Crawl-delay: 10"))
+        .otherwise(F.lit("")),
+    )
+    r = hosts.select("host", txt.alias("txt"))
+
+    def parse(batches):
+        for pdf in batches:
+            delays = []
+            for t in pdf["txt"]:
+                parsed = parse_robots_txt(t)
+                cd = parsed["crawl_delay"]
+                delays.append(int(cd * 1000) if cd is not None else 500)
+            yield pd.DataFrame({"host": pdf["host"], "delay_ms": delays})
+
+    parsed = r.mapInPandas(parse, schema="host string, delay_ms long")
+    return parsed.select(
+        "host", F.col("delay_ms").cast("long").alias("delay_ms"),
+        F.greatest(F.lit(1).cast("long"), F.expr("4000 div delay_ms"))
+        .cast("long").alias("budget_per_batch"),
+    )
+
+
+@q(
+    "exact_substring_dup_spans",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w, unnest(range(1, len(w) - 7 + 1, 4)) AS st
+          FROM t),
+    win AS (SELECT doc_id, md5(array_to_string(w[st:st+7], ' ')) AS wh
+            FROM s),
+    df AS (SELECT wh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM win GROUP BY wh),
+    j AS (SELECT win.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup_windows
+          FROM win JOIN df USING (wh) GROUP BY win.doc_id)
+    SELECT doc_id, n_windows, n_dup_windows,
+           CAST((n_dup_windows * 1000) // n_windows AS BIGINT) AS dup_permille
+    FROM j
+    """,
+)
+def exact_substring_dup_spans(spark, sf_dir):
+    """Exact-substring duplication measurement (the window-hash
+    approximation of Lee et al. 2022's suffix-array ExactSubstr dedup):
+    hash 8-word windows at stride 4, count how many documents each window
+    appears in, and report each document's duplicated-window fraction in
+    integer permille — the signal that catches copied passages
+    paragraph- and document-level dedup both miss (a syndicated quote
+    inside otherwise-original text).
+
+    100 TB shape: window hashing is row-local (one generator stage);
+    the document-frequency count is one partial-aggregating shuffle on
+    the window hash (md5 keys are uniform — no skew); the join back
+    re-uses the same key.  No suffix arrays, nothing driver-resident,
+    all integer outputs."""
+    d = T(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    s = d.select(
+        "doc_id", w.alias("w"),
+        F.explode(F.sequence(F.lit(1), F.size(w) - 7, F.lit(4))).alias("st"),
+    )
+    win = s.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("w", F.col("st"), 8), " ")).alias("wh"),
+    )
+    dfreq = win.groupBy("wh").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    j = (
+        win.join(dfreq, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return j.select(
+        "doc_id", "n_windows", "n_dup_windows",
+        F.expr("(n_dup_windows * 1000) div n_windows").cast("long")
+        .alias("dup_permille"),
+    )
+
+
+@q(
+    "shingle_containment",
+    """
+    WITH t0 AS (
+      SELECT doc_id,
+             text || ' wire bulletin ' || (doc_id // 2) ||
+             ' syndicated copy desk release follows unchanged for all'
+             || ' subscribers issue ' || (doc_id // 2) AS text
+      FROM documents),
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM t0),
+    g AS (SELECT doc_id, unnest(range(1, len(w) - 4 + 1, 1)) AS st, w
+          FROM t),
+    sh AS (SELECT DISTINCT doc_id, md5(array_to_string(w[st:st+4], ' ')) AS gh
+           FROM g),
+    na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a
+           FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM sh a JOIN sh b ON a.gh = b.gh AND b.doc_id = a.doc_id + 1
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT p.doc_a, p.doc_b, p.n_inter, na.n_a,
+           CAST((p.n_inter * 1000) // na.n_a AS BIGINT)
+             AS containment_permille
+    FROM pairs p JOIN na ON na.doc_id = p.doc_a
+    """,
+)
+def shingle_containment(spark, sf_dir):
+    """Asymmetric containment C(A,B) = |shingles(A) ∩ shingles(B)| / |A|
+    (Broder 1997's second resemblance measure): detects when one document
+    CONTAINS another — quote inclusion, wire-copy embedding, article +
+    commentary — which symmetric Jaccard under-scores whenever the
+    containing document is much longer.  Candidate pairs here are
+    adjacent doc ids (the synthetic corpus plants a shared syndicated
+    tail on each (2k, 2k+1) pair); production candidates come from the
+    MinHash band join (dedup_minhash_lsh) feeding this as the verify
+    stage.  Intersections are exact integer counts via the shingle-hash
+    equi-join (one uniform-key shuffle); the permille is integer DIV."""
+    d = T(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" wire bulletin "),
+        F.expr("doc_id div 2").cast("string"),
+        F.lit(" syndicated copy desk release follows unchanged for all"
+              " subscribers issue "),
+        F.expr("doc_id div 2").cast("string"),
+    )
+    w = F.split(aug, " ")
+    g = d.select(
+        "doc_id", w.alias("w"),
+        F.explode(F.sequence(F.lit(1), F.size(w) - 4, F.lit(1))).alias("st"),
+    )
+    sh = g.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("w", F.col("st"), 5), " ")).alias("gh"),
+    ).distinct()
+    na = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("gh_b"))
+    pairs = (
+        sh.join(
+            b,
+            (F.col("gh") == F.col("gh_b"))
+            & (F.col("doc_b") == F.col("doc_id") + 1),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return pairs.join(na, pairs.doc_a == na.doc_id).select(
+        "doc_a", "doc_b", "n_inter", "n_a",
+        F.expr("(n_inter * 1000) div n_a").cast("long")
+        .alias("containment_permille"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -6155,6 +6438,17 @@ _DEMOTED = [
     "dedup_cluster_roots",
     "recrawl_change_report",
     "media_frame_sample",
+    # window room for the BFS/crawl-delay/substring-dedup/containment
+    # batch — all four demotions are r04-green: the span family keeps
+    # html_branch_dates + html_body_include + html_path_rules + the crawl
+    # e2e byte-for-byte span equality; cards keep html_branch_cards;
+    # paragraph-scale dedup keeps paragraph_dedup + c4_line_filter (and
+    # gains the substring/containment rows); similarity keeps
+    # semantic_dedup_roots + embed_quantize_int8 windowed
+    "html_tstar_spans",
+    "html_anchor_cards",
+    "paragraph_boilerplate",
+    "ann_ivf_topk",
 ]
 
 

@@ -335,3 +335,55 @@ def test_adaptive_fetch_cache_policy(spark, tmp_path):
     cache12 = {r["url"] for r in cat.read("fetched").select("url").collect()}
     assert s3["refetch_skipped"] > 0
     assert not (done3 & {u for u in cache12 if "/news/" in u})
+
+
+def test_trap_cap_identity_when_not_binding(spark, tmp_path, engine_run, oracle_run):
+    """A huge trap_template_cap must be a no-op: the guard's plan wiring
+    cannot change the seen set or the crawl order when the cap never
+    binds (same-seed equality vs the module baseline run)."""
+    wh = str(tmp_path / "wh_trapbig")
+    run_crawl(
+        spark,
+        CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=SCALE),
+                    max_batches=MAX_BATCHES, budget_override=BUDGET,
+                    compact_every=4, trap_template_cap=10**6),
+    )
+    seen, prog, _ = _tables(spark, wh)
+    assert seen == oracle_run.seen
+    ora = {(u, b, a, o) for (u, b, a, o, s) in oracle_run.progress}
+    assert prog == ora
+
+
+def test_trap_cap_bounds_admissions_when_binding(spark, tmp_path, engine_run):
+    """With cap=1, every (host, template) admits at most one candidate per
+    batch: the crawl still terminates cleanly and the final seen set is a
+    strict subset of the uncapped baseline's (articles share one
+    digit-normalized template per host, so the guard must bind on this
+    web)."""
+    from crawlspark.operators.scheduler import template_expr
+
+    wh = str(tmp_path / "wh_trap1")
+    summary = run_crawl(
+        spark,
+        CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=SCALE),
+                    max_batches=MAX_BATCHES, budget_override=BUDGET,
+                    compact_every=4, trap_template_cap=1),
+    )
+    assert summary["batches"] >= 1
+    seen_capped, _, _ = _tables(spark, wh)
+    base_spark, base_wh, _ = engine_run
+    seen_base, _, _ = _tables(base_spark, base_wh)
+    assert seen_capped < seen_base  # strictly fewer admissions
+    # per-batch bound: admitted links per (host, template, batch) <= cap.
+    # discovered_batch stamps the admitting batch on every frontier row.
+    cat = SnapshotCatalog(spark, wh)
+    m = cat.latest()
+    fr = cat.read("frontier", m)
+    import pyspark.sql.functions as F
+    over = (
+        fr.filter(F.col("discovered_batch") >= 0)  # seeds use batch -1? keep all real batches
+        .groupBy("host", template_expr(F.col("url")).alias("tpl"),
+                 "discovered_batch")
+        .count().filter(F.col("count") > 1)
+    )
+    assert over.count() == 0, over.limit(5).collect()

@@ -17,7 +17,8 @@ PROMOTED = [
     # S2 stays covered by fetched_cache_staleness + the crawl e2e)
     # ann_ivf_assign rotated OUT in the round-5 continuation (r04 green;
     # ann_ivf_topk's search replays the assignment join in-window)
-    "ann_ivf_topk",
+    # ann_ivf_topk rotated OUT in continuation batch 5 (r04 green;
+    # semantic_dedup_roots + embed_quantize_int8 keep similarity windowed)
     # dedup_cluster_roots rotated OUT in continuation batch 4 (r04 green;
     # semantic_dedup_roots keeps the star-CC root kernel windowed)
     # redirect_flag / whitespace_cleanup / meta_passthrough /
@@ -38,9 +39,10 @@ PROMOTED = [
     # html_attr_cards / html_attr_fallbacks / html_date_splits /
     # media_resize rotated OUT in the round-5 continuation — each with a
     # fresh r04 driver-green row and windowed family coverage)
-    "html_tstar_spans",
-    "html_anchor_cards",
-    "paragraph_boilerplate",
+    # html_tstar_spans / html_anchor_cards / paragraph_boilerplate rotated
+    # OUT in continuation batch 5 (r04 green; html_branch_* rows + the
+    # crawl e2e span equality and paragraph_dedup/c4_line_filter keep
+    # those families windowed)
     # media_frame_sample / recrawl_change_report rotated OUT in
     # continuation batch 4 (r04 green; media_span_pipeline +
     # adaptive_recrawl_policy keep both families windowed)
@@ -102,6 +104,15 @@ PROMOTED = [
     "crawl_budget_alloc",
     "media_mime_sniff",
     "robots_sitemap_discovery",
+    # round-5 continuation batch 5: seed-distance BFS, Crawl-delay parser
+    # oracle, exact-substring dup measurement, asymmetric containment.
+    # html_tstar_spans / html_anchor_cards / paragraph_boilerplate /
+    # ann_ivf_topk rotated OUT (r04-green; family coverage stays windowed
+    # — see _DEMOTED rationale)
+    "link_depth_bfs",
+    "robots_crawl_delay",
+    "exact_substring_dup_spans",
+    "shingle_containment",
 ]
 
 

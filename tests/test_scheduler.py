@@ -93,3 +93,37 @@ def test_enrich_frontier_merges_unseen_only(spark, tmp_path):
     summary = run_crawl(spark, CrawlConfig(warehouse=wh, spec=cfg.spec,
                                            max_batches=8, budget_override=15), resume=True)
     assert summary["n_progress"] > 0
+
+
+def test_trap_cap_semantics(spark):
+    """cap_template_explosion keeps at most `cap` URLs per (host,
+    digit-normalized template), choosing the lexicographically-lowest
+    URLs (deterministic winners), and never drops below-cap templates."""
+    from crawlspark.operators.scheduler import cap_template_explosion
+
+    rows = (
+        # calendar trap on a: 5 urls, one template
+        [(f"https://a.example/cal/2020/{i}/day", "a.example") for i in range(5)]
+        # two distinct templates on a, one url each
+        + [("https://a.example/about", "a.example"),
+           ("https://a.example/tags/news", "a.example")]
+        # same template on b — independent budget
+        + [(f"https://b.example/cal/2021/{i}/day", "b.example") for i in range(3)]
+    )
+    cand = spark.createDataFrame(rows, "url string, host string")
+    out = cap_template_explosion(cand, cap=2).collect()
+    got = sorted(r["url"] for r in out)
+    assert got == sorted(
+        [
+            "https://a.example/cal/2020/0/day",  # lowest 2 of the 5
+            "https://a.example/cal/2020/1/day",
+            "https://a.example/about",
+            "https://a.example/tags/news",
+            "https://b.example/cal/2021/0/day",
+            "https://b.example/cal/2021/1/day",
+        ]
+    )
+    # schema passes through unchanged (no helper columns leak)
+    assert {f.name for f in cand.schema.fields} == {
+        f.name for f in cap_template_explosion(cand, 2).schema.fields
+    }
