@@ -100,6 +100,13 @@ class CrawlConfig:
     # single template's growth to cap x n_batches.  Winners are
     # deterministic (lowest URL), preserving crawl-order equality.
     trap_template_cap: int | None = None
+    # global fetch-capacity cap (scheduler.cap_global_batch): at most N
+    # pages admitted per batch ACROSS hosts, slots spent highest-yield
+    # hosts first (docs-per-fetch from the metrics table; unseen hosts get
+    # the optimistic prior so discovery is never starved).  None (default)
+    # = politeness budgets alone bound the batch, plans untouched.
+    global_batch_cap: int | None = None
+    yield_prior_permille: int = 1000
 
     def __post_init__(self):
         if self.expected_urls:
@@ -514,6 +521,18 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     scheduled, robots_blocked = scheduler.schedule(
         pending, hosts_df, batch_id, return_blocked=True
     )
+    if cfg.global_batch_cap is not None:
+        # fleet fetch capacity: admit the top-cap rows by historical host
+        # yield (cache-served rows count against the cap too — admission
+        # happens before the cache split so the admitted set is a pure
+        # function of frontier + metrics state, not of cache contents)
+        scheduled = scheduler.cap_global_batch(
+            scheduled,
+            scheduler.host_yield_scores(
+                catalog.read("metrics", manifest), cfg.yield_prior_permille
+            ),
+            cfg.global_batch_cap, cfg.yield_prior_permille,
+        )
     # fetched-cache skip (reference HTTPCACHE re-run semantics, settings.py
     # :84-89): in a re-crawl epoch, ARTICLE pages already in the fetched
     # log are served from cache — retired with a terminal 'cached' record

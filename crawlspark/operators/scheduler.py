@@ -154,6 +154,56 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int,
     return out
 
 
+# ------------------------------------------------------- adaptive admission
+
+def host_yield_scores(metrics: DataFrame,
+                      prior_permille: int = 1000) -> DataFrame:
+    """host → integer yield score from the per-(batch, host) metrics table:
+    documents produced per successful fetch, in permille.  Hosts with no
+    fetch history yet get the optimistic ``prior_permille`` (new hosts must
+    not be starved before they have had a chance to produce anything —
+    OPIC-style optimism; the score self-corrects after their first batch).
+
+    All-integer ((docs*1000) DIV ok) so the score — and therefore the
+    admission order built on it — is bit-identical at any parallelism.
+    One groupBy over a host-sized table; output is host-cardinality."""
+    agg = metrics.groupBy("host").agg(
+        F.sum("n_docs_out").alias("docs"), F.sum("n_ok").alias("ok")
+    )
+    return agg.select(
+        "host",
+        F.when(F.col("ok") > 0, F.expr("(docs * 1000) div ok"))
+        .otherwise(F.lit(prior_permille)).cast("long")
+        .alias("yield_permille"),
+    )
+
+
+def cap_global_batch(sched: DataFrame, scores: DataFrame, cap: int,
+                     prior_permille: int = 1000) -> DataFrame:
+    """Global fetch-capacity cap with yield-weighted admission: when the
+    fleet can fetch at most ``cap`` pages per batch (politeness budgets
+    bound each HOST, but fleet capacity bounds the BATCH), spend the slots
+    on the hosts that have historically produced the most documents per
+    fetch.  Admission order is the total order (yield DESC, priority DESC,
+    url ASC) — URLs are unique, so the order (and the admitted set) is
+    deterministic at any parallelism.  Rows cut here are simply not
+    scheduled: they stay in the pending set and compete again next batch,
+    so nothing needs retiring or re-queueing.
+
+    Scale shape: the scores side is host-cardinality → broadcast join (no
+    shuffle of the batch); the cut is orderBy().limit(), which Spark plans
+    as TakeOrderedAndProject — a per-partition top-``cap`` heap plus a
+    driver merge of cap-sized slivers, never a global sort."""
+    s = sched.join(F.broadcast(scores), on="host", how="left").withColumn(
+        "_ys", F.coalesce("yield_permille", F.lit(prior_permille))
+    )
+    return (
+        s.orderBy(F.desc("_ys"), F.desc("priority"), F.asc("url"))
+        .limit(cap)
+        .drop("_ys", "yield_permille")
+    )
+
+
 # ---------------------------------------------------------------- trap guard
 
 def template_expr(url):

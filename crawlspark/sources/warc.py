@@ -177,12 +177,53 @@ def revisit_dedup(df: DataFrame) -> DataFrame:
     )
 
 
-def write_warc(df: DataFrame, out_dir: str) -> dict:
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    sort/lookup key of web-archive indexes (CDX/CDXJ): lowercase, scheme
+    dropped, leading ``www.`` dropped, host labels REVERSED and
+    comma-joined, ``)`` then the path.  Reversed-host ordering clusters a
+    domain's captures contiguously, which is what makes prefix range-scans
+    over a sorted index answer "everything under example.com/" without a
+    full scan."""
+    u = url.lower()
+    if "://" in u:
+        u = u.split("://", 1)[1]
+    host, sep, path = u.partition("/")
+    host = host.split(":", 1)[0]
+    if host.startswith("www."):
+        host = host[4:]
+    return ",".join(reversed(host.split("."))) + ")/" + path
+
+
+def cdxj_line(uri: str, warc_date: str, digest: str, filename: str,
+              offset: int, length: int) -> str:
+    """One CDXJ index line: ``<surt> <14-digit ts> <json>`` — the pywb /
+    OpenWayback capture-index grammar.  offset/length address the record's
+    own gzip MEMBER inside the shard, so a reader seeks + decompresses ONE
+    record without touching the rest of the file."""
+    import json as _json
+
+    ts = "".join(c for c in warc_date if c.isdigit())[:14]
+    blk = _json.dumps(
+        {"url": uri, "digest": digest, "filename": filename,
+         "offset": str(offset), "length": str(length)},
+        separators=(",", ":"), sort_keys=True,
+    )
+    return f"{surt_key(uri)} {ts} {blk}"
+
+
+def write_warc(df: DataFrame, out_dir: str, cdxj: bool = False) -> dict:
     """Write ``(uri, payload, warc_date)`` rows as ``.warc.gz`` shards,
     one shard per partition, one gzip member per record.  Runs entirely
     executor-side (mapInPandas streaming each partition to its shard);
     only the per-shard manifest rows come back.  Returns
     ``{'files': n, 'records': n}``.
+
+    ``cdxj=True`` also writes a ``part-XXXXX.cdxj`` capture index next to
+    each shard — one line per record with the member's exact byte offset
+    and length (computed as the shard streams, so the index is free) —
+    giving the archive O(1) random access per URL instead of a shard scan;
+    ``read_cdxj`` loads the whole index as a DataFrame for lookup joins.
 
     Multi-node: ``out_dir`` must be a shared filesystem / object-store
     mount (each executor opens its shard path directly), and speculative
@@ -202,6 +243,9 @@ def write_warc(df: DataFrame, out_dir: str) -> dict:
 
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        idx_path = os.path.join(out_dir, f"part-{pid:05d}.cdxj")
+        idx_lines: list[str] = []
+        offset = 0
         n = 0
         with open(path, "wb") as f:
             for pdf in batches:
@@ -233,18 +277,27 @@ def write_warc(df: DataFrame, out_dir: str) -> dict:
                     extra = (
                         revisit_headers(ref, dg) if wt == "revisit" else None
                     )
-                    f.write(
-                        _gzip_member(
-                            record_bytes(
-                                uri, raw, warc_date=date, warc_type=wt,
-                                extra_headers=extra,
-                            )
+                    member = _gzip_member(
+                        record_bytes(
+                            uri, raw, warc_date=date, warc_type=wt,
+                            extra_headers=extra,
                         )
                     )
+                    f.write(member)
+                    if cdxj:
+                        idx_lines.append(cdxj_line(
+                            uri, date,
+                            dg or hashlib.md5(raw).hexdigest(),
+                            os.path.basename(path), offset, len(member),
+                        ))
+                    offset += len(member)
                     n += 1
         if n == 0:
             os.remove(path)  # empty partitions leave no shard behind
             return
+        if cdxj:
+            with open(idx_path, "w") as fi:
+                fi.write("\n".join(sorted(idx_lines)) + "\n")
         yield pd.DataFrame({"file": [path], "records": [n]})
 
     manifest = df.mapInPandas(_write_partition, schema=out_schema).collect()
@@ -270,6 +323,33 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return files.select("content").mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """Load ``.cdxj`` capture indexes as a DataFrame of (surt, ts, url,
+    digest, filename, offset, length).  Line-oriented text scan with
+    file-level parallelism; the JSON block parses with ``from_json`` —
+    all JVM-side, no Python in the path.  Sorted-by-surt lines make the
+    parquet-side sort for range lookups cheap (the files arrive locally
+    presorted)."""
+    raw = spark.read.text(os.path.join(path, "*.cdxj"))
+    surt = F.substring_index("value", " ", 1)
+    rest = F.expr("substring(value, length(substring_index(value, ' ', 1)) + 2)")
+    ts = F.substring_index(rest, " ", 1)
+    blk = F.expr(
+        "substring(value, length(substring_index(value, ' ', 2)) + 2)"
+    )
+    js = F.from_json(
+        blk,
+        "url string, digest string, filename string, offset string, length string",
+    )
+    return raw.select(
+        surt.alias("surt"), ts.alias("ts"),
+        js["url"].alias("url"), js["digest"].alias("digest"),
+        js["filename"].alias("filename"),
+        js["offset"].cast("long").alias("offset"),
+        js["length"].cast("long").alias("length"),
+    )
 
 
 def documents_to_warc_rows(docs: DataFrame) -> DataFrame:

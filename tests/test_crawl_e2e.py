@@ -337,6 +337,50 @@ def test_adaptive_fetch_cache_policy(spark, tmp_path):
     assert not (done3 & {u for u in cache12 if "/news/" in u})
 
 
+def test_global_cap_identity_when_not_binding(spark, tmp_path, oracle_run):
+    """A huge global_batch_cap must be a no-op: yield-weighted admission
+    with cap never binding reproduces the oracle's seen set and per-batch
+    crawl order exactly (the cap reorders only WHICH rows are cut, never
+    what a full batch fetches)."""
+    wh = str(tmp_path / "wh_gcapbig")
+    run_crawl(
+        spark,
+        CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=SCALE),
+                    max_batches=MAX_BATCHES, budget_override=BUDGET,
+                    compact_every=4, global_batch_cap=10**6),
+    )
+    seen, prog, _ = _tables(spark, wh)
+    assert seen == oracle_run.seen
+    ora = {(u, b, a, o) for (u, b, a, o, s) in oracle_run.progress}
+    assert prog == ora
+
+
+def test_global_cap_bounds_batch_size(spark, tmp_path):
+    """With global_batch_cap=3, no batch admits more than 3 rows: every
+    batch's fetch-side progress records (done/retry/failed/cached — the
+    outcomes that consume admission slots) number <= 3, and the crawl
+    still terminates cleanly."""
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path / "wh_gcap3")
+    summary = run_crawl(
+        spark,
+        CrawlConfig(warehouse=wh, spec=synthetic.WebSpec(scale=SCALE),
+                    max_batches=12, budget_override=BUDGET,
+                    compact_every=4, global_batch_cap=3),
+    )
+    assert summary["batches"] >= 1
+    cat = SnapshotCatalog(spark, wh)
+    per_batch = (
+        cat.read("progress", cat.latest())
+        .filter(F.col("outcome").isin("done", "retry", "failed", "cached"))
+        .groupBy("batch_id").count()
+    )
+    over = per_batch.filter(F.col("count") > 3)
+    assert over.count() == 0, over.collect()
+    assert per_batch.count() >= 1
+
+
 def test_trap_cap_identity_when_not_binding(spark, tmp_path, engine_run, oracle_run):
     """A huge trap_template_cap must be a no-op: the guard's plan wiring
     cannot change the seen set or the crawl order when the cap never

@@ -95,6 +95,42 @@ def test_enrich_frontier_merges_unseen_only(spark, tmp_path):
     assert summary["n_progress"] > 0
 
 
+def test_host_yield_scores_and_global_cap(spark):
+    """host_yield_scores: integer docs-per-fetch permille with the
+    optimistic prior for unseen hosts; cap_global_batch: admits the
+    top-cap rows by (yield, priority, url) and plans the cut as
+    TakeOrderedAndProject (a top-k heap, never a global sort)."""
+    from crawlspark.operators.scheduler import (cap_global_batch,
+                                                host_yield_scores)
+
+    metrics = spark.createDataFrame(
+        # a: 4 docs / 2 ok = 2000 permille; b: 1 doc / 2 ok = 500
+        [(1, "a", 2, 2, 0, 0, 0, 5, 3, 10), (2, "a", 1, 0, 0, 0, 0, 0, 1, 5),
+         (1, "b", 2, 2, 0, 0, 0, 4, 1, 9)],
+        schema=("batch_id int, host string, n_scheduled long, n_ok long, "
+                "n_retry long, n_failed long, n_skipped long, "
+                "n_links_out long, n_docs_out long, sum_elapsed_ms long"),
+    )
+    scores = {r["host"]: r["yield_permille"]
+              for r in host_yield_scores(metrics).collect()}
+    assert scores == {"a": 2000, "b": 500}
+
+    sched = spark.createDataFrame(
+        [("https://a/1", "a", 5.0), ("https://a/2", "a", 9.0),
+         ("https://b/1", "b", 99.0), ("https://b/2", "b", 99.0),
+         ("https://c/1", "c", 0.0)],
+        "url string, host string, priority double",
+    )
+    out = cap_global_batch(sched, host_yield_scores(metrics), cap=3)
+    # a (2000) fills first — priority DESC within the host — then the
+    # history-less c at the 1000 prior; b (500) is cut despite priority 99
+    assert [r["url"] for r in out.collect()] == [
+        "https://a/2", "https://a/1", "https://c/1"]
+    assert {f.name for f in out.schema.fields} == {"url", "host", "priority"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_trap_cap_semantics(spark):
     """cap_template_explosion keeps at most `cap` URLs per (host,
     digit-normalized template), choosing the lexicographically-lowest

@@ -93,6 +93,49 @@ def test_documents_to_warc_projection(spark, tmp_path):
     assert rec["warc_date"] == "2021-03-05T00:00:00Z"
 
 
+def test_cdxj_index_random_access(spark, tmp_path):
+    """cdxj=True writes a capture index whose (filename, offset, length)
+    triples address each record's own gzip member: seeking to the offset
+    and decompressing exactly `length` bytes yields THAT record alone —
+    O(1) random access per URL, no shard scan.  SURT keys sort a domain's
+    captures contiguously, and read_cdxj loads the index for lookup
+    joins."""
+    import os
+
+    from crawlspark.sources.warc import read_cdxj, surt_key
+
+    out = str(tmp_path / "warc")
+    df = _rows(spark, n=23)
+    r = write_warc(df, out, cdxj=True)
+    assert r["records"] == 23
+    assert len(glob.glob(out + "/*.cdxj")) == r["files"]
+
+    idx = read_cdxj(spark, out)
+    rows = idx.collect()
+    assert len(rows) == 23
+    want = {x["uri"] for x in df.collect()}
+    assert {x["url"] for x in rows} == want
+    # SURT: reversed-host key, www stripped, ts from the record date
+    assert all(x["surt"].startswith("example,cna)/news/") for x in rows)
+    assert all(x["ts"] == "20210301000000" for x in rows)
+    assert surt_key("https://www.cna.example/news/7") == "example,cna)/news/7"
+
+    # the random-access proof: every index row seeks to exactly its record
+    for x in rows:
+        with open(os.path.join(out, x["filename"]), "rb") as f:
+            f.seek(x["offset"])
+            member = f.read(x["length"])
+        rec = next(parse_records(gzip.decompress(member)))
+        assert rec["target_uri"] == x["url"]
+        import hashlib as _h
+
+        assert _h.md5(rec["payload"]).hexdigest() == x["digest"]
+    # index files are internally sorted by SURT (range-scan ready)
+    for p in glob.glob(out + "/*.cdxj"):
+        lines = open(p).read().splitlines()
+        assert lines == sorted(lines)
+
+
 def test_warc_revisit_dedup_roundtrip(spark, tmp_path):
     """Planted duplicate payloads → revisit records: one full response per
     distinct payload, every duplicate becomes a zero-payload revisit whose
