@@ -171,6 +171,37 @@ def export_media_frames(
             "max_frames": max_frames}
 
 
+def export_warc(
+    catalog,
+    out_dir: str,
+    manifest: dict | None = None,
+    sample_pct: int | None = None,
+    revisit: bool = True,
+    cdxj: bool = True,
+) -> dict:
+    """Publish the crawl corpus as a web archive: documents → WARC
+    response records → ``.warc.gz`` shards + CDXJ capture index — the
+    interchange shape Common Crawl consumers and wayback-style replay
+    tools ingest directly.
+
+    ``revisit=True`` runs the WARC/1.1 §6.7 payload dedup first, so
+    identical payloads are stored once (later copies become zero-payload
+    revisit records pointing at the original — the archive storage win);
+    ``cdxj=True`` writes the per-shard capture index with exact gzip-member
+    offsets, giving O(1) random access per URL over the published archive.
+    Everything is executor-side streaming (write_warc's contract); only
+    the per-shard manifest comes back."""
+    from crawlspark.sources.warc import (documents_to_warc_rows,
+                                         revisit_dedup, write_warc)
+
+    docs = _sample(catalog.read("documents", manifest), sample_pct)
+    rows = documents_to_warc_rows(docs)
+    if revisit:
+        rows = revisit_dedup(rows)
+    r = write_warc(rows, out_dir, cdxj=cdxj)
+    return {**r, "revisit": revisit, "cdxj": cdxj}
+
+
 def export_incremental(
     catalog,
     out_dir: str,

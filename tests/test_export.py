@@ -287,3 +287,45 @@ def test_export_jsonl_tokenizer_ready(spark, tmp_path):
         with gzip.open(p, "rt") as f:
             all_lines += [json.loads(l)["doc_id"] for l in f if l.strip()]
     assert sorted(all_lines) == ["a1", "b1", "c1"]
+
+
+def test_export_warc_archive_with_index(spark, tmp_path):
+    """export_warc publishes the corpus as .warc.gz shards + CDXJ index:
+    duplicate payloads become revisit records (stored once), every
+    document round-trips, and each index row seeks to exactly its own
+    record — the replay-tool-ready archive shape."""
+    import glob
+    import gzip
+    import os
+
+    from crawlspark import schemas
+    from crawlspark.export import export_warc
+    from crawlspark.sources.warc import parse_records, read_cdxj, read_warc
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.commit(1, appends={"documents": spark.createDataFrame(
+        [_doc_row("a1", _BASE_TEXT),
+         _doc_row("b1", _BASE_TEXT),  # identical payload -> revisit
+         _doc_row("c1", "different story about markets and trade")],
+        schemas.DOCUMENTS)})
+
+    out = str(tmp_path / "archive")
+    r = export_warc(cat, out)
+    assert r["records"] == 3 and r["revisit"] and r["cdxj"]
+
+    back = read_warc(spark, out).collect()
+    assert {x["target_uri"] for x in back} == {
+        f"https://www.cna.example/news/{d}" for d in ("a1", "b1", "c1")}
+    types = {x["target_uri"].rsplit("/", 1)[1]: x["warc_type"] for x in back}
+    # keep-first by uri: a1 is the response, b1 the zero-payload revisit
+    assert types == {"a1": "response", "b1": "revisit", "c1": "response"}
+    assert [bytes(x["payload"]) for x in back
+            if x["warc_type"] == "revisit"] == [b""]
+
+    idx = read_cdxj(spark, out).collect()
+    assert len(idx) == 3
+    for x in idx:
+        with open(os.path.join(out, x["filename"]), "rb") as f:
+            f.seek(x["offset"])
+            rec = next(parse_records(gzip.decompress(f.read(x["length"]))))
+        assert rec["target_uri"] == x["url"]
