@@ -107,6 +107,13 @@ class CrawlConfig:
     # = politeness budgets alone bound the batch, plans untouched.
     global_batch_cap: int | None = None
     yield_prior_permille: int = 1000
+    # sitemap seed discovery: at crawl init (and recrawl reset) each seed
+    # host's robots.txt `Sitemap:` directives enqueue the sitemap URLs as
+    # high-priority frontier rows; the parse stage turns their <urlset>
+    # bodies into article/listing links — reaching ORPHAN pages no listing
+    # links to.  Default off: the reference has no sitemap path, and the
+    # oracle-equality e2e contract is defined without it.
+    use_sitemaps: bool = False
 
     def __post_init__(self):
         if self.expected_urls:
@@ -317,7 +324,9 @@ def _seed_row_py(u: str):
     if U.should_skip_py(cu):
         return None
     kind, _, _ = synthetic.classify_url(cu)
-    kind = "listing" if kind == "listing" else "article"
+    # sitemap survives (an explicit sitemap seed — or the dedup winner when
+    # robots discovery proposes the same URL — must parse as a sitemap)
+    kind = kind if kind in ("listing", "sitemap") else "article"
     host = U.host_of_py(cu)
     return (cu, 0, host, 0, scheduler.priority_py(0, kind, cu), 0, 0, 0, kind, None)
 
@@ -351,10 +360,45 @@ def _seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     out = spark.createDataFrame(seeds, schemas.FRONTIER)
     if cfg.seed_file:  # manual_scrape.txt analog (reference :276-295)
         out = out.unionByName(_seed_file_frame(spark, cfg.seed_file))
+    if cfg.use_sitemaps:
+        # robots-declared sitemap URLs of the seed hosts join the frontier
+        # as extra seeds (distinct url wins below dedups a sitemap URL a
+        # seed list might also carry explicitly)
+        out = out.unionByName(_sitemap_frontier(out))
     # cross-source dedup: every FRONTIER field is a deterministic function
     # of the canonical url, so duplicate rows are identical and any winner
     # equals the old first-occurrence driver loop
     return out.dropDuplicates(["url"]).withColumn("url_hash", F.xxhash64("url"))
+
+
+def _sitemap_frontier(hosts_src: DataFrame) -> DataFrame:
+    """Distinct hosts → FRONTIER rows for their robots-declared sitemap
+    URLs (sitemaps.org intake at seed time).  The robots fetch+parse runs
+    EXECUTOR-side per host — same distributed shape as _hosts_frame, so a
+    10^5-host seed set discovers its sitemaps in one job with no host list
+    on the driver.  Sitemap rows ride the normal frontier machinery from
+    here: politeness-scheduled, robots-filtered, retried, and their
+    <urlset> links dedup through the standard seen-set path."""
+    cols = [f.name for f in schemas.FRONTIER.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for h in pdf["host"]:
+                s = synthetic.robots_for_host(h)
+                for sm in s.get("sitemaps", []):
+                    # _seed_row_py: same canonicalize/skip/classify as every
+                    # other seed source — a URL proposed by BOTH a seed list
+                    # and robots discovery yields byte-identical rows, so
+                    # the cross-source dropDuplicates winner is well-defined
+                    r = _seed_row_py(sm)
+                    if r is not None:
+                        recs.append(r)
+            yield pd.DataFrame(recs, columns=cols)
+
+    return hosts_src.select("host").distinct().mapInPandas(
+        gen, schema=schemas.FRONTIER
+    )
 
 
 def _seed_bloom(spark: SparkSession, cfg: CrawlConfig, catalog: SnapshotCatalog,

@@ -15,12 +15,18 @@ import re
 
 
 def _empty_rules() -> dict:
-    return {"disallow": [], "allow": [], "crawl_delay": None}
+    return {"disallow": [], "allow": [], "crawl_delay": None, "sitemaps": []}
 
 
 def parse_robots_txt(text: str, agent: str = "crawlspark") -> dict:
     """→ {'disallow': [patterns], 'allow': [patterns],
-    'crawl_delay': float | None}."""
+    'crawl_delay': float | None, 'sitemaps': [urls]}.
+
+    ``Sitemap:`` directives are GLOBAL per the sitemaps.org protocol —
+    they apply regardless of which User-agent group is selected, so they
+    are collected across the whole file and attached to the returned
+    group's rules."""
+    sitemaps: list[str] = []
     groups: list[tuple[list[str], dict]] = []  # (agents, rules)
     cur_agents: list[str] = []
     cur_rules: dict = _empty_rules()
@@ -55,14 +61,18 @@ def parse_robots_txt(text: str, agent: str = "crawlspark") -> dict:
                 cur_rules["crawl_delay"] = float(val)
             except ValueError:
                 pass
+        elif key == "sitemap":
+            if val:
+                sitemaps.append(val)
     flush()
 
     agent = agent.lower()
     exact = next((r for ags, r in groups if agent in ags), None)
-    if exact is not None:
-        return exact
     star = next((r for ags, r in groups if "*" in ags), None)
-    return star if star is not None else _empty_rules()
+    out = dict(exact if exact is not None else
+               star if star is not None else _empty_rules())
+    out["sitemaps"] = sitemaps
+    return out
 
 
 def pattern_rx(pat: str) -> str:

@@ -9,6 +9,7 @@ once per fetch, like the reference's single callback per response.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,6 +54,16 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
             canon = U.fix_url_py(href, url)
             if canon in card_links:
                 continue  # already emitted with meta
+            kind, _, _ = synthetic.classify_url(canon)
+            out.append(rec(rec="link", link=canon,
+                           link_kind="listing" if kind == "listing" else "article"))
+    elif page_kind == "sitemap":
+        # sitemaps.org <urlset> → link rows (sitemap intake surface; the
+        # loc grammar is the same one sitemap_urlset_parse proves against
+        # its oracle).  Links classify like any listing-discovered link
+        # and dedup through the standard seen-set path downstream.
+        for loc in re.findall(r"<loc>(.*?)</loc>", body):
+            canon = U.fix_url_py(loc.strip(), url)
             kind, _, _ = synthetic.classify_url(canon)
             out.append(rec(rec="link", link=canon,
                            link_kind="listing" if kind == "listing" else "article"))

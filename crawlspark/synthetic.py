@@ -97,7 +97,39 @@ _ROBOTS = {
         "crawl_delay": None,
     },
     "www.ktimes.example": {"disallow": [], "allow": [], "crawl_delay": 1.0},
+    # sitemap-bearing host: robots declares a Sitemap URL whose <urlset>
+    # lists ORPHAN articles (valid pages no listing ever links to) — the
+    # discovery surface only sitemap intake can reach
+    "www.bpost.example": {"disallow": [], "allow": [], "crawl_delay": None,
+                          "sitemap": True},
 }
+
+# orphan articles per sitemap-bearing host: aids [n_articles,
+# n_articles + N_ORPHANS) fetch fine but are linked from nowhere
+N_ORPHANS = 3
+
+
+def _has_sitemap(host: str) -> bool:
+    return bool(_ROBOTS.get(host, {}).get("sitemap"))
+
+
+def sitemap_url(host: str) -> str:
+    return f"https://{host}/sitemap.xml"
+
+
+def sitemap_xml(spec: WebSpec, host: str) -> str:
+    """The <urlset> the synthetic web serves at /sitemap.xml: the host's
+    orphan articles plus its first regular article (already reachable —
+    intake must dedup it via the normal seen-set path)."""
+    n = spec.hosts[host]["n_articles"]
+    aids = list(range(n, n + N_ORPHANS)) + [0]
+    locs = "\n".join(
+        f"  <url><loc>{article_url(host, a)}</loc>"
+        f"<lastmod>2021-03-0{(a % 9) + 1}</lastmod></url>" for a in aids
+    )
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            f"{locs}\n</urlset>\n")
 
 
 def robots_txt(host: str) -> str:
@@ -109,6 +141,8 @@ def robots_txt(host: str) -> str:
     lines += [f"Allow: {a}" for a in r.get("allow") or []]
     if r["crawl_delay"]:
         lines.append(f"Crawl-delay: {r['crawl_delay']}")
+    if r.get("sitemap"):
+        lines += ["", f"Sitemap: {sitemap_url(host)}"]
     return "\n".join(lines) + "\n"
 
 
@@ -124,6 +158,7 @@ def robots_for_host(host: str) -> dict:
         "allow": list(parsed["allow"]),
         "crawl_delay_s": delay,
         "budget_per_batch": max(1, int(rules.BATCH_PERIOD_S / delay)),
+        "sitemaps": list(parsed.get("sitemaps", [])),
     }
 
 
@@ -388,6 +423,8 @@ def classify_url(url: str) -> tuple[str, str, dict]:
         return "other", "", {}
     host, _, path = rest.partition("/")
     path = "/" + path
+    if path == "/sitemap.xml":
+        return "sitemap", host, {}
     if "/section/" in path and "/page/" in path:
         try:
             section = int(path.split("/section/")[1].split("/")[0])
@@ -428,12 +465,16 @@ def fetch(spec: WebSpec, url: str, attempt: int = 0) -> tuple[int, str, str, int
     if pct == 3 and kind == "article":
         return 404, url, "", elapsed
     cfg = spec_hosts[host]
+    if kind == "sitemap":
+        if not _has_sitemap(host):
+            return 404, url, "", elapsed
+        return 200, url, sitemap_xml(spec, host), elapsed
     if kind == "listing":
         if params["section"] >= spec.sections or params["page"] >= cfg["pages_per_section"]:
             return 404, url, "", elapsed
         return 200, url, listing_html(spec, host, params["section"], params["page"]), elapsed
     aid = params["aid"]
-    if aid >= cfg["n_articles"]:
+    if aid >= cfg["n_articles"] + (N_ORPHANS if _has_sitemap(host) else 0):
         return 404, url, "", elapsed
     final = article_url(host, aid)  # redirect: query/alias forms collapse
     return 200, final, article_html(spec, host, aid), elapsed
