@@ -381,6 +381,29 @@ def test_global_cap_bounds_batch_size(spark, tmp_path):
     assert per_batch.count() >= 1
 
 
+def test_global_cap_resume_equals_uninterrupted(spark, tmp_path):
+    """The caps compose with resume: a capped crawl killed mid-run and
+    resumed lands on exactly the uninterrupted capped crawl's seen set and
+    documents (admission is a pure function of frontier + metrics state,
+    both snapshot-committed, so the cut is replayed identically)."""
+    # cap=40 binds while the frontier is rich but still lets the crawl
+    # terminate naturally inside max_batches — natural termination is what
+    # makes the two warehouses directly comparable
+    cfg_kw = dict(spec=synthetic.WebSpec(scale=SCALE), budget_override=BUDGET,
+                  compact_every=4, global_batch_cap=40, trap_template_cap=50)
+    wh_a = str(tmp_path / "wh_capfull")
+    run_crawl(spark, CrawlConfig(warehouse=wh_a, max_batches=40, **cfg_kw))
+    wh_b = str(tmp_path / "wh_capresume")
+    run_crawl(spark, CrawlConfig(warehouse=wh_b, max_batches=4, **cfg_kw))
+    run_crawl(spark, CrawlConfig(warehouse=wh_b, max_batches=40, **cfg_kw),
+              resume=True)
+    seen_a, prog_a, docs_a = _tables(spark, wh_a)
+    seen_b, prog_b, docs_b = _tables(spark, wh_b)
+    assert seen_a == seen_b
+    assert prog_a == prog_b
+    assert set(docs_a) == set(docs_b)
+
+
 def test_trap_cap_identity_when_not_binding(spark, tmp_path, engine_run, oracle_run):
     """A huge trap_template_cap must be a no-op: the guard's plan wiring
     cannot change the seen set or the crawl order when the cap never
