@@ -727,8 +727,6 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     cand = links.groupBy(cols["link_as_url"]).agg(
         cols["cand_winner"]
     ).select(*cols["cand_sel"])
-    if cfg.trap_template_cap is not None:
-        cand = scheduler.cap_template_explosion(cand, cfg.trap_template_cap)
     # small_positives: a batch's Bloom-positive sliver is bounded by its
     # extracted links, so the exact check broadcast-SCANS urlseen instead
     # of shuffling it (at 10^10 seen rows the shuffle, not the sliver, is
@@ -740,6 +738,14 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         )
     else:
         new_links = probe_unseen(spark, cand, urlseen_all, bloom, small_positives=True)
+    if cfg.trap_template_cap is not None:
+        # cap AFTER the seen-set filter: slots go only to genuinely-new
+        # URLs (a re-linked already-seen sibling would otherwise win a
+        # slot and then vanish in the dedup — permanently starving the
+        # new URL it displaced instead of bounding the template linearly)
+        new_links = scheduler.cap_template_explosion(
+            new_links, cfg.trap_template_cap
+        )
     new_frontier = new_links.select(
         *cols["frontier_pre"],
         bid.alias("discovered_batch"),

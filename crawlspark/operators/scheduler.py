@@ -161,19 +161,25 @@ def host_yield_scores(metrics: DataFrame,
                       prior_permille: int = 1000) -> DataFrame:
     """host → integer yield score from the per-(batch, host) metrics table:
     documents produced per successful fetch, in permille.  Hosts with no
-    fetch history yet get the optimistic ``prior_permille`` (new hosts must
-    not be starved before they have had a chance to produce anything —
-    OPIC-style optimism; the score self-corrects after their first batch).
+    TERMINAL evidence yet (nothing ok, failed, or skipped — absent hosts
+    and hosts whose only history is in-flight retries) get the optimistic
+    ``prior_permille`` (new hosts must not be starved before they have had
+    a chance to produce anything — OPIC-style optimism).  Hosts with
+    terminal evidence score on it: a host that has only ever failed
+    scores 0, NOT the prior — otherwise a chronically-dead host would
+    outrank every measured live host forever under a binding cap.
 
-    All-integer ((docs*1000) DIV ok) so the score — and therefore the
-    admission order built on it — is bit-identical at any parallelism.
+    All-integer ((docs*1000) DIV max(ok,1)) so the score — and therefore
+    the admission order built on it — is bit-identical at any parallelism.
     One groupBy over a host-sized table; output is host-cardinality."""
     agg = metrics.groupBy("host").agg(
-        F.sum("n_docs_out").alias("docs"), F.sum("n_ok").alias("ok")
+        F.sum("n_docs_out").alias("docs"), F.sum("n_ok").alias("ok"),
+        (F.sum("n_failed") + F.sum("n_skipped")).alias("terminal_bad"),
     )
+    has_evidence = (F.col("ok") > 0) | (F.col("terminal_bad") > 0)
     return agg.select(
         "host",
-        F.when(F.col("ok") > 0, F.expr("(docs * 1000) div ok"))
+        F.when(has_evidence, F.expr("(docs * 1000) div greatest(ok, 1)"))
         .otherwise(F.lit(prior_permille)).cast("long")
         .alias("yield_permille"),
     )

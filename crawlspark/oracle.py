@@ -12,6 +12,7 @@ implemented independently here (dicts + sorts vs DataFrames + windows).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from crawlspark import html_parse, rules, synthetic
@@ -38,6 +39,7 @@ def crawl_oracle(
     budget_override: int | None = None,
     seed_urls: list[str] | None = None,
     entire_site: bool = True,
+    use_sitemaps: bool = False,
 ) -> OracleResult:
     res = OracleResult()
     hosts: dict[str, dict] = {}
@@ -49,20 +51,30 @@ def crawl_oracle(
             hosts[host] = synthetic.robots_for_host(host)
         return hosts[host]
 
-    for u in (seed_urls if seed_urls is not None else synthetic.seed_urls(spec)):
+    def add_seed(u: str) -> None:
         cu = U.fix_url_py(u)
         if U.should_skip_py(cu) or cu in res.seen:
-            continue
+            return
         host = U.host_of_py(cu)
         robots(host)
         kind, _, _ = synthetic.classify_url(cu)
-        kind = "listing" if kind == "listing" else "article"
+        # sitemap survives (engine twin: crawl._seed_row_py)
+        kind = kind if kind in ("listing", "sitemap") else "article"
         pending[cu] = {
             "url": cu, "host": host, "depth": 0,
             "priority": priority_py(0, kind, cu),
             "retry_count": 0, "not_before": 0, "kind": kind, "meta": None,
         }
         res.seen.add(cu)
+
+    for u in (seed_urls if seed_urls is not None else synthetic.seed_urls(spec)):
+        add_seed(u)
+    if use_sitemaps:
+        # robots-declared sitemap URLs of the seed hosts join as extra
+        # seeds (engine twin: crawl._sitemap_frontier unioned pre-dedup)
+        for host in sorted({r["host"] for r in pending.values()}):
+            for sm in robots(host).get("sitemaps", []):
+                add_seed(sm)
 
     batch = 0
     while batch < max_batches:
@@ -137,8 +149,13 @@ def crawl_oracle(
                     if canon in card_links:
                         continue
                     k, _, _ = synthetic.classify_url(canon)
-                    _add_candidate(candidates, canon, r,
-                                   "listing" if k == "listing" else "article", None)
+                    _add_candidate(candidates, canon, r, _link_kind(k), None)
+            elif r["kind"] == "sitemap":
+                # sitemaps.org <urlset> → links (engine twin: parse._parse_row)
+                for loc in re.findall(r"<loc>(.*?)</loc>", body):
+                    canon = U.fix_url_py(loc.strip(), page_url)
+                    k, _, _ = synthetic.classify_url(canon)
+                    _add_candidate(candidates, canon, r, _link_kind(k), None)
             else:
                 art = html_parse.extract_article(body, r["host"], path)
                 if art["redirect_url"]:
@@ -165,6 +182,13 @@ def crawl_oracle(
             }
     res.batches = batch
     return res
+
+
+def _link_kind(classified: str) -> str:
+    """Link-kind mapping shared by listing and sitemap link extraction: a
+    discovered link to another sitemap (sitemap-index nesting) must be
+    FETCHED as a sitemap, not parsed as an article."""
+    return classified if classified in ("listing", "sitemap") else "article"
 
 
 def _add_candidate(candidates: dict, canon: str, src: dict, kind: str, meta):

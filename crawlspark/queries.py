@@ -6067,7 +6067,7 @@ def link_depth_bfs(spark, sf_dir):
     SELECT host,
            CAST(CASE WHEN raw = '' THEN 500
                      ELSE CAST(raw AS BIGINT) * 1000 END AS BIGINT) AS delay_ms,
-           CAST(greatest(1, 4000 // CASE WHEN raw = '' THEN 500
+           CAST(greatest(1, 30000 // CASE WHEN raw = '' THEN 500
                      ELSE CAST(raw AS BIGINT) * 1000 END) AS BIGINT)
              AS budget_per_batch
     FROM p
@@ -6086,9 +6086,15 @@ def robots_crawl_delay(spark, sf_dir):
     (Disallow/Allow/wildcards there, Crawl-delay here).
 
     Budget math is the scheduler's invariant: floor(batch_period /
-    delay), min 1 — exact integers end-to-end.  Host-cardinality input;
-    one distinct shuffle, the parse is a tiny Arrow stage."""
+    delay), min 1 — exact integers end-to-end, with the Spark side
+    deriving the period from rules.BATCH_PERIOD_S (the constant the crawl
+    loop actually uses) while the oracle pins today's value, so an engine
+    period drift breaks the hash-match instead of passing silently.
+    Host-cardinality input; one distinct shuffle, the parse is a tiny
+    Arrow stage."""
     from crawlspark.functions.robots import parse_robots_txt
+
+    period_ms = int(rules.BATCH_PERIOD_S * 1000)
 
     d = T(spark, sf_dir, "documents")
     hosts = d.select(
@@ -6118,7 +6124,8 @@ def robots_crawl_delay(spark, sf_dir):
     parsed = r.mapInPandas(parse, schema="host string, delay_ms long")
     return parsed.select(
         "host", F.col("delay_ms").cast("long").alias("delay_ms"),
-        F.greatest(F.lit(1).cast("long"), F.expr("4000 div delay_ms"))
+        F.greatest(F.lit(1).cast("long"),
+                   F.expr(f"{period_ms} div delay_ms"))
         .cast("long").alias("budget_per_batch"),
     )
 
@@ -6126,7 +6133,8 @@ def robots_crawl_delay(spark, sf_dir):
 @q(
     "exact_substring_dup_spans",
     """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE len(string_split(text, ' ')) >= 8),
     s AS (SELECT doc_id, w, unnest(range(1, len(w) - 7 + 1, 4)) AS st
           FROM t),
     win AS (SELECT doc_id, md5(array_to_string(w[st:st+7], ' ')) AS wh
@@ -6159,7 +6167,11 @@ def exact_substring_dup_spans(spark, sf_dir):
     all integer outputs."""
     d = T(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    s = d.select(
+    # guard: a sub-8-word document has no window — Spark's sequence()
+    # rejects a negative span at runtime where DuckDB's range() returns
+    # empty, so filter BEFORE the generator (same convention as
+    # decontam_flag's len >= 4 guard)
+    s = d.filter(F.size(w) >= 8).select(
         "doc_id", w.alias("w"),
         F.explode(F.sequence(F.lit(1), F.size(w) - 7, F.lit(4))).alias("st"),
     )

@@ -292,11 +292,16 @@ def write_warc(df: DataFrame, out_dir: str, cdxj: bool = False) -> dict:
                         ))
                     offset += len(member)
                     n += 1
+        # a prior run's index at this partition id must never survive a
+        # rewrite: offsets would point into the OLD shard bytes (silently
+        # wrong records on seek) or at a shard this run deleted
+        if os.path.exists(idx_path):
+            os.remove(idx_path)
         if n == 0:
             os.remove(path)  # empty partitions leave no shard behind
             return
         if cdxj:
-            with open(idx_path, "w") as fi:
+            with open(idx_path, "w", encoding="utf-8") as fi:
                 fi.write("\n".join(sorted(idx_lines)) + "\n")
         yield pd.DataFrame({"file": [path], "records": [n]})
 

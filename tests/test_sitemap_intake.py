@@ -65,6 +65,30 @@ def test_sitemap_discovery_reaches_orphans(spark, tmp_path):
     assert n_a0 == 1
 
 
+def test_sitemap_engine_equals_oracle(spark, tmp_path):
+    """Sitemap mode is oracle-verified like the default mode: engine with
+    use_sitemaps=True lands on exactly the single-threaded oracle's seen
+    set, per-batch crawl order, and doc ids (the intake path joins the
+    equality contract, not just the reach assertions above)."""
+    from crawlspark.oracle import crawl_oracle
+
+    spec = _spec()
+    wh = str(tmp_path / "wh_smora")
+    run_crawl(spark, CrawlConfig(warehouse=wh, spec=spec, max_batches=20,
+                                 budget_override=15, use_sitemaps=True))
+    ora = crawl_oracle(spec, max_batches=20, budget_override=15,
+                       use_sitemaps=True)
+    cat = SnapshotCatalog(spark, wh)
+    m = cat.latest()
+    seen = {r["url"] for r in cat.read("urlseen", m).collect()}
+    prog = {(r["url"], r["batch_id"], r["attempt"], r["outcome"])
+            for r in cat.read("progress", m).collect()}
+    docs = {r["doc_id"] for r in cat.read("documents", m).collect()}
+    assert seen == ora.seen
+    assert prog == {(u, b, a, o) for (u, b, a, o, s) in ora.progress}
+    assert docs == set(ora.docs)
+
+
 def test_sitemaps_off_by_default(spark, tmp_path):
     """Default config: no sitemap fetch, no orphan documents — the engine's
     oracle-equality contract is defined without sitemap intake."""
