@@ -107,6 +107,9 @@ class CrawlConfig:
     # = politeness budgets alone bound the batch, plans untouched.
     global_batch_cap: int | None = None
     yield_prior_permille: int = 1000
+    # anti-starvation aging under the global cap: each batch a row waits
+    # adds this much to its effective yield score (0 = pure yield order)
+    yield_age_bonus_permille: int = 0
     # sitemap seed discovery: at crawl init (and recrawl reset) each seed
     # host's robots.txt `Sitemap:` directives enqueue the sitemap URLs as
     # high-priority frontier rows; the parse stage turns their <urlset>
@@ -576,6 +579,8 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
                 catalog.read("metrics", manifest), cfg.yield_prior_permille
             ),
             cfg.global_batch_cap, cfg.yield_prior_permille,
+            age_bonus_permille=cfg.yield_age_bonus_permille,
+            batch_id=batch_id,
         )
     # fetched-cache skip (reference HTTPCACHE re-run semantics, settings.py
     # :84-89): in a re-crawl epoch, ARTICLE pages already in the fetched

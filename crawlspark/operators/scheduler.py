@@ -186,7 +186,9 @@ def host_yield_scores(metrics: DataFrame,
 
 
 def cap_global_batch(sched: DataFrame, scores: DataFrame, cap: int,
-                     prior_permille: int = 1000) -> DataFrame:
+                     prior_permille: int = 1000,
+                     age_bonus_permille: int = 0,
+                     batch_id: int | None = None) -> DataFrame:
     """Global fetch-capacity cap with yield-weighted admission: when the
     fleet can fetch at most ``cap`` pages per batch (politeness budgets
     bound each HOST, but fleet capacity bounds the BATCH), spend the slots
@@ -197,6 +199,13 @@ def cap_global_batch(sched: DataFrame, scores: DataFrame, cap: int,
     scheduled: they stay in the pending set and compete again next batch,
     so nothing needs retiring or re-queueing.
 
+    ``age_bonus_permille`` > 0 (with ``batch_id``) adds an anti-starvation
+    aging term: every row's effective score grows by the bonus per batch
+    it has waited since discovery, so a low-yield host's rows eventually
+    out-rank fresh high-yield work instead of being deferred forever —
+    the classic aged-priority-queue guarantee.  0 (the default) keeps the
+    cut a pure function of (yield, priority, url).
+
     Scale shape: the scores side is host-cardinality → broadcast join (no
     shuffle of the batch); the cut is orderBy().limit(), which Spark plans
     as TakeOrderedAndProject — a per-partition top-``cap`` heap plus a
@@ -204,6 +213,14 @@ def cap_global_batch(sched: DataFrame, scores: DataFrame, cap: int,
     s = sched.join(F.broadcast(scores), on="host", how="left").withColumn(
         "_ys", F.coalesce("yield_permille", F.lit(prior_permille))
     )
+    if age_bonus_permille and batch_id is not None:
+        s = s.withColumn(
+            "_ys",
+            F.col("_ys")
+            + F.lit(int(age_bonus_permille))
+            * F.greatest(F.lit(0),
+                         F.lit(int(batch_id)) - F.col("discovered_batch")),
+        )
     return (
         s.orderBy(F.desc("_ys"), F.desc("priority"), F.asc("url"))
         .limit(cap)

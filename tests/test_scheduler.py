@@ -136,6 +136,38 @@ def test_host_yield_scores_and_global_cap(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_global_cap_aging_prevents_starvation(spark):
+    """With age_bonus_permille, a low-yield host's long-waiting row
+    out-ranks a high-yield host's fresh rows once its accumulated bonus
+    crosses the yield gap — the aged-priority-queue guarantee; with the
+    default bonus 0 it stays starved."""
+    from crawlspark.operators.scheduler import (cap_global_batch,
+                                                host_yield_scores)
+
+    metrics = spark.createDataFrame(
+        [(1, "a", 2, 2, 0, 0, 0, 5, 4, 10),   # a: 2000 permille
+         (1, "b", 2, 2, 0, 0, 0, 4, 1, 9)],   # b: 500 permille
+        schema=("batch_id int, host string, n_scheduled long, n_ok long, "
+                "n_retry long, n_failed long, n_skipped long, "
+                "n_links_out long, n_docs_out long, sum_elapsed_ms long"),
+    )
+    sched = spark.createDataFrame(
+        # b's row has waited since batch 1; a's rows are fresh at batch 9
+        [("https://a/1", "a", 1.0, 9), ("https://a/2", "a", 1.0, 9),
+         ("https://b/old", "b", 1.0, 1)],
+        "url string, host string, priority double, discovered_batch int",
+    )
+    scores = host_yield_scores(metrics)
+    starved = cap_global_batch(sched, scores, cap=2)
+    assert {r["url"] for r in starved.collect()} == {
+        "https://a/1", "https://a/2"}
+    aged = cap_global_batch(sched, scores, cap=2,
+                            age_bonus_permille=200, batch_id=9)
+    # b/old: 500 + 200*8 = 2100 > a's 2000 — admitted ahead of one a row
+    assert {r["url"] for r in aged.collect()} == {
+        "https://a/1", "https://b/old"}
+
+
 def test_trap_cap_semantics(spark):
     """cap_template_explosion keeps at most `cap` URLs per (host,
     digit-normalized template), choosing the lexicographically-lowest
