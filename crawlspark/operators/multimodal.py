@@ -203,3 +203,96 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8,
                 yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=FRAMES)
+
+
+PHASH = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("phash", T.LongType()),   # 64-bit dHash (signed carrier)
+        T.StructField("b0", T.IntegerType()),   # 4 x 16-bit LSH bands
+        T.StructField("b1", T.IntegerType()),
+        T.StructField("b2", T.IntegerType()),
+        T.StructField("b3", T.IntegerType()),
+    ]
+)
+
+
+def _dhash64(grid: bytes) -> int:
+    """dHash over a 9x8 luminance grid: bit (r,c) = px[r][c] > px[r][c+1].
+    Returns the UNSIGNED 64-bit value.  Locality-preserving by
+    construction — flipping one grid byte flips at most 2 hash bits."""
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r * 9 + c] > grid[r * 9 + c + 1]:
+                h |= 1 << (r * 8 + c)
+    return h
+
+
+def phash_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """(doc_id, media_ref, payload) → 64-bit perceptual hash (dHash) +
+    4x16-bit LSH bands.  The hash math (9x8 grid → 64 gradient bits →
+    band split) is real; producing the grid from pixels is the codec seam:
+    the fake decoder reads the grid STRAIGHT from the payload bytes
+    (repeated/truncated to 72), so near-identical payloads get
+    near-identical hashes — the locality a perceptual hash must have, and
+    what makes the near-dup join testable without Pillow.  Row-local Arrow
+    stage, zero shuffle."""
+    if decoder == "real":
+        return _real_decode(b"", "")  # raises at the seam
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                grid = (payload * (72 // max(1, len(payload)) + 1))[:72]
+                if len(grid) < 72:
+                    grid = grid + b"\x00" * (72 - len(grid))
+                u = _dhash64(grid)
+                rows.append({
+                    "doc_id": r.doc_id, "media_ref": r.media_ref,
+                    "phash": u - (1 << 64) if u >= (1 << 63) else u,
+                    "b0": u & 0xFFFF, "b1": (u >> 16) & 0xFFFF,
+                    "b2": (u >> 32) & 0xFFFF, "b3": (u >> 48) & 0xFFFF,
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "media_ref", "payload").mapInPandas(
+        run, schema=PHASH
+    )
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Banded-LSH near-dup join over perceptual hashes: candidates share at
+    least one of the 4 16-bit bands (pigeonhole: EVERY pair within Hamming
+    distance 3 is guaranteed caught; more distant pairs probabilistically),
+    then the exact Hamming distance — bit_count(xor), JVM-side — verifies.
+    The only shuffle is the band-key equi-join, uniform keys; never an
+    all-pairs comparison, the same shape as the MinHash text-dedup join."""
+    bands = hashes.select(
+        "media_ref", "phash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("bi"), F.col(f"b{i}").alias("bv"))
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("media_ref", "phash", F.col("b.bi").alias("bi"),
+             F.col("b.bv").alias("bv"))
+    right = bands.select(
+        F.col("media_ref").alias("ref_b"), F.col("phash").alias("phash_b"),
+        "bi", "bv",
+    )
+    cand = (
+        bands.join(right, on=["bi", "bv"])
+        .filter(F.col("media_ref") < F.col("ref_b"))
+        .select(F.col("media_ref").alias("ref_a"), "phash", "ref_b", "phash_b")
+        .distinct()
+    )
+    return cand.select(
+        "ref_a", "ref_b",
+        F.expr("bit_count(phash ^ phash_b)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

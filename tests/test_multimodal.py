@@ -95,3 +95,32 @@ def test_sample_frames_schedule_and_shape(spark):
     # only videos produce frames
     kinds = {m["meta"]["media_kind"] for m in metas.values()}
     assert "video" in kinds and len(per_ref) < len(metas)
+
+
+def test_phash_locality_and_neardup_join(spark):
+    """dHash locality: a one-byte payload perturbation moves the 64-bit
+    hash by at most 2 bits, identical payloads hash identically, and the
+    banded-LSH + exact-Hamming join surfaces exactly the near pairs."""
+    from crawlspark.operators.multimodal import (phash_media,
+                                                 phash_neardup_pairs)
+
+    base = bytes(range(72))
+    near = bytearray(base)
+    near[10] = 200  # one grid cell changed -> <= 2 gradient bits flip
+    far = bytes((b * 37 + 11) % 251 for b in range(72))
+    rows = [("d1", "m_base", base), ("d2", "m_near", bytes(near)),
+            ("d3", "m_same", base), ("d4", "m_far", far)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, payload binary")
+    hashes = phash_media(df)
+    by_ref = {r["media_ref"]: r for r in hashes.collect()}
+    assert by_ref["m_base"]["phash"] == by_ref["m_same"]["phash"]
+    xor = by_ref["m_base"]["phash"] ^ by_ref["m_near"]["phash"]
+    assert 1 <= bin(xor & ((1 << 64) - 1)).count("1") <= 2
+
+    pairs = {(r["ref_a"], r["ref_b"]): r["hamming"]
+             for r in phash_neardup_pairs(hashes, max_hamming=8).collect()}
+    assert pairs[("m_base", "m_same")] == 0
+    assert 1 <= pairs[("m_base", "m_near")] <= 2
+    assert 1 <= pairs[("m_near", "m_same")] <= 2
+    assert all("m_far" not in pair for pair in pairs)
