@@ -327,9 +327,7 @@ def _seed_row_py(u: str):
     if U.should_skip_py(cu):
         return None
     kind, _, _ = synthetic.classify_url(cu)
-    # sitemap survives (an explicit sitemap seed — or the dedup winner when
-    # robots discovery proposes the same URL — must parse as a sitemap)
-    kind = kind if kind in ("listing", "sitemap") else "article"
+    kind = U.link_kind_py(kind)  # sitemap/listing preserved, rest article
     host = U.host_of_py(cu)
     return (cu, 0, host, 0, scheduler.priority_py(0, kind, cu), 0, 0, 0, kind, None)
 

@@ -235,3 +235,14 @@ def should_skip_py(url: str) -> bool:
     if domain_of_py(host_of_py(url)) not in rules.ALLOWED_DOMAINS:
         return True
     return False
+
+
+def link_kind_py(classified: str) -> str:
+    """classify_url kind → frontier page_kind for a discovered/seeded URL.
+    Listing and sitemap kinds are fetch-and-extract surfaces and must be
+    preserved (a link to a sitemap — sitemap-index nesting — has to be
+    FETCHED as a sitemap, not parsed as an article); everything else is
+    fetched as an article.  ONE definition shared by the parse stage's
+    link branches and the seed path so the engine cannot drift against
+    itself (the oracle keeps an intentionally independent copy)."""
+    return classified if classified in ("listing", "sitemap") else "article"

@@ -247,9 +247,10 @@ def phash_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                grid = (payload * (72 // max(1, len(payload)) + 1))[:72]
-                if len(grid) < 72:
-                    grid = grid + b"\x00" * (72 - len(grid))
+                # pad-only, never tile: tiling would map one payload byte
+                # into several grid cells, breaking the ≤2-bits-per-byte
+                # locality bound for sub-72-byte payloads
+                grid = payload[:72] + b"\x00" * max(0, 72 - len(payload))
                 u = _dhash64(grid)
                 rows.append({
                     "doc_id": r.doc_id, "media_ref": r.media_ref,

@@ -55,11 +55,8 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
             if canon in card_links:
                 continue  # already emitted with meta
             kind, _, _ = synthetic.classify_url(canon)
-            # sitemap preserved: a discovered link to another sitemap
-            # (sitemap-index nesting) must be FETCHED as a sitemap
             out.append(rec(rec="link", link=canon,
-                           link_kind=kind if kind in ("listing", "sitemap")
-                           else "article"))
+                           link_kind=U.link_kind_py(kind)))
     elif page_kind == "sitemap":
         # sitemaps.org <urlset> → link rows (sitemap intake surface; the
         # loc grammar is the same one sitemap_urlset_parse proves against
@@ -69,8 +66,7 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
             canon = U.fix_url_py(loc.strip(), url)
             kind, _, _ = synthetic.classify_url(canon)
             out.append(rec(rec="link", link=canon,
-                           link_kind=kind if kind in ("listing", "sitemap")
-                           else "article"))
+                           link_kind=U.link_kind_py(kind)))
     else:  # article
         art = html_parse.extract_article(body, host, path)
         if art["redirect_url"]:

@@ -158,16 +158,18 @@ def schedule(pending: DataFrame, hosts: DataFrame, batch_id: int,
 # ------------------------------------------------------- adaptive admission
 
 def host_yield_scores(metrics: DataFrame,
-                      prior_permille: int = 1000) -> DataFrame:
+                      prior_permille: int = 1000,
+                      min_evidence: int = 3) -> DataFrame:
     """host → integer yield score from the per-(batch, host) metrics table:
-    documents produced per successful fetch, in permille.  Hosts with no
-    TERMINAL evidence yet (nothing ok, failed, or skipped — absent hosts
-    and hosts whose only history is in-flight retries) get the optimistic
-    ``prior_permille`` (new hosts must not be starved before they have had
-    a chance to produce anything — OPIC-style optimism).  Hosts with
-    terminal evidence score on it: a host that has only ever failed
-    scores 0, NOT the prior — otherwise a chronically-dead host would
-    outrank every measured live host forever under a binding cap.
+    documents produced per successful fetch, in permille.  Hosts without
+    enough evidence keep the optimistic ``prior_permille`` (new hosts must
+    not be starved before they have had a chance to produce — OPIC-style
+    optimism).  Evidence means at least one ok fetch, or at least
+    ``min_evidence`` terminal failures/skips: one unlucky 404 must not
+    zero a host forever (with a binding cap and no ok fetches, a zeroed
+    host is never rescheduled, so the score could never self-correct),
+    but a host that has failed ``min_evidence`` times with nothing ok
+    scores 0 rather than outranking measured live hosts.
 
     All-integer ((docs*1000) DIV max(ok,1)) so the score — and therefore
     the admission order built on it — is bit-identical at any parallelism.
@@ -176,7 +178,9 @@ def host_yield_scores(metrics: DataFrame,
         F.sum("n_docs_out").alias("docs"), F.sum("n_ok").alias("ok"),
         (F.sum("n_failed") + F.sum("n_skipped")).alias("terminal_bad"),
     )
-    has_evidence = (F.col("ok") > 0) | (F.col("terminal_bad") > 0)
+    has_evidence = (F.col("ok") > 0) | (
+        F.col("terminal_bad") >= int(min_evidence)
+    )
     return agg.select(
         "host",
         F.when(has_evidence, F.expr("(docs * 1000) div greatest(ok, 1)"))

@@ -24,6 +24,7 @@ oracle that derives the same fields straight from the table.
 
 from __future__ import annotations
 
+import glob
 import gzip
 import hashlib
 import io
@@ -231,6 +232,14 @@ def write_warc(df: DataFrame, out_dir: str, cdxj: bool = False) -> dict:
     partition would race on one shard file (the shard name is the
     partition id so a retry after failure safely overwrites)."""
     os.makedirs(out_dir, exist_ok=True)
+    # overwrite semantics for the WHOLE prior publication: a rerun with
+    # fewer partitions never executes a task for the higher partition ids,
+    # so per-task cleanup can't reach their stale shards/indexes — the
+    # driver clears every part-* output up front (an object store answers
+    # this with one list+delete)
+    for stale in glob.glob(os.path.join(out_dir, "part-*.warc.gz")) + \
+            glob.glob(os.path.join(out_dir, "part-*.cdxj")):
+        os.remove(stale)
     cols = df.columns
     assert {"uri", "payload"} <= set(cols), cols
     out_schema = StructType(

@@ -105,20 +105,23 @@ def test_host_yield_scores_and_global_cap(spark):
 
     metrics = spark.createDataFrame(
         # a: 4 docs / 2 ok = 2000 permille; b: 1 doc / 2 ok = 500;
-        # d: every attempt failed -> terminal evidence, scores 0 (NOT the
-        # optimistic prior — a dead host must not outrank measured hosts);
-        # e: only an in-flight retry -> no terminal evidence, prior 1000
+        # d: failed min_evidence (3) times, nothing ok -> scores 0 (a dead
+        # host must not outrank measured hosts);
+        # e: only an in-flight retry -> no terminal evidence, prior 1000;
+        # f: ONE unlucky 404 -> below min_evidence, keeps the prior (a
+        # single failure must not zero a host forever under a binding cap)
         [(1, "a", 2, 2, 0, 0, 0, 5, 3, 10), (2, "a", 1, 0, 0, 0, 0, 0, 1, 5),
          (1, "b", 2, 2, 0, 0, 0, 4, 1, 9),
          (1, "d", 3, 0, 0, 3, 0, 0, 0, 9),
-         (1, "e", 1, 0, 1, 0, 0, 0, 0, 3)],
+         (1, "e", 1, 0, 1, 0, 0, 0, 0, 3),
+         (1, "f", 1, 0, 0, 1, 0, 0, 0, 2)],
         schema=("batch_id int, host string, n_scheduled long, n_ok long, "
                 "n_retry long, n_failed long, n_skipped long, "
                 "n_links_out long, n_docs_out long, sum_elapsed_ms long"),
     )
     scores = {r["host"]: r["yield_permille"]
               for r in host_yield_scores(metrics).collect()}
-    assert scores == {"a": 2000, "b": 500, "d": 0, "e": 1000}
+    assert scores == {"a": 2000, "b": 500, "d": 0, "e": 1000, "f": 1000}
 
     sched = spark.createDataFrame(
         [("https://a/1", "a", 5.0), ("https://a/2", "a", 9.0),
