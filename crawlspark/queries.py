@@ -6271,6 +6271,335 @@ def shingle_containment(spark, sf_dir):
     )
 
 
+# ============ Mojibake (encoding-damage) repair ===========================
+
+# UTF-8 text mis-decoded as cp1252 somewhere in a fetch/store hop is the
+# single most common encoding damage in crawled corpora (ftfy exists
+# because of it).  The repair table is GENERATED, not hand-typed: for each
+# target character, the mojibake form is exactly
+# char.encode('utf-8').decode('cp1252') — so the table is provably the
+# inverse of the damage it repairs.  Characters whose UTF-8 bytes hit a
+# cp1252 hole (e.g. U+201D, 0x9D undefined) can't round-trip and are
+# excluded by construction.  Longest sequences first so the 3-byte
+# punctuation forms never lose a prefix race to a 2-byte accent form.
+_MOJIBAKE_CHARS = ["’", "“", "–", "—", "…", "é", "è", "ü", "ñ", "á", "ö"]
+_MOJIBAKE_TABLE: list[tuple[str, str]] = sorted(
+    ((c.encode("utf-8").decode("cp1252"), c) for c in _MOJIBAKE_CHARS),
+    key=lambda p: -len(p[0]),
+)
+# one planted damage sample per doc_id slot; slot len(table) plants clean
+_MOJI_SLOTS = [m for m, _ in _MOJIBAKE_TABLE] + [""]
+
+
+def _moji_repair_expr(col):
+    for m, c in _MOJIBAKE_TABLE:
+        col = F.replace(col, F.lit(m), F.lit(c))
+    return col
+
+
+def _moji_repair_sql(expr: str) -> str:
+    for m, c in _MOJIBAKE_TABLE:
+        expr = f"replace({expr}, '{m}', '{c}')"
+    return expr
+
+
+def _moji_marker_count_expr(col):
+    # â / Ã / Â lead every cp1252-mojibake sequence and never appear in
+    # either the ASCII corpus or the repaired output
+    n = F.length(col) - F.length(F.replace(col, F.lit("â"), F.lit("")))
+    for mk in ("Ã", "Â"):
+        n = n + F.length(col) - F.length(F.replace(col, F.lit(mk), F.lit("")))
+    return n
+
+
+_MOJI_SLOT_SQL = "[" + ", ".join(f"'{s}'" for s in _MOJI_SLOTS) + "]"
+
+
+@q(
+    "mojibake_repair",
+    f"""
+    WITH planted AS (
+      SELECT doc_id,
+             substr(text, 1, 24) || ' ' ||
+             list_extract({_MOJI_SLOT_SQL},
+                          CAST(doc_id % {len(_MOJI_SLOTS)} AS INT) + 1) ||
+             ' mid ' ||
+             list_extract({_MOJI_SLOT_SQL},
+                          CAST(doc_id % {len(_MOJI_SLOTS)} AS INT) + 1) ||
+             ' tail' AS raw
+      FROM documents),
+    fixed AS (
+      SELECT doc_id, raw, {_moji_repair_sql('raw')} AS rep FROM planted)
+    SELECT doc_id,
+           CAST((length(raw) - length(replace(raw, 'â', '')))
+              + (length(raw) - length(replace(raw, 'Ã', '')))
+              + (length(raw) - length(replace(raw, 'Â', '')))
+              AS BIGINT) AS n_moji,
+           md5(rep) AS fixed_md5,
+           CAST(strlen(raw) AS BIGINT) AS n_bytes_raw,
+           CAST(strlen(rep) AS BIGINT) AS n_bytes_fixed
+    FROM fixed
+    """,
+)
+def mojibake_repair(spark, sf_dir):
+    """Mojibake repair — undo UTF-8-mis-decoded-as-cp1252 damage (curly
+    quotes, dashes, ellipses, Latin accents), the encoding-hygiene pass
+    every crawled-text pipeline runs (ftfy's core case).  The repair
+    table is generated as the exact inverse of the damage
+    (utf8-encode → cp1252-decode), applied as a chained literal
+    `replace` — JVM-side, codegen'd, ZERO shuffle, no regex engine.
+    The ASCII corpus is salted deterministically (doc_id-sloted damage
+    sample planted twice per doc); the oracle replays the identical
+    plant + repair chain in DuckDB.  n_moji counts lead-marker chars
+    (â/Ã/Â) before repair; byte lengths shrink iff damage was present,
+    proving the repair actually rewrote bytes."""
+    d = T(spark, sf_dir, "documents")
+    slots = F.array(*[F.lit(s) for s in _MOJI_SLOTS])
+    samp = F.element_at(
+        slots, (F.col("doc_id") % len(_MOJI_SLOTS)).cast("int") + 1
+    )
+    raw = F.concat(
+        F.substring("text", 1, 24), F.lit(" "), samp, F.lit(" mid "),
+        samp, F.lit(" tail"),
+    )
+    p = d.select("doc_id", raw.alias("raw"))
+    return p.select(
+        "doc_id",
+        _moji_marker_count_expr(F.col("raw")).cast("long").alias("n_moji"),
+        F.md5(_moji_repair_expr(F.col("raw"))).alias("fixed_md5"),
+        F.octet_length("raw").cast("long").alias("n_bytes_raw"),
+        F.octet_length(_moji_repair_expr(F.col("raw"))).cast("long")
+        .alias("n_bytes_fixed"),
+    )
+
+
+# ============ SURT canonical key (expression form) ========================
+
+
+@q(
+    "surt_canonical",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             lower(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END
+               || '://'
+               || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+               || source || '.news.example'
+               || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+               || '/News/' || doc_id || '?id=' || doc_id) AS lu
+      FROM documents),
+    parts AS (
+      SELECT doc_id, lu,
+             regexp_replace(lu, '^[a-z]+://', '') AS rest
+      FROM u),
+    hp AS (
+      SELECT doc_id, lu, rest,
+             split_part(rest, '/', 1) AS host_port
+      FROM parts)
+    SELECT doc_id,
+           lu AS url,
+           array_to_string(list_reverse(string_split(
+               regexp_replace(split_part(host_port, ':', 1), '^www\\.', ''),
+               '.')), ',')
+             || ')/'
+             || substr(rest, strlen(host_port) + 2) AS surt
+    FROM hp
+    """,
+)
+def surt_canonical(spark, sf_dir):
+    """SURT key as a pure column expression — the expression twin of
+    `sources.warc.surt_key` (the CDXJ index key: lowercase, scheme
+    dropped, port dropped, leading www. dropped, host labels reversed,
+    ')/'-joined path).  The Python form serializes records executor-side;
+    this form is what a 100 TB index BUILD uses: JVM-side split/reverse/
+    join, codegen'd, zero shuffle, so keying 10^10 captures never leaves
+    the scan stage.  URLs are constructed over the corpus with every
+    variation the key must canonicalize (mixed-case scheme, www. prefix,
+    port, query string); tests/test_warc.py proves expression == Python
+    function on the same URLs, and the oracle re-derives the key
+    independently in DuckDB."""
+    d = T(spark, sf_dir, "documents")
+    lu = F.lower(
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https"))
+            .otherwise(F.lit("HTTP")),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+            .otherwise(F.lit("")),
+            F.col("source"), F.lit(".news.example"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.lit("/News/"), F.col("doc_id").cast("string"),
+            F.lit("?id="), F.col("doc_id").cast("string"),
+        )
+    )
+    u = d.select("doc_id", lu.alias("lu"))
+    rest = F.regexp_replace("lu", r"^[a-z]+://", "")
+    p = u.select("doc_id", "lu", rest.alias("rest"))
+    host_port = F.split_part(F.col("rest"), F.lit("/"), F.lit(1))
+    hp = p.select("doc_id", "lu", "rest", host_port.alias("host_port"))
+    host = F.regexp_replace(
+        F.split_part(F.col("host_port"), F.lit(":"), F.lit(1)),
+        r"^www\.", "",
+    )
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")/"),
+        F.substring(
+            F.col("rest"), F.length("host_port") + 2, F.lit(1 << 30)
+        ),
+    )
+    return hp.select(
+        "doc_id", F.col("lu").alias("url"), surt.alias("surt")
+    )
+
+
+# ============ Fetch-latency tail percentiles ==============================
+
+
+@q(
+    "fetch_latency_tails",
+    """
+    WITH f AS (
+      SELECT source AS host,
+             ('0x' || substr(md5('lat' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 400 * 10 + 25
+             + CASE WHEN doc_id % 19 = 0 THEN 8000 ELSE 0 END AS lat_ms
+      FROM documents),
+    r AS (
+      SELECT host, lat_ms,
+             row_number() OVER (PARTITION BY host ORDER BY lat_ms) AS rn,
+             count(*) OVER (PARTITION BY host) AS n
+      FROM f)
+    SELECT host,
+           CAST(max(n) AS BIGINT) AS n_fetches,
+           CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_ms END)
+                AS BIGINT) AS p50_ms,
+           CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN lat_ms END)
+                AS BIGINT) AS p95_ms,
+           CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN lat_ms END)
+                AS BIGINT) AS p99_ms,
+           CAST(max(lat_ms) AS BIGINT) AS max_ms
+    FROM r GROUP BY host
+    """,
+)
+def fetch_latency_tails(spark, sf_dir):
+    """Per-host fetch-latency tail percentiles (p50/p95/p99/max, EXACT
+    nearest-rank order statistics) — the crawl-ops dashboard query that
+    decides which hosts get their politeness delay raised or their budget
+    cut.  Latencies are synthesized md5-deterministically with a planted
+    heavy tail (every 19th fetch stalls +8 s) so the p99/p50 gap is real.
+    Exact tails need the per-host sort (one keyed window shuffle, fine at
+    per-host cardinalities); the 100 TB whole-corpus variant would swap in
+    approx_percentile's one-pass sketch — this query is the exact twin
+    that bounds that sketch's error.  Integer-exact throughout: the
+    nearest-rank index is (n*q+99) div 100, no interpolation, no IEEE."""
+    d = T(spark, sf_dir, "documents")
+    lat = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lat"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 400 * 10 + 25
+        + F.when(F.col("doc_id") % 19 == 0, F.lit(8000)).otherwise(F.lit(0))
+    )
+    f = d.select(F.col("source").alias("host"), lat.alias("lat_ms"))
+    wo = Window.partitionBy("host").orderBy("lat_ms")
+    wp = Window.partitionBy("host")
+    r = f.select(
+        "host", "lat_ms",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+
+    def _at(qn: int):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {qn} + 99) div 100"),
+                F.col("lat_ms"),
+            )
+        ).cast("long")
+
+    return r.groupBy("host").agg(
+        F.max("n").cast("long").alias("n_fetches"),
+        _at(50).alias("p50_ms"),
+        _at(95).alias("p95_ms"),
+        _at(99).alias("p99_ms"),
+        F.max("lat_ms").cast("long").alias("max_ms"),
+    )
+
+
+# ============ Link-farm scoring over the host graph =======================
+
+
+@q(
+    "link_farm_score",
+    """
+    WITH e AS (
+      SELECT 'h' || (l_orderkey % 50)::VARCHAR AS src_host,
+             'h' || (l_partkey % 50)::VARCHAR AS dst_host
+      FROM lineitem WHERE l_orderkey % 50 != l_partkey % 50),
+    w AS (
+      SELECT src_host, dst_host, count(*) AS w
+      FROM e GROUP BY src_host, dst_host),
+    m AS (
+      SELECT a.src_host, a.dst_host, a.w,
+             CASE WHEN b.src_host IS NULL THEN 0 ELSE 1 END AS recip
+      FROM w a LEFT JOIN w b
+        ON a.src_host = b.dst_host AND a.dst_host = b.src_host)
+    SELECT src_host AS host,
+           CAST(sum(w) AS BIGINT) AS out_links,
+           CAST(count(*) AS BIGINT) AS out_distinct,
+           CAST(1000 - count(*) * 1000 // sum(w) AS BIGINT)
+             AS dup_link_permille,
+           CAST(sum(recip) * 1000 // count(*) AS BIGINT)
+             AS recip_permille
+    FROM m GROUP BY src_host
+    """,
+)
+def link_farm_score(spark, sf_dir):
+    """Link-farm / spam-host signals over the host graph: duplicated-link
+    permille (1000 - distinct/total) and reciprocal-edge permille — the
+    classic farm fingerprints (pages hammering the same few targets;
+    mutual-admiration rings) that feed the frontier's host-quality prior
+    alongside host_pagerank.  Same edge derivation as host_graph_edges;
+    edges collapse to host pairs map-side BEFORE any shuffle, the
+    reciprocity check is one self-join on the already-host-sized graph
+    (broadcastable when the host graph fits, partitioned otherwise), and
+    the scores are exact integer permilles."""
+    li = T(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 50).cast("string"))
+        .alias("src_host"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 50).cast("string"))
+        .alias("dst_host"),
+    ).filter(F.col("l_orderkey") % 50 != F.col("l_partkey") % 50)
+    w = e.groupBy("src_host", "dst_host").agg(F.count("*").alias("w"))
+    rev = w.select(
+        F.col("src_host").alias("r_src"), F.col("dst_host").alias("r_dst")
+    )
+    m = w.join(
+        rev,
+        (F.col("src_host") == F.col("r_dst"))
+        & (F.col("dst_host") == F.col("r_src")),
+        "left",
+    ).select(
+        "src_host", "w",
+        F.when(F.col("r_src").isNull(), F.lit(0)).otherwise(F.lit(1))
+        .alias("recip"),
+    )
+    return m.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("w").cast("long").alias("out_links"),
+        F.count("*").cast("long").alias("out_distinct"),
+        F.expr("1000 - count(*) * 1000 div sum(w)").cast("long")
+        .alias("dup_link_permille"),
+        F.expr("sum(recip) * 1000 div count(*)").cast("long")
+        .alias("recip_permille"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -6461,6 +6790,14 @@ _DEMOTED = [
     "html_anchor_cards",
     "paragraph_boilerplate",
     "ann_ivf_topk",
+    # NEW in the round-5 late continuation, parked OUTSIDE the window so
+    # the 50 never-driver-checked round-5 entries keep their first rows
+    # this round; PROMOTE BOTH in round 6 (each is oracle-green via
+    # scripts/check_oracles.py and pytest-covered this round)
+    "mojibake_repair",
+    "surt_canonical",
+    "fetch_latency_tails",
+    "link_farm_score",
 ]
 
 

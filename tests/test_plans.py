@@ -239,9 +239,17 @@ def test_row_local_quality_ops_never_shuffle(spark, qs):
     stages: zero Exchange anywhere in the plan (at 100 TB they fuse into
     the scan)."""
     for name in ("gopher_quality_gate", "rendezvous_shard",
-                 "embed_quantize_int8", "repetition_ratio"):
+                 "embed_quantize_int8", "repetition_ratio",
+                 "mojibake_repair", "surt_canonical"):
         p = _plan(spark, qs[name](spark, SF))
         assert "Exchange" not in p, f"{name} shuffles:\n{p[:800]}"
+
+
+def test_latency_tails_single_host_shuffle(spark, qs):
+    """Exact order statistics pay exactly one keyed shuffle: the per-host
+    window sort and the per-host agg share the hashpartitioning(host)."""
+    p = _plan(spark, qs["fetch_latency_tails"](spark, SF))
+    assert p.count("Exchange hashpartitioning") <= 1, p.count("Exchange")
 
 
 def test_cms_sketch_join_broadcasts(spark, qs):

@@ -75,3 +75,36 @@ def test_clean_spans_interleaved():
 def test_clean_spans_drops_emptied_credit_span():
     out = tc.clean_spans([("text", "(Photo: Reuters)", None), ("text", "keep me covid", None)])
     assert [s["text"] for s in out] == ["keep me covid"]
+
+
+def test_mojibake_table_is_exact_inverse_of_damage():
+    """The repair table is generated as char.encode('utf-8')
+    .decode('cp1252'); applying the chained repairs to damaged text must
+    reproduce the original, and clean ASCII must pass through unchanged
+    (idempotence on already-repaired text too)."""
+    from crawlspark.queries import _MOJIBAKE_CHARS, _MOJIBAKE_TABLE
+
+    def repair(s: str) -> str:
+        for m, c in _MOJIBAKE_TABLE:
+            s = s.replace(m, c)
+        return s
+
+    clean = "It's a plain ascii sentence - nothing to fix."
+    assert repair(clean) == clean
+
+    # note: no U+201D here — its 0x9D byte is a cp1252 hole, i.e. that
+    # damage form cannot occur (the table excludes it by construction)
+    original = "don’t — “quoted… café señor Müller-ish ö è á"
+    damaged = original.encode("utf-8").decode("cp1252")
+    assert damaged != original
+    assert repair(damaged) == original
+    assert repair(repair(damaged)) == original  # idempotent
+
+    # every table row actually round-trips its character
+    for c in _MOJIBAKE_CHARS:
+        assert repair(c.encode("utf-8").decode("cp1252")) == c
+
+    # longest-first ordering: no 2-char accent rule can fire inside a
+    # still-unrepaired 3-char punctuation sequence
+    lens = [len(m) for m, _ in _MOJIBAKE_TABLE]
+    assert lens == sorted(lens, reverse=True)

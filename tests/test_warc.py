@@ -182,3 +182,46 @@ def test_warc_revisit_dedup_roundtrip(spark, tmp_path):
         assert p["target_uri"] == min(groups[bytes(p["payload"])])
     # storage win: the 8 duplicates wrote no payload bytes
     assert all(x["record_id"] for x in back)
+
+
+def test_surt_expression_matches_python_function(spark):
+    """surt_canonical's column expression is the exact twin of
+    sources.warc.surt_key (the CDXJ index key) — including mixed-case
+    scheme, www. prefix, port, query strings, a bare host with no path,
+    and a deep multi-label host."""
+    from crawlspark.queries import SPARK_QUERIES
+    from crawlspark.sources.warc import surt_key
+
+    rows = SPARK_QUERIES["surt_canonical"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "query produced no rows"
+    for r in rows:
+        assert r["surt"] == surt_key(r["url"]), r["url"]
+
+    # edge shapes beyond the query's constructed URLs: the expression
+    # pipeline applied manually must equal the Python function
+    from pyspark.sql import functions as Fn
+
+    edge = [
+        "https://example.com",            # no path at all
+        "HTTP://WWW.Example.COM:8080/A/B?c=D",
+        "https://a.b.c.d.example.org/x//y/",
+        "https://www.example.com/",
+    ]
+    df = spark.createDataFrame([(u,) for u in edge], ["url"])
+    lu = Fn.lower("url")
+    rest = Fn.regexp_replace(lu, r"^[a-z]+://", "")
+    host_port = Fn.split_part(rest, Fn.lit("/"), Fn.lit(1))
+    host = Fn.regexp_replace(
+        Fn.split_part(host_port, Fn.lit(":"), Fn.lit(1)), r"^www\.", ""
+    )
+    surt = Fn.concat(
+        Fn.array_join(Fn.reverse(Fn.split(host, r"\.")), ","),
+        Fn.lit(")/"),
+        Fn.substring(rest, Fn.length(host_port) + 2, Fn.lit(1 << 30)),
+    )
+    got = {r["url"]: r["surt"]
+           for r in df.select("url", surt.alias("surt")).collect()}
+    for u in edge:
+        assert got[u] == surt_key(u), u
