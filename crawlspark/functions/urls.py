@@ -246,3 +246,43 @@ def link_kind_py(classified: str) -> str:
     link branches and the seed path so the engine cannot drift against
     itself (the oracle keeps an intentionally independent copy)."""
     return classified if classified in ("listing", "sitemap") else "article"
+
+
+# ---- tracking-param canonicalization (dedup-side, opt-in) ----------------
+
+# The classic analytics/click-id params that make distinct URLs point at
+# the same page.  NOT part of the reference-pinned fix_url chain (the
+# reference's canonicalizer :832-878 keeps them and the seen-set equality
+# invariant pins that chain exactly); a production frontier applies this
+# AFTER fix_url, before the seen-set probe.
+TRACKING_PREFIXES = [
+    "utm_", "fbclid=", "gclid=", "msclkid=", "mc_cid=", "mc_eid=",
+    "igshid=",
+]
+
+
+def strip_tracking_params_expr(url: Column) -> Column:
+    """Column-expression canonicalizer: drop the fragment, drop tracking
+    query params (TRACKING_PREFIXES), SORT the survivors, re-join.
+    Pure array-lambda built-ins (split → filter → array_sort → join) —
+    JVM-side, codegen'd, zero shuffle, idempotent (tested)."""
+    nofrag = F.substring_index(url, "#", 1)
+    base = F.substring_index(nofrag, "?", 1)
+    params = F.when(
+        nofrag.contains("?"),
+        F.split(F.substring_index(nofrag, "?", -1), "&"),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _not_tracking(x):
+        keep = F.lit(True)
+        for t in TRACKING_PREFIXES:
+            keep = keep & ~x.startswith(t)
+        return keep
+
+    kept = F.array_sort(F.filter(params, _not_tracking))
+    return F.concat(
+        base,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )

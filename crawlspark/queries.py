@@ -6600,6 +6600,181 @@ def link_farm_score(spark, sf_dir):
     )
 
 
+# ============ Tracking-param URL canonicalization =========================
+
+# shared with the engine function (functions/urls.py) so the oracle's
+# prefix list and the expression's can never drift
+from crawlspark.functions.urls import (  # noqa: E402
+    TRACKING_PREFIXES as _TRACKING_PREFIXES,
+    strip_tracking_params_expr as _strip_tracking,
+)
+
+
+@q(
+    "url_param_canonicalize",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example/a/' || (doc_id % 40)::VARCHAR
+               || '?b=' || (doc_id % 5)::VARCHAR
+               || '&utm_source=feed' || (doc_id % 3)::VARCHAR
+               || '&a=' || (doc_id % 3)::VARCHAR
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '&gclid=' || substr(md5(doc_id::VARCHAR), 1, 8)
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+             AS url
+      FROM documents),
+    s AS (
+      SELECT doc_id, url,
+             split_part(url, '#', 1) AS nofrag
+      FROM u),
+    p AS (
+      SELECT doc_id, url, nofrag,
+             split_part(nofrag, '?', 1) AS base,
+             CASE WHEN contains(nofrag, '?')
+                  THEN string_split(split_part(nofrag, '?', 2), '&')
+                  ELSE [] END AS params
+      FROM s),
+    k AS (
+      SELECT doc_id, url, base, len(params) AS n_params,
+             list_sort(list_filter(params, x -> NOT (
+               {' OR '.join(f"starts_with(x, '{t}')" for t in _TRACKING_PREFIXES)}
+             ))) AS kept
+      FROM p)
+    SELECT doc_id,
+           url,
+           base || CASE WHEN len(kept) > 0
+                        THEN '?' || array_to_string(kept, '&')
+                        ELSE '' END AS url_canon,
+           CAST(n_params - len(kept) AS BIGINT) AS n_dropped
+    FROM k
+    """,
+)
+def url_param_canonicalize(spark, sf_dir):
+    """Tracking-param URL canonicalization — strip analytics/click-id
+    query params (utm_*, gclid, fbclid, ...), drop the fragment, and SORT
+    the surviving params, so the million `?utm_source=` variants of one
+    page collapse to a single frontier key before the seen-set probe.
+    Kept out of the reference-pinned fix_url chain (which must match the
+    reference byte-for-byte); a production frontier applies it between
+    canonicalize and dedup.  Pure array-lambda column expressions
+    (split → filter → sort → join), JVM-side, ZERO shuffle; the oracle
+    replays the identical pipeline on DuckDB list functions."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/a/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?b="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_source=feed"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 3).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("&gclid="),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2"))
+        .otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    nofrag = F.substring_index("url", "#", 1)
+    params = F.when(
+        nofrag.contains("?"),
+        F.split(F.substring_index(nofrag, "?", -1), "&"),
+    ).otherwise(F.array().cast("array<string>"))
+    canon = _strip_tracking(F.col("url"))
+    # n_dropped re-derived from the canon output so the count can't drift
+    # from what the shared function actually removed
+    kept_n = F.when(
+        canon.contains("?"),
+        F.size(F.split(F.substring_index(canon, "?", -1), "&")),
+    ).otherwise(F.lit(0))
+    return u.select(
+        "doc_id", "url",
+        canon.alias("url_canon"),
+        (F.size(params) - kept_n).cast("long").alias("n_dropped"),
+    )
+
+
+# ============ ETag / If-None-Match revalidation ===========================
+
+
+@q(
+    "etag_revalidate",
+    """
+    WITH cache AS (
+      SELECT 'https://' || source || '.example/n/' || doc_id::VARCHAR AS url,
+             md5(text) AS etag_cached,
+             n_chars AS body_bytes
+      FROM documents),
+    live AS (
+      SELECT 'https://' || source || '.example/n/' || doc_id::VARCHAR AS url,
+             CASE WHEN doc_id % 11 = 0
+                  THEN md5(text || ' changed')
+                  ELSE md5(text) END AS etag_live
+      FROM documents)
+    SELECT split_part(split_part(c.url, '://', 2), '/', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN c.etag_cached = l.etag_live
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_304,
+           CAST(sum(CASE WHEN c.etag_cached = l.etag_live
+                         THEN c.body_bytes ELSE 0 END) AS BIGINT)
+             AS bytes_saved,
+           CAST(sum(CASE WHEN c.etag_cached = l.etag_live THEN 1 ELSE 0 END)
+                * 1000 // count(*) AS BIGINT) AS hit_permille
+    FROM cache c JOIN live l ON c.url = l.url
+    GROUP BY 1
+    """,
+)
+def etag_revalidate(spark, sf_dir):
+    """Conditional-GET accounting for the recrawl path: an If-None-Match
+    revalidation sweep joins the cached ETag (payload digest, what the
+    fetched table already stores) against the live entity tag; matches
+    are 304s that transfer ZERO body bytes.  Per-host hit rates and
+    bytes-saved are what sizes recrawl bandwidth at 100 TB — with ~91%
+    of pages unchanged per epoch (every 11th doc changes here), the
+    refetch budget is dominated by revalidation round-trips, not
+    payloads.  One equi-join on url (both sides co-derived, no skew) and
+    a host rollup; exact integer byte accounting."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/n/"),
+        F.col("doc_id").cast("string"),
+    )
+    cache = d.select(
+        url.alias("url"), F.md5("text").alias("etag_cached"),
+        F.col("n_chars").alias("body_bytes"),
+    )
+    live = d.select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.md5(F.concat("text", F.lit(" changed"))),
+        ).otherwise(F.md5("text")).alias("etag_live"),
+    )
+    j = cache.join(live, "url")
+    hit = (F.col("etag_cached") == F.col("etag_live")).cast("long")
+    return (
+        j.select(
+            F.substring_index(
+                F.substring_index("url", "://", -1), "/", 1
+            ).alias("host"),
+            hit.alias("hit"), "body_bytes",
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum("hit").cast("long").alias("n_304"),
+            F.sum(F.col("hit") * F.col("body_bytes")).cast("long")
+            .alias("bytes_saved"),
+            F.expr("sum(hit) * 1000 div count(*)").cast("long")
+            .alias("hit_permille"),
+        )
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -6798,6 +6973,8 @@ _DEMOTED = [
     "surt_canonical",
     "fetch_latency_tails",
     "link_farm_score",
+    "url_param_canonicalize",
+    "etag_revalidate",
 ]
 
 

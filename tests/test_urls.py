@@ -90,3 +90,33 @@ def test_fix_url_expr_matches_python_on_absolute(spark):
     # Column form covers the regex-repair subset (no trailing-slash strip)
     for raw, g in zip(raws, got):
         assert U.fix_url_py(raw) in (g, g.rstrip("/")), (raw, g)
+
+
+def test_strip_tracking_params_cases_and_idempotence(spark):
+    """The dedup-side canonicalizer: tracking params dropped, survivors
+    sorted, fragment dropped, bare URLs untouched — and applying it to
+    its own output is a no-op (idempotent), so it can sit anywhere in a
+    multi-stage frontier pipeline without double-normalizing."""
+    cases = {
+        # (input, expected canon)
+        "https://a.example/p?b=2&utm_source=x&a=1": "https://a.example/p?a=1&b=2",
+        "https://a.example/p?utm_source=x&utm_medium=y": "https://a.example/p",
+        "https://a.example/p#frag": "https://a.example/p",
+        "https://a.example/p?gclid=abc123#frag": "https://a.example/p",
+        "https://a.example/p": "https://a.example/p",
+        "https://a.example/p?z=9": "https://a.example/p?z=9",
+        "https://a.example/p?fbclid=1&msclkid=2&mc_cid=3&mc_eid=4&igshid=5&k=v":
+            "https://a.example/p?k=v",
+        # a param whose VALUE mentions utm_ is kept (prefix match only)
+        "https://a.example/p?q=utm_source": "https://a.example/p?q=utm_source",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    once = U.strip_tracking_params_expr(F.col("url")).alias("c1")
+    out = df.select("url", once)
+    out = out.select(
+        "url", "c1",
+        U.strip_tracking_params_expr(F.col("c1")).alias("c2"),
+    )
+    for r in out.collect():
+        assert r["c1"] == cases[r["url"]], r["url"]
+        assert r["c2"] == r["c1"], f"not idempotent: {r['url']}"
