@@ -117,6 +117,12 @@ class CrawlConfig:
     # links to.  Default off: the reference has no sitemap path, and the
     # oracle-equality e2e contract is defined without it.
     use_sitemaps: bool = False
+    # strip analytics/click-id query params (utm_*, gclid, ...) and sort
+    # the survivors on every canonicalized link AND seed, BEFORE the
+    # seen-set probe — collapses tracking-param variants of one page into
+    # a single frontier key.  Default off: the reference's fix_url chain
+    # keeps them, and the oracle-equality contract pins that chain.
+    strip_tracking: bool = False
 
     def __post_init__(self):
         if self.expected_urls:
@@ -318,12 +324,14 @@ def _hosts_with_rx(hosts: DataFrame, budget_override: int | None) -> DataFrame:
     return out
 
 
-def _seed_row_py(u: str):
+def _seed_row_py(u: str, strip_tracking: bool = False):
     """One raw seed line -> FRONTIER tuple (url_hash placeholder 0), or
     None when the canonicalized URL fails the skip filter.  Shared by the
     driver path (literal seed lists) and the distributed file path so the
     two can never drift."""
     cu = U.fix_url_py(u)
+    if strip_tracking:
+        cu = U.strip_tracking_params_py(cu)
     if U.should_skip_py(cu):
         return None
     kind, _, _ = synthetic.classify_url(cu)
@@ -332,7 +340,8 @@ def _seed_row_py(u: str):
     return (cu, 0, host, 0, scheduler.priority_py(0, kind, cu), 0, 0, 0, kind, None)
 
 
-def _seed_file_frame(spark: SparkSession, path: str) -> DataFrame:
+def _seed_file_frame(spark: SparkSession, path: str,
+                     strip_tracking: bool = False) -> DataFrame:
     """Distributed seed-file intake (reference manual_scrape.txt,
     :276-295): spark.read.text -> canonicalize/skip/classify inside an
     Arrow-batched mapInPandas.  The reference's file is dozens of lines,
@@ -344,7 +353,7 @@ def _seed_file_frame(spark: SparkSession, path: str) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            recs = [r for r in (_seed_row_py(u) for u in pdf["value"]) if r is not None]
+            recs = [r for r in (_seed_row_py(u, strip_tracking) for u in pdf["value"]) if r is not None]
             yield pd.DataFrame(recs, columns=cols)
 
     return spark.read.text(path).mapInPandas(gen, schema=schemas.FRONTIER)
@@ -357,22 +366,24 @@ def _seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     raw_seeds = (
         list(cfg.seed_urls) if cfg.seed_urls is not None else synthetic.seed_urls(cfg.spec)
     )
-    seeds = [r for r in (_seed_row_py(u) for u in raw_seeds) if r is not None]
+    seeds = [r for r in (_seed_row_py(u, cfg.strip_tracking) for u in raw_seeds) if r is not None]
     out = spark.createDataFrame(seeds, schemas.FRONTIER)
     if cfg.seed_file:  # manual_scrape.txt analog (reference :276-295)
-        out = out.unionByName(_seed_file_frame(spark, cfg.seed_file))
+        out = out.unionByName(
+            _seed_file_frame(spark, cfg.seed_file, cfg.strip_tracking))
     if cfg.use_sitemaps:
         # robots-declared sitemap URLs of the seed hosts join the frontier
         # as extra seeds (distinct url wins below dedups a sitemap URL a
         # seed list might also carry explicitly)
-        out = out.unionByName(_sitemap_frontier(out))
+        out = out.unionByName(_sitemap_frontier(out, cfg.strip_tracking))
     # cross-source dedup: every FRONTIER field is a deterministic function
     # of the canonical url, so duplicate rows are identical and any winner
     # equals the old first-occurrence driver loop
     return out.dropDuplicates(["url"]).withColumn("url_hash", F.xxhash64("url"))
 
 
-def _sitemap_frontier(hosts_src: DataFrame) -> DataFrame:
+def _sitemap_frontier(hosts_src: DataFrame,
+                      strip_tracking: bool = False) -> DataFrame:
     """Distinct hosts → FRONTIER rows for their robots-declared sitemap
     URLs (sitemaps.org intake at seed time).  The robots fetch+parse runs
     EXECUTOR-side per host — same distributed shape as _hosts_frame, so a
@@ -392,7 +403,7 @@ def _sitemap_frontier(hosts_src: DataFrame) -> DataFrame:
                     # other seed source — a URL proposed by BOTH a seed list
                     # and robots discovery yields byte-identical rows, so
                     # the cross-source dropDuplicates winner is well-defined
-                    r = _seed_row_py(sm)
+                    r = _seed_row_py(sm, strip_tracking)
                     if r is not None:
                         recs.append(r)
             yield pd.DataFrame(recs, columns=cols)
@@ -702,7 +713,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # politeness batches don't pay a full worker-pool spin-up
     pipe = fetch_parse_stage(
         scheduled, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100),
-        entire_site=cfg.search_entire_site,
+        entire_site=cfg.search_entire_site, strip_tracking=cfg.strip_tracking,
     ).persist()
     _t = _time.time()
     if n_sched > 1000:

@@ -286,3 +286,23 @@ def strip_tracking_params_expr(url: Column) -> Column:
             F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
         ).otherwise(F.lit("")),
     )
+
+
+def strip_tracking_params_py(url: str) -> str:
+    """Python twin of strip_tracking_params_expr — EXACT mirror of the
+    expression semantics (including the substring_index first-'?'/last-'?'
+    split and split('&') on an empty query yielding ['']), used by the
+    fused parse stage's per-batch loop and the crawl oracle.  Parity is
+    pinned by tests/test_urls.py."""
+    nofrag = url.split("#", 1)[0]
+    if "?" not in nofrag:
+        return nofrag
+    base = nofrag.split("?", 1)[0]          # substring_index(nofrag,'?',1)
+    qs = nofrag.rsplit("?", 1)[1]           # substring_index(nofrag,'?',-1)
+    kept = sorted(
+        p for p in qs.split("&")
+        if not p.startswith(tuple(TRACKING_PREFIXES))
+    )
+    if kept:
+        return base + "?" + "&".join(kept)
+    return base

@@ -20,8 +20,15 @@ from crawlspark.functions import urls as U
 
 
 def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, body: str, meta,
-               entire_site: bool = True):
+               entire_site: bool = True, strip_tracking: bool = False):
     out = []
+
+    def _canon(href: str) -> str:
+        # optional dedup-side normalizer AFTER the reference-pinned
+        # fix_url chain (cfg.strip_tracking; default off so seen-set
+        # equality vs the reference is untouched)
+        c = U.fix_url_py(href, url)
+        return U.strip_tracking_params_py(c) if strip_tracking else c
 
     def rec(**kw):
         base = {
@@ -42,7 +49,7 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
         cards = html_parse.extract_listing_cards(body, host, path)
         card_links = set()
         for c in cards:
-            canon = U.fix_url_py(c["link"], url)
+            canon = _canon(c["link"])
             card_links.add(canon)
             out.append(
                 rec(rec="link", link=canon, link_kind="article",
@@ -51,7 +58,7 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
         more = (html_parse.extract_links(body) if entire_site
                 else html_parse.extract_targeted_links(body, host, path))
         for href in more:
-            canon = U.fix_url_py(href, url)
+            canon = _canon(href)
             if canon in card_links:
                 continue  # already emitted with meta
             kind, _, _ = synthetic.classify_url(canon)
@@ -63,14 +70,14 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
         # its oracle).  Links classify like any listing-discovered link
         # and dedup through the standard seen-set path downstream.
         for loc in re.findall(r"<loc>(.*?)</loc>", body):
-            canon = U.fix_url_py(loc.strip(), url)
+            canon = _canon(loc.strip())
             kind, _, _ = synthetic.classify_url(canon)
             out.append(rec(rec="link", link=canon,
                            link_kind=U.link_kind_py(kind)))
     else:  # article
         art = html_parse.extract_article(body, host, path)
         if art["redirect_url"]:
-            canon = U.fix_url_py(art["redirect_url"], url)
+            canon = _canon(art["redirect_url"])
             out.append(
                 rec(rec="link", link=canon, link_kind="article",
                     meta={"title": art["title"], "date": art["date_raw"], "article_url": canon})
@@ -88,7 +95,8 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
     return out
 
 
-def parse_stage(fetched: DataFrame, entire_site: bool = True) -> DataFrame:
+def parse_stage(fetched: DataFrame, entire_site: bool = True,
+                strip_tracking: bool = False) -> DataFrame:
     """FETCHED (status==200 rows) → PARSED union rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -99,7 +107,7 @@ def parse_stage(fetched: DataFrame, entire_site: bool = True) -> DataFrame:
                 meta = r.meta if isinstance(r.meta, dict) else None
                 rows.extend(
                     _parse_row(r.final_url or r.url, r.host, r.depth, r.page_kind, r.status, r.body, meta,
-                               entire_site=entire_site)
+                               entire_site=entire_site, strip_tracking=strip_tracking)
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)

@@ -40,6 +40,7 @@ def crawl_oracle(
     seed_urls: list[str] | None = None,
     entire_site: bool = True,
     use_sitemaps: bool = False,
+    strip_tracking: bool = False,
 ) -> OracleResult:
     res = OracleResult()
     hosts: dict[str, dict] = {}
@@ -51,8 +52,14 @@ def crawl_oracle(
             hosts[host] = synthetic.robots_for_host(host)
         return hosts[host]
 
+    def _canon(href: str, base: str | None = None) -> str:
+        # engine twin: optional tracking-param strip AFTER fix_url,
+        # uniformly on every seed source and every extracted link
+        cu = U.fix_url_py(href, base) if base is not None else U.fix_url_py(href)
+        return U.strip_tracking_params_py(cu) if strip_tracking else cu
+
     def add_seed(u: str) -> None:
-        cu = U.fix_url_py(u)
+        cu = _canon(u)
         if U.should_skip_py(cu) or cu in res.seen:
             return
         host = U.host_of_py(cu)
@@ -138,14 +145,14 @@ def crawl_oracle(
                 cards = html_parse.extract_listing_cards(body, r["host"], path)
                 card_links = set()
                 for c in cards:
-                    canon = U.fix_url_py(c["link"], page_url)
+                    canon = _canon(c["link"], page_url)
                     card_links.add(canon)
                     _add_candidate(candidates, canon, r, "article",
                                    {"title": c["title"], "date": c["date"], "article_url": canon})
                 more = (html_parse.extract_links(body) if entire_site
                         else html_parse.extract_targeted_links(body, r["host"], path))
                 for href in more:
-                    canon = U.fix_url_py(href, page_url)
+                    canon = _canon(href, page_url)
                     if canon in card_links:
                         continue
                     k, _, _ = synthetic.classify_url(canon)
@@ -153,13 +160,13 @@ def crawl_oracle(
             elif r["kind"] == "sitemap":
                 # sitemaps.org <urlset> → links (engine twin: parse._parse_row)
                 for loc in re.findall(r"<loc>(.*?)</loc>", body):
-                    canon = U.fix_url_py(loc.strip(), page_url)
+                    canon = _canon(loc.strip(), page_url)
                     k, _, _ = synthetic.classify_url(canon)
                     _add_candidate(candidates, canon, r, _link_kind(k), None)
             else:
                 art = html_parse.extract_article(body, r["host"], path)
                 if art["redirect_url"]:
-                    canon = U.fix_url_py(art["redirect_url"], page_url)
+                    canon = _canon(art["redirect_url"], page_url)
                     _add_candidate(candidates, canon, r, "article",
                                    {"title": art["title"], "date": art["date_raw"], "article_url": canon})
                 else:

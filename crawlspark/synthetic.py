@@ -42,6 +42,11 @@ class WebSpec:
     scale: float = 1.0
     sections: int = 4
     cards_per_page: int = 6
+    # decorate ~half the listing card links with analytics params
+    # (?utm_source=...&gclid=...) so cfg.strip_tracking has real variants
+    # to collapse; default off — the baseline web (and every pinned
+    # equality test) is param-free
+    tracking_params: bool = False
 
     @cached_property
     def hosts(self) -> dict[str, dict]:
@@ -236,6 +241,12 @@ def listing_html(spec: WebSpec, host: str, section: int, page: int) -> str:
     for slot in range(spec.cards_per_page):
         aid = _h("card", host, section, page, slot) % cfg["n_articles"]
         url = article_url(host, aid)
+        if spec.tracking_params and rng.random() < 0.5:
+            # per-LISTING-slot click ids: the same article reached from
+            # different pages carries different params, so without
+            # strip_tracking each variant is a distinct frontier key
+            url += (f"?utm_source=card&gclid=g"
+                    f"{_h('gclid', host, section, page, slot) % 997}")
         href = _mangle_link(rng, url) if rng.random() < 0.3 else url
         title = _article_title(host, aid)
         date = _article_date(host, aid)
