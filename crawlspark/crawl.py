@@ -123,6 +123,11 @@ class CrawlConfig:
     # a single frontier key.  Default off: the reference's fix_url chain
     # keeps them, and the oracle-equality contract pins that chain.
     strip_tracking: bool = False
+    # honor <meta name="robots"> page directives (noindex: drop the doc,
+    # nofollow: drop the page's links).  Default off: the reference's
+    # Scrapy stack doesn't honor robots META, and the oracle-equality
+    # contract is defined without it.
+    obey_meta_robots: bool = False
 
     def __post_init__(self):
         if self.expected_urls:
@@ -714,6 +719,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     pipe = fetch_parse_stage(
         scheduled, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100),
         entire_site=cfg.search_entire_site, strip_tracking=cfg.strip_tracking,
+        obey_meta_robots=cfg.obey_meta_robots,
     ).persist()
     _t = _time.time()
     if n_sched > 1000:

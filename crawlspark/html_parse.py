@@ -453,3 +453,29 @@ def _para_text(p: Node, drop_tags: frozenset) -> str:
 
     walk(p)
     return "".join(out)
+
+
+# ---- robots META directives (REP §2.3.1, the HTML-side of robots.txt) ----
+
+import re as _re
+
+_META_ROBOTS_RX = _re.compile(
+    r"<meta\b[^>]*\bname=['\"]robots['\"][^>]*\bcontent=['\"]([^'\"]*)['\"]"
+    r"|<meta\b[^>]*\bcontent=['\"]([^'\"]*)['\"][^>]*\bname=['\"]robots['\"]",
+    _re.IGNORECASE,
+)
+
+
+def meta_robots_directives(html: str) -> set[str]:
+    """Directives from every ``<meta name="robots" content="...">`` tag
+    (either attribute order), lowercased and comma-split — the page-level
+    REP channel robots.txt can't express: ``noindex`` (don't emit the
+    document) and ``nofollow`` (don't enqueue the page's links), with
+    ``none`` meaning both.  Gated behind cfg.obey_meta_robots: the
+    reference's Scrapy stack does not honor robots META, so the
+    oracle-equality default leaves it off."""
+    out: set[str] = set()
+    for m in _META_ROBOTS_RX.finditer(html):
+        val = m.group(1) or m.group(2) or ""
+        out.update(d.strip().lower() for d in val.split(",") if d.strip())
+    return out

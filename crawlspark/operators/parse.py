@@ -20,7 +20,8 @@ from crawlspark.functions import urls as U
 
 
 def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, body: str, meta,
-               entire_site: bool = True, strip_tracking: bool = False):
+               entire_site: bool = True, strip_tracking: bool = False,
+               obey_meta_robots: bool = False):
     out = []
 
     def _canon(href: str) -> str:
@@ -42,10 +43,20 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
 
     if status != 200 or not body:
         return out
+    # robots META gate (page-level REP; cfg.obey_meta_robots, default off
+    # — the reference stack doesn't honor it): nofollow suppresses every
+    # link record from this page, noindex suppresses its doc record
+    no_follow = no_index = False
+    if obey_meta_robots and page_kind != "sitemap":
+        d = html_parse.meta_robots_directives(body)
+        no_follow = "nofollow" in d or "none" in d
+        no_index = "noindex" in d or "none" in d
     # URL path, for PATH-QUALIFIED rule keys (reference branches keyed on
     # the url, not the host: 'bernama.com/en/' in response.url :779)
     path = U.path_of_py(url)
-    if page_kind == "listing":
+    if page_kind == "listing" and no_follow:
+        pass  # every outgoing link suppressed; listings emit nothing else
+    elif page_kind == "listing":
         cards = html_parse.extract_listing_cards(body, host, path)
         card_links = set()
         for c in cards:
@@ -76,12 +87,16 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
                            link_kind=U.link_kind_py(kind)))
     else:  # article
         art = html_parse.extract_article(body, host, path)
-        if art["redirect_url"]:
+        if art["redirect_url"] and no_follow:
+            pass  # the redirect hop is a link; nofollow suppresses it
+        elif art["redirect_url"]:
             canon = _canon(art["redirect_url"])
             out.append(
                 rec(rec="link", link=canon, link_kind="article",
                     meta={"title": art["title"], "date": art["date_raw"], "article_url": canon})
             )
+        elif no_index:
+            pass  # fetched and seen, but not indexed: no doc record
         else:
             title = art["title"] or (meta or {}).get("title")
             date_raw = art["date_raw"] or (meta or {}).get("date")
@@ -96,7 +111,8 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
 
 
 def parse_stage(fetched: DataFrame, entire_site: bool = True,
-                strip_tracking: bool = False) -> DataFrame:
+                strip_tracking: bool = False,
+                obey_meta_robots: bool = False) -> DataFrame:
     """FETCHED (status==200 rows) → PARSED union rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -107,7 +123,8 @@ def parse_stage(fetched: DataFrame, entire_site: bool = True,
                 meta = r.meta if isinstance(r.meta, dict) else None
                 rows.extend(
                     _parse_row(r.final_url or r.url, r.host, r.depth, r.page_kind, r.status, r.body, meta,
-                               entire_site=entire_site, strip_tracking=strip_tracking)
+                               entire_site=entire_site, strip_tracking=strip_tracking,
+                               obey_meta_robots=obey_meta_robots)
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)

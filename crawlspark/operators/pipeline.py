@@ -57,6 +57,7 @@ _PIPE_COLS = [f.name for f in PIPE.fields]
 def fetch_parse_stage(
     scheduled: DataFrame, spec: synthetic.WebSpec, num_partitions: int | None = None,
     fetch_fn=None, entire_site: bool = True, strip_tracking: bool = False,
+    obey_meta_robots: bool = False,
 ) -> DataFrame:
     """scheduled(FRONTIER rows) → PIPE union rows (fetch/link/doc).
 
@@ -106,7 +107,8 @@ def fetch_parse_stage(
                 for p in _parse_row(final_url or r.url, r.host, int(r.depth),
                                     r.page_kind, status, body, meta,
                                     entire_site=entire_site,
-                                    strip_tracking=strip_tracking):
+                                    strip_tracking=strip_tracking,
+                                    obey_meta_robots=obey_meta_robots):
                     # parse rows are keyed by the PARSED url (= final_url
                     # under a redirect), matching the unfused parse_stage —
                     # link src_url / min_by winners agree fused vs unfused

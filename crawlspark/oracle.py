@@ -41,6 +41,7 @@ def crawl_oracle(
     entire_site: bool = True,
     use_sitemaps: bool = False,
     strip_tracking: bool = False,
+    obey_meta_robots: bool = False,
 ) -> OracleResult:
     res = OracleResult()
     hosts: dict[str, dict] = {}
@@ -141,7 +142,15 @@ def crawl_oracle(
             page_url = final_url or r["url"]
             # path for PATH-QUALIFIED rule keys (reference :779)
             path = U.path_of_py(page_url)
-            if r["kind"] == "listing":
+            # robots META gate (engine twin: parse._parse_row)
+            no_follow = no_index = False
+            if obey_meta_robots and r["kind"] != "sitemap":
+                d = html_parse.meta_robots_directives(body)
+                no_follow = "nofollow" in d or "none" in d
+                no_index = "noindex" in d or "none" in d
+            if r["kind"] == "listing" and no_follow:
+                pass  # every outgoing link suppressed
+            elif r["kind"] == "listing":
                 cards = html_parse.extract_listing_cards(body, r["host"], path)
                 card_links = set()
                 for c in cards:
@@ -165,10 +174,14 @@ def crawl_oracle(
                     _add_candidate(candidates, canon, r, _link_kind(k), None)
             else:
                 art = html_parse.extract_article(body, r["host"], path)
-                if art["redirect_url"]:
+                if art["redirect_url"] and no_follow:
+                    pass  # the redirect hop is a link; nofollow drops it
+                elif art["redirect_url"]:
                     canon = _canon(art["redirect_url"], page_url)
                     _add_candidate(candidates, canon, r, "article",
                                    {"title": art["title"], "date": art["date_raw"], "article_url": canon})
+                elif no_index:
+                    pass  # fetched and seen, never indexed
                 else:
                     _emit_doc(res, page_url, r, art, batch)
 

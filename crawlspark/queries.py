@@ -6600,6 +6600,100 @@ def link_farm_score(spark, sf_dir):
     )
 
 
+# ============ robots META directive parsing ===============================
+
+
+@q(
+    "meta_robots_parse",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                    THEN '<html><meta name="robots" content="noindex">'
+                         || '<body>' || substr(text, 1, 30) || '</body>'
+                  WHEN doc_id % 10 = 1
+                    THEN '<html><meta content="noindex,nofollow" '
+                         || 'name="robots"><body>' || substr(text, 1, 30)
+                         || '</body>'
+                  WHEN doc_id % 10 = 2
+                    THEN '<html><meta name="robots" content="none">'
+                         || '<body>' || substr(text, 1, 30) || '</body>'
+                  ELSE '<html><meta property="og:title" content="x">'
+                       || '<body>' || substr(text, 1, 30) || '</body>'
+             END AS html
+      FROM documents),
+    x AS (
+      SELECT doc_id,
+             coalesce(nullif(regexp_extract(html,
+               '<meta name="robots" content="([a-z,]*)"', 1), ''),
+               nullif(regexp_extract(html,
+               '<meta content="([a-z,]*)" name="robots"', 1), ''), '')
+             AS directives
+      FROM h)
+    SELECT doc_id, directives,
+           (contains(directives, 'noindex') OR contains(directives, 'none'))
+             AS noindex,
+           (contains(directives, 'nofollow') OR contains(directives, 'none'))
+             AS nofollow
+    FROM x
+    """,
+)
+def meta_robots_parse(spark, sf_dir):
+    """robots META directive parsing — the page-level REP channel
+    robots.txt can't express (noindex / nofollow / none), honored by the
+    crawl loop under cfg.obey_meta_robots (engine: html_parse.
+    meta_robots_directives; e2e-tested against the oracle crawl).  This
+    row proves the DIRECTIVE GRAMMAR cross-engine: per-doc HTML is
+    constructed with both attribute orders plus an og:title decoy, and
+    identical regexps extract the content on Spark and DuckDB.
+    Row-local regexp, zero shuffle, fuses into the scan."""
+    d = T(spark, sf_dir, "documents")
+    frag = F.substring("text", 1, 30)
+    html = (
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit('<html><meta name="robots" content="noindex">'
+                           '<body>'), frag, F.lit("</body>")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(F.lit('<html><meta content="noindex,nofollow" '
+                           'name="robots"><body>'), frag, F.lit("</body>")),
+        )
+        .when(
+            F.col("doc_id") % 10 == 2,
+            F.concat(F.lit('<html><meta name="robots" content="none">'
+                           '<body>'), frag, F.lit("</body>")),
+        )
+        .otherwise(
+            F.concat(F.lit('<html><meta property="og:title" content="x">'
+                           '<body>'), frag, F.lit("</body>")),
+        )
+    )
+    h = d.select("doc_id", html.alias("html"))
+    direc = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                "html", r'<meta name="robots" content="([a-z,]*)"', 1),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(
+                "html", r'<meta content="([a-z,]*)" name="robots"', 1),
+            F.lit(""),
+        ),
+        F.lit(""),
+    )
+    x = h.select("doc_id", direc.alias("directives"))
+    return x.select(
+        "doc_id", "directives",
+        (F.col("directives").contains("noindex")
+         | F.col("directives").contains("none")).alias("noindex"),
+        (F.col("directives").contains("nofollow")
+         | F.col("directives").contains("none")).alias("nofollow"),
+    )
+
+
 # ============ Tracking-param URL canonicalization =========================
 
 # shared with the engine function (functions/urls.py) so the oracle's
@@ -6975,6 +7069,7 @@ _DEMOTED = [
     "link_farm_score",
     "url_param_canonicalize",
     "etag_revalidate",
+    "meta_robots_parse",
 ]
 
 

@@ -47,6 +47,10 @@ class WebSpec:
     # to collapse; default off — the baseline web (and every pinned
     # equality test) is param-free
     tracking_params: bool = False
+    # plant <meta name="robots"> directives: ~10% of articles noindex
+    # (some also nofollow), ~12% of listing pages nofollow — so
+    # cfg.obey_meta_robots has real pages to gate; default off
+    meta_robots: bool = False
 
     @cached_property
     def hosts(self) -> dict[str, dict]:
@@ -236,7 +240,10 @@ def _junk_link(rng: random.Random, host: str) -> str:
 def listing_html(spec: WebSpec, host: str, section: int, page: int) -> str:
     cfg = spec.hosts[host]
     rng = _rng("listing", host, section, page)
-    parts = [f"<html><body><h1>Section {section}</h1><div class='listing'>"]
+    lmeta = ""
+    if spec.meta_robots and _h("mrobots-l", host, section, page) % 8 == 0:
+        lmeta = "<meta name='robots' content='nofollow'>"
+    parts = [f"<html>{lmeta}<body><h1>Section {section}</h1><div class='listing'>"]
     # article cards
     for slot in range(spec.cards_per_page):
         aid = _h("card", host, section, page, slot) % cfg["n_articles"]
@@ -319,11 +326,20 @@ def article_html(spec: WebSpec, host: str, aid: int) -> str:
     rng = _rng("article", host, aid)
     title = _article_title(host, aid)
     date = _article_date(host, aid)
+    ameta = ""
+    if spec.meta_robots:
+        hm = _h("mrobots", host, aid) % 20
+        if hm == 0:
+            ameta = "<meta name='robots' content='noindex'>"
+        elif hm == 1:
+            # attribute order reversed on purpose: the extractor must
+            # accept content-before-name markup too
+            ameta = "<meta content='noindex,nofollow' name='robots'>"
     # ~3% empty-body redirect pages (reference :2389-2432)
     if rng.random() < 0.03:
         target = article_url(host, (aid + 1) % cfg["n_articles"])
         return (
-            f"<html><body><h1>{title}</h1><span class='pubdate'>{date}</span>"
+            f"<html>{ameta}<body><h1>{title}</h1><span class='pubdate'>{date}</span>"
             f"<div class='article-body'></div>"
             f"<a href=\"{target}\">Click here for article</a></body></html>"
         )
@@ -419,7 +435,7 @@ def article_html(spec: WebSpec, host: str, aid: int) -> str:
             header = (f"<h1>{title}</h1>"
                       f"<span class='pubdate'>PUBLISHED: {date}</span>")
     return (
-        f"<html><body>{header}"
+        f"<html>{ameta}<body>{header}"
         f"{open_t}{body}{close_t}"
         f"<div class='related'><a href=\"{article_url(host, (aid * 7 + 1) % cfg['n_articles'])}\">rel</a></div>"
         f"</body></html>"

@@ -241,7 +241,7 @@ def test_row_local_quality_ops_never_shuffle(spark, qs):
     for name in ("gopher_quality_gate", "rendezvous_shard",
                  "embed_quantize_int8", "repetition_ratio",
                  "mojibake_repair", "surt_canonical",
-                 "url_param_canonicalize"):
+                 "url_param_canonicalize", "meta_robots_parse"):
         p = _plan(spark, qs[name](spark, SF))
         assert "Exchange" not in p, f"{name} shuffles:\n{p[:800]}"
 
