@@ -128,6 +128,12 @@ class CrawlConfig:
     # Scrapy stack doesn't honor robots META, and the oracle-equality
     # contract is defined without it.
     obey_meta_robots: bool = False
+    # key each document by its <link rel="canonical"> href (after the
+    # same canonicalize chain links get) instead of the fetch URL, so URL
+    # aliases of one article collapse to a single doc_id via the existing
+    # in-batch + cross-batch doc_id dedup.  Default off (the reference
+    # keys docs by fetch URL).
+    use_canonical_link: bool = False
 
     def __post_init__(self):
         if self.expected_urls:
@@ -720,6 +726,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         scheduled, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100),
         entire_site=cfg.search_entire_site, strip_tracking=cfg.strip_tracking,
         obey_meta_robots=cfg.obey_meta_robots,
+        use_canonical_link=cfg.use_canonical_link,
     ).persist()
     _t = _time.time()
     if n_sched > 1000:

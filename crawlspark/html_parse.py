@@ -479,3 +479,22 @@ def meta_robots_directives(html: str) -> set[str]:
         val = m.group(1) or m.group(2) or ""
         out.update(d.strip().lower() for d in val.split(",") if d.strip())
     return out
+
+
+_REL_CANONICAL_RX = _re.compile(
+    r"<link\b[^>]*\brel=['\"]canonical['\"][^>]*\bhref=['\"]([^'\"]*)['\"]"
+    r"|<link\b[^>]*\bhref=['\"]([^'\"]*)['\"][^>]*\brel=['\"]canonical['\"]",
+    _re.IGNORECASE,
+)
+
+
+def rel_canonical_href(html: str) -> str | None:
+    """href of the first ``<link rel="canonical">`` tag (either attribute
+    order), or None — the page's self-declared canonical URL.  Under
+    cfg.use_canonical_link the document record is keyed by this URL, so
+    URL aliases of one article collapse to a single doc_id even when the
+    frontier fetched several variants."""
+    m = _REL_CANONICAL_RX.search(html)
+    if not m:
+        return None
+    return m.group(1) or m.group(2) or None

@@ -21,7 +21,8 @@ from crawlspark.functions import urls as U
 
 def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, body: str, meta,
                entire_site: bool = True, strip_tracking: bool = False,
-               obey_meta_robots: bool = False):
+               obey_meta_robots: bool = False,
+               use_canonical_link: bool = False):
     out = []
 
     def _canon(href: str) -> str:
@@ -100,8 +101,18 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
         else:
             title = art["title"] or (meta or {}).get("title")
             date_raw = art["date_raw"] or (meta or {}).get("date")
+            # rel=canonical doc keying (cfg.use_canonical_link): URL
+            # aliases of one article collapse to a single doc_id — the
+            # in-batch dropDuplicates and the cross-batch anti-join
+            # (crawl.py docs path) already dedup on doc_id, so no new
+            # machinery is needed downstream
+            doc_url = url
+            if use_canonical_link:
+                ch = html_parse.rel_canonical_href(body)
+                if ch:
+                    doc_url = _canon(ch)
             out.append(
-                rec(rec="doc", title=title, date_raw=date_raw,
+                rec(rec="doc", url=doc_url, title=title, date_raw=date_raw,
                     spans=[
                         {"kind": k, "text": t, "media_ref": m, "offset": i}
                         for i, (k, t, m) in enumerate(art["spans"])
@@ -112,7 +123,8 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
 
 def parse_stage(fetched: DataFrame, entire_site: bool = True,
                 strip_tracking: bool = False,
-                obey_meta_robots: bool = False) -> DataFrame:
+                obey_meta_robots: bool = False,
+                use_canonical_link: bool = False) -> DataFrame:
     """FETCHED (status==200 rows) → PARSED union rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,7 +136,8 @@ def parse_stage(fetched: DataFrame, entire_site: bool = True,
                 rows.extend(
                     _parse_row(r.final_url or r.url, r.host, r.depth, r.page_kind, r.status, r.body, meta,
                                entire_site=entire_site, strip_tracking=strip_tracking,
-                               obey_meta_robots=obey_meta_robots)
+                               obey_meta_robots=obey_meta_robots,
+                               use_canonical_link=use_canonical_link)
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)

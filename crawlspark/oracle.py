@@ -42,6 +42,7 @@ def crawl_oracle(
     use_sitemaps: bool = False,
     strip_tracking: bool = False,
     obey_meta_robots: bool = False,
+    use_canonical_link: bool = False,
 ) -> OracleResult:
     res = OracleResult()
     hosts: dict[str, dict] = {}
@@ -183,7 +184,12 @@ def crawl_oracle(
                 elif no_index:
                     pass  # fetched and seen, never indexed
                 else:
-                    _emit_doc(res, page_url, r, art, batch)
+                    doc_url = page_url
+                    if use_canonical_link:
+                        ch = html_parse.rel_canonical_href(body)
+                        if ch:
+                            doc_url = _canon(ch, page_url)
+                    _emit_doc(res, doc_url, r, art, batch)
 
         # frontier merge: skip-filter → dedup vs seen → append
         for canon in sorted(candidates):

@@ -51,6 +51,11 @@ class WebSpec:
     # (some also nofollow), ~12% of listing pages nofollow — so
     # cfg.obey_meta_robots has real pages to gate; default off
     meta_robots: bool = False
+    # every article declares <link rel="canonical"> pointing at its CLEAN
+    # URL, so cfg.use_canonical_link collapses tracking-param variants at
+    # the document level even when the frontier fetched several; default
+    # off
+    canonical_links: bool = False
 
     @cached_property
     def hosts(self) -> dict[str, dict]:
@@ -335,6 +340,12 @@ def article_html(spec: WebSpec, host: str, aid: int) -> str:
             # attribute order reversed on purpose: the extractor must
             # accept content-before-name markup too
             ameta = "<meta content='noindex,nofollow' name='robots'>"
+    if spec.canonical_links:
+        cu = article_url(host, aid)
+        if _h("canon-order", host, aid) % 2 == 0:
+            ameta += f"<link rel='canonical' href='{cu}'>"
+        else:  # reversed attribute order variant
+            ameta += f"<link href='{cu}' rel='canonical'>"
     # ~3% empty-body redirect pages (reference :2389-2432)
     if rng.random() < 0.03:
         target = article_url(host, (aid + 1) % cfg["n_articles"])
@@ -504,6 +515,12 @@ def fetch(spec: WebSpec, url: str, attempt: int = 0) -> tuple[int, str, str, int
     if aid >= cfg["n_articles"] + (N_ORPHANS if _has_sitemap(host) else 0):
         return 404, url, "", elapsed
     final = article_url(host, aid)  # redirect: query/alias forms collapse
+    if spec.canonical_links and "?" in url:
+        # alias-serving mode: the server answers 200 AT the alias URL
+        # (no redirect) and the page declares <link rel="canonical">
+        # instead — the common real-web shape cfg.use_canonical_link
+        # exists for
+        final = url
     return 200, final, article_html(spec, host, aid), elapsed
 
 
