@@ -54,6 +54,18 @@ def main():
                     help="targeted pagination (SEARCH_ENTIRE_WEBSITE=0 "
                          "analog): follow only per-domain next-page "
                          "anchors instead of every link")
+    ap.add_argument("--use-sitemaps", action="store_true",
+                    help="enqueue robots-declared sitemap URLs as "
+                         "high-priority seeds")
+    ap.add_argument("--strip-tracking", action="store_true",
+                    help="strip utm_/click-id params (and sort survivors) "
+                         "on every seed and link before the seen-set probe")
+    ap.add_argument("--obey-meta-robots", action="store_true",
+                    help="honor <meta name=robots>: noindex drops the doc, "
+                         "nofollow drops the page's links")
+    ap.add_argument("--use-canonical-link", action="store_true",
+                    help="key documents by <link rel=canonical> instead of "
+                         "the fetch URL (URL aliases collapse)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -82,6 +94,10 @@ def main():
         bloom_target_fpr=args.bloom_target_fpr,
         bloom_autosplit=not args.no_bloom_autosplit,
         search_entire_site=not args.targeted,
+        use_sitemaps=args.use_sitemaps,
+        strip_tracking=args.strip_tracking,
+        obey_meta_robots=args.obey_meta_robots,
+        use_canonical_link=args.use_canonical_link,
     )
     if args.recrawl:
         from crawlspark.crawl import reset_for_recrawl
