@@ -134,6 +134,17 @@ class CrawlConfig:
     # in-batch + cross-batch doc_id dedup.  Default off (the reference
     # keys docs by fetch URL).
     use_canonical_link: bool = False
+    # AutoThrottle (reference settings scaffold settings.py:71-80, at
+    # batch granularity): per-host fetch budget adapts to OBSERVED
+    # latency — delay folds toward latency/target_concurrency each batch,
+    # clamped between the robots crawl-delay (politeness floor: never
+    # faster than robots) and max_delay; budget = period // delay.  First
+    # contact is cautious (start_delay), then fast hosts speed up.
+    # Ignored while budget_override is set (the test sizing knob wins).
+    autothrottle: bool = False
+    autothrottle_start_delay_ms: int = 5000
+    autothrottle_max_delay_ms: int = 60000
+    autothrottle_target_concurrency: int = 1
 
     def __post_init__(self):
         if self.expected_urls:
@@ -585,6 +596,14 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     pending = _pending(catalog, manifest)
     hosts_tbl = catalog.read("hosts", manifest)
     hosts_df = _hosts_with_rx(hosts_tbl, cfg.budget_override)
+    if cfg.autothrottle and cfg.budget_override is None:
+        hosts_df = scheduler.apply_autothrottle(
+            hosts_df, catalog.read("metrics", manifest),
+            start_delay_ms=cfg.autothrottle_start_delay_ms,
+            max_delay_ms=cfg.autothrottle_max_delay_ms,
+            target_concurrency=cfg.autothrottle_target_concurrency,
+            period_ms=int(rules.BATCH_PERIOD_S * 1000),
+        )
     scheduled, robots_blocked = scheduler.schedule(
         pending, hosts_df, batch_id, return_blocked=True
     )

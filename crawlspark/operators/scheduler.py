@@ -267,3 +267,79 @@ def cap_template_explosion(cand: DataFrame, cap: int,
         .filter(F.col("_tpl_rn") <= cap)
         .drop("_tpl", "_tpl_rn")
     )
+
+
+# ---- AutoThrottle: latency-adaptive per-host budgets ---------------------
+
+def autothrottle_fold_py(batches: list[tuple[int, int, int]], *,
+                         min_delay_ms: int, start_delay_ms: int,
+                         max_delay_ms: int, target_concurrency: int) -> int:
+    """The per-host delay recurrence, shared verbatim by the engine's
+    grouped-map kernel and the crawl oracle so the two cannot drift:
+    Scrapy AutoThrottle's update (delay → average of delay and
+    latency/target_concurrency; reference settings scaffold
+    settings.py:71-80) at batch granularity and in exact integer
+    milliseconds.  ``batches`` is the host's metrics history as
+    (batch_id, n_scheduled, sum_elapsed_ms), any order.  The robots
+    crawl-delay stays the politeness FLOOR (throttling never fetches
+    faster than robots allows); the start delay makes the first contact
+    cautious, then observed latencies speed the host up."""
+    d = max(start_delay_ms, min_delay_ms)
+    for _, n, sum_ms in sorted(batches):
+        if not n:
+            continue
+        target = (sum_ms // n) // target_concurrency
+        d = (d + target) // 2
+        d = min(max(d, min_delay_ms), max_delay_ms)
+    return d
+
+
+def apply_autothrottle(hosts: DataFrame, metrics: DataFrame, *,
+                       start_delay_ms: int, max_delay_ms: int,
+                       target_concurrency: int, period_ms: int) -> DataFrame:
+    """Replace the static robots-derived ``budget_per_batch`` with the
+    AutoThrottle budget ``max(1, period // delay)``, where delay folds the
+    host's full metrics history (autothrottle_fold_py).  The fold runs as
+    a grouped-map pandas kernel keyed by host — each host's history is
+    n_batches rows, so at 10^5+ hosts the state scan is one distributed
+    job and nothing lands on the driver.  Hosts with no history yet get
+    the cautious initial budget from max(start_delay, robots delay)."""
+    import pandas as pd
+
+    delays = hosts.select(
+        "host", (F.col("crawl_delay_s") * 1000).cast("long").alias("_min_d")
+    )
+    m = metrics.select("host", "batch_id", "n_scheduled", "sum_elapsed_ms") \
+        .join(delays, on="host")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        host = pdf["host"].iloc[0]
+        min_d = int(pdf["_min_d"].iloc[0])
+        d = autothrottle_fold_py(
+            list(zip(pdf["batch_id"].astype(int),
+                     pdf["n_scheduled"].astype(int),
+                     pdf["sum_elapsed_ms"].astype(int))),
+            min_delay_ms=min_d, start_delay_ms=start_delay_ms,
+            max_delay_ms=max_delay_ms,
+            target_concurrency=target_concurrency,
+        )
+        return pd.DataFrame(
+            {"host": [host],
+             "_at_budget": [max(1, period_ms // d)]}
+        )
+
+    tb = m.groupBy("host").applyInPandas(
+        fold, schema="host string, _at_budget long")
+    init_budget = F.greatest(
+        F.lit(1),
+        F.expr(f"{period_ms} div greatest({start_delay_ms}L, "
+               f"cast(crawl_delay_s * 1000 as long))"),
+    )
+    return (
+        hosts.join(tb, on="host", how="left")
+        .withColumn(
+            "budget_per_batch",
+            F.coalesce("_at_budget", init_budget).cast("int"),
+        )
+        .drop("_at_budget")
+    )

@@ -43,9 +43,26 @@ def crawl_oracle(
     strip_tracking: bool = False,
     obey_meta_robots: bool = False,
     use_canonical_link: bool = False,
+    autothrottle: bool = False,
 ) -> OracleResult:
     res = OracleResult()
     hosts: dict[str, dict] = {}
+    # AutoThrottle state (engine twin: scheduler.apply_autothrottle):
+    # per-host metrics history, folded by the SHARED recurrence
+    at_hist: dict[str, list[tuple[int, int, int]]] = {}
+    _AT_START, _AT_MAX, _AT_C = 5000, 60000, 1
+    _AT_PERIOD = int(rules.BATCH_PERIOD_S * 1000)
+
+    def at_budget(host: str) -> int:
+        from crawlspark.operators.scheduler import autothrottle_fold_py
+
+        min_d = int(hosts[host]["crawl_delay_s"] * 1000)
+        d = autothrottle_fold_py(
+            at_hist.get(host, []), min_delay_ms=min_d,
+            start_delay_ms=_AT_START, max_delay_ms=_AT_MAX,
+            target_concurrency=_AT_C,
+        )
+        return max(1, _AT_PERIOD // d)
     # pending: url -> record
     pending: dict[str, dict] = {}
 
@@ -103,7 +120,10 @@ def crawl_oracle(
             res.progress.append((r["url"], batch, r["retry_count"], "robots_blocked", 0))
         scheduled: list[dict] = []
         for host in sorted(eligible):
-            budget = budget_override or robots(host)["budget_per_batch"]
+            if autothrottle and budget_override is None:
+                budget = at_budget(host)
+            else:
+                budget = budget_override or robots(host)["budget_per_batch"]
             rows = sorted(eligible[host], key=lambda r: (-r["priority"], r["url"]))
             scheduled.extend(rows[:budget])
         if not scheduled:
@@ -115,9 +135,14 @@ def crawl_oracle(
             break
 
         candidates: dict[str, dict] = {}  # link url -> winner record
+        at_batch: dict[str, list[int]] = {}  # host -> [n, sum_elapsed_ms]
         for r in scheduled:
             del pending[r["url"]]
-            status, final_url, raw, enc, _ = synthetic.fetch_encoded(spec, r["url"], r["retry_count"])
+            status, final_url, raw, enc, _el = synthetic.fetch_encoded(spec, r["url"], r["retry_count"])
+            if autothrottle:
+                acc = at_batch.setdefault(r["host"], [0, 0])
+                acc[0] += 1
+                acc[1] += _el
             body, decode_error = decode_body_py(raw, enc)
             if status == 200 and decode_error and r["retry_count"] < rules.MAX_RETRIES:
                 outcome = "retry"  # corrupt transfer stream (GzipRetryMiddleware)
@@ -190,6 +215,10 @@ def crawl_oracle(
                         if ch:
                             doc_url = _canon(ch, page_url)
                     _emit_doc(res, doc_url, r, art, batch)
+
+        if autothrottle:
+            for h, (n, s) in at_batch.items():
+                at_hist.setdefault(h, []).append((batch, n, s))
 
         # frontier merge: skip-filter → dedup vs seen → append
         for canon in sorted(candidates):

@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--use-canonical-link", action="store_true",
                     help="key documents by <link rel=canonical> instead of "
                          "the fetch URL (URL aliases collapse)")
+    ap.add_argument("--autothrottle", action="store_true",
+                    help="latency-adaptive per-host budgets (AutoThrottle "
+                         "analog): cautious first contact, then budget = "
+                         "period // folded delay, floored at robots "
+                         "crawl-delay")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -98,6 +103,7 @@ def main():
         strip_tracking=args.strip_tracking,
         obey_meta_robots=args.obey_meta_robots,
         use_canonical_link=args.use_canonical_link,
+        autothrottle=args.autothrottle,
     )
     if args.recrawl:
         from crawlspark.crawl import reset_for_recrawl
