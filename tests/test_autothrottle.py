@@ -84,3 +84,37 @@ def test_autothrottle_equals_oracle_and_speeds_up(spark, tmp_path):
     b1 = [n for (b, h), n in per.items() if b == 1]
     assert b1 and max(b1) <= 6
     assert max(n for (b, h), n in per.items() if b > 1) > 6
+
+
+def test_autothrottle_resume_equality(spark, tmp_path):
+    """The throttle state is nothing but a fold over the persisted
+    metrics log, so a crawl interrupted mid-throttle-ramp and resumed
+    must land on the identical final state (no hidden driver-side delay
+    state to lose)."""
+    spec = synthetic.WebSpec(scale=SCALE)
+
+    wh_full = str(tmp_path / "wh_full")
+    run_crawl(spark, CrawlConfig(
+        warehouse=wh_full, spec=spec, max_batches=MAX_BATCHES,
+        compact_every=4, autothrottle=True,
+    ))
+
+    wh_res = str(tmp_path / "wh_res")
+    run_crawl(spark, CrawlConfig(  # interrupted mid-ramp
+        warehouse=wh_res, spec=spec, max_batches=2,
+        compact_every=4, autothrottle=True,
+    ))
+    run_crawl(spark, CrawlConfig(
+        warehouse=wh_res, spec=spec, max_batches=MAX_BATCHES,
+        compact_every=4, autothrottle=True,
+    ), resume=True)
+
+    def _state(wh):
+        cat = SnapshotCatalog(spark, wh)
+        m = cat.latest()
+        seen = {r["url"] for r in cat.read("urlseen", m).collect()}
+        prog = {(r["url"], r["batch_id"], r["attempt"], r["outcome"])
+                for r in cat.read("progress", m).collect()}
+        return seen, prog
+
+    assert _state(wh_full) == _state(wh_res)
