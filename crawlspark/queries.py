@@ -7061,8 +7061,9 @@ _DEMOTED = [
     "ann_ivf_topk",
     # NEW in the round-5 late continuation, parked OUTSIDE the window so
     # the 50 never-driver-checked round-5 entries keep their first rows
-    # this round; PROMOTE BOTH in round 6 (each is oracle-green via
-    # scripts/check_oracles.py and pytest-covered this round)
+    # this round; PROMOTE ALL SEVEN below in round 6 (each is
+    # oracle-green via scripts/check_oracles.py and pytest-covered this
+    # round)
     "mojibake_repair",
     "surt_canonical",
     "fetch_latency_tails",
