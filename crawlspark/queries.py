@@ -6869,6 +6869,538 @@ def etag_revalidate(spark, sf_dir):
     )
 
 
+# ============ Redirect-chain resolution ===================================
+
+
+@q(
+    "redirect_chain_resolve",
+    """
+    WITH n AS (SELECT doc_id AS x FROM documents),
+    e AS (
+      SELECT doc_id AS src,
+             CASE WHEN doc_id % 100 = 7 THEN doc_id + 2
+                  WHEN doc_id % 100 = 9 THEN doc_id - 2
+                  WHEN doc_id % 5 = 0 THEN NULL
+                  ELSE doc_id - 1 END AS dst
+      FROM documents),
+    s1 AS (SELECT n.x, coalesce(e.dst, n.x) AS f,
+                  CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS h
+           FROM n LEFT JOIN e ON e.src = n.x),
+    s2 AS (SELECT s1.x, coalesce(e.dst, s1.f) AS f,
+                  s1.h + CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS h
+           FROM s1 LEFT JOIN e ON e.src = s1.f),
+    s3 AS (SELECT s2.x, coalesce(e.dst, s2.f) AS f,
+                  s2.h + CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS h
+           FROM s2 LEFT JOIN e ON e.src = s2.f),
+    s4 AS (SELECT s3.x, coalesce(e.dst, s3.f) AS f,
+                  s3.h + CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS h
+           FROM s3 LEFT JOIN e ON e.src = s3.f),
+    s5 AS (SELECT s4.x, coalesce(e.dst, s4.f) AS f,
+                  s4.h + CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS h
+           FROM s4 LEFT JOIN e ON e.src = s4.f),
+    s6 AS (SELECT s5.x, coalesce(e.dst, s5.f) AS f,
+                  s5.h + CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS h
+           FROM s5 LEFT JOIN e ON e.src = s5.f),
+    s7 AS (SELECT s6.x, coalesce(e.dst, s6.f) AS f,
+                  s6.h + CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS h
+           FROM s6 LEFT JOIN e ON e.src = s6.f),
+    s8 AS (SELECT s7.x, coalesce(e.dst, s7.f) AS f,
+                  s7.h + CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS h
+           FROM s7 LEFT JOIN e ON e.src = s7.f)
+    SELECT x AS doc_id,
+           f AS final_id,
+           'https://h' || (f % 7)::VARCHAR || '.example/r/' || f::VARCHAR
+             AS final_url,
+           CAST(h AS BIGINT) AS hops,
+           CAST(CASE WHEN f % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS resolved
+    FROM s8
+    """,
+)
+def redirect_chain_resolve(spark, sf_dir):
+    """Redirect-chain resolution over a 301-redirect MAP (url -> next
+    url): collapse every chain to its terminal target so the frontier
+    keys on the page a fetch actually lands on — the step that stops N
+    chain prefixes of one article being crawled as N pages.  Reference
+    analog: Scrapy's RedirectMiddleware follows chains at fetch time;
+    at 10^10-frontier scale the map is a TABLE and resolution is a batch
+    graph job.
+
+    Synthetic chain structure (pure function of doc_id so both engines
+    derive the identical edge set): nodes step downward to the previous
+    multiple of 5 (chains of length 0-4), except a planted 2-cycle pair
+    (d%100 in {7,9}) that exercises the hop cap, and chain heads whose
+    target falls outside the node set (absorbing, like a redirect to an
+    uncrawled URL).
+
+    Spark side resolves by POINTER DOUBLING: 3 self-compositions of the
+    step map compute f^8 (log2 of the hop cap) vs the oracle's 8
+    sequential joins — the two compositions are the same function, so
+    results must be bit-identical.  Each round is MATERIALIZED
+    (localCheckpoint) before composing, exactly like any iterative graph
+    job (Pregel supersteps): a lazy self-join would unroll the plan tree
+    exponentially (2^rounds scans — Spark plans are trees without
+    subtree sharing), while the materialized form pays one keyed shuffle
+    per round, and O(log k) rounds is what a 100 TB redirect table with
+    deep caps needs.  Hop counts ride along exactly: compose(d1, d2) =
+    d1 + d2 with absorbed states adding 0.  `resolved=0` marks cycle
+    participants and out-of-set absorbers the cap caught."""
+    d = T(spark, sf_dir, "documents")
+    nxt = (
+        F.when(F.col("doc_id") % 100 == 7, F.col("doc_id") + 2)
+        .when(F.col("doc_id") % 100 == 9, F.col("doc_id") - 2)
+        .when(F.col("doc_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id") - 1)
+    )
+    # m: x -> (f = one step, h = 1 if the step moved)
+    m = d.select(
+        F.col("doc_id").alias("x"),
+        F.coalesce(nxt, F.col("doc_id")).alias("f"),
+        F.when(nxt.isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("h"),
+    )
+    for _ in range(3):  # m := m ∘ m  (f^1 -> f^2 -> f^4 -> f^8)
+        # materialize the round (iterative-job barrier; see docstring)
+        m = m.localCheckpoint()
+        nxt_m = m.select(
+            F.col("x").alias("x2"), F.col("f").alias("f2"),
+            F.col("h").alias("h2"),
+        )
+        m = (
+            m.join(nxt_m, m.f == nxt_m.x2, "left")
+            .select(
+                "x",
+                F.coalesce("f2", "f").alias("f"),
+                (F.col("h") + F.coalesce("h2", F.lit(0))).alias("h"),
+            )
+        )
+    return m.select(
+        F.col("x").alias("doc_id"),
+        F.col("f").alias("final_id"),
+        F.concat(
+            F.lit("https://h"), (F.col("f") % 7).cast("string"),
+            F.lit(".example/r/"), F.col("f").cast("string"),
+        ).alias("final_url"),
+        F.col("h").cast("long").alias("hops"),
+        (F.col("f") % 5 == 0).cast("long").alias("resolved"),
+    )
+
+
+# ============ HITS hubs & authorities ======================================
+
+
+@q(
+    "host_hits_scores",
+    """
+    WITH e AS (
+      SELECT 'h' || (l_orderkey % 50) AS src, 'h' || (l_partkey % 50) AS dst
+      FROM lineitem WHERE l_orderkey % 50 != l_partkey % 50),
+    w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY src, dst),
+    v AS (SELECT DISTINCT src AS h FROM w UNION SELECT DISTINCT dst AS h FROM w),
+    a1r AS (SELECT dst AS h, CAST(sum(1000000 * w) AS BIGINT) AS c
+            FROM w GROUP BY dst),
+    a1 AS (SELECT v.h,
+                  CAST(coalesce(a1r.c, 0) * 1000000
+                       // (SELECT max(c) FROM a1r) AS BIGINT) AS a
+           FROM v LEFT JOIN a1r ON a1r.h = v.h),
+    h1r AS (SELECT w.src AS h, CAST(sum(a1.a * w.w) AS BIGINT) AS c
+            FROM w JOIN a1 ON a1.h = w.dst GROUP BY w.src),
+    h1 AS (SELECT v.h,
+                  CAST(coalesce(h1r.c, 0) * 1000000
+                       // (SELECT max(c) FROM h1r) AS BIGINT) AS s
+           FROM v LEFT JOIN h1r ON h1r.h = v.h),
+    a2r AS (SELECT w.dst AS h, CAST(sum(h1.s * w.w) AS BIGINT) AS c
+            FROM w JOIN h1 ON h1.h = w.src GROUP BY w.dst),
+    a2 AS (SELECT v.h,
+                  CAST(coalesce(a2r.c, 0) * 1000000
+                       // (SELECT max(c) FROM a2r) AS BIGINT) AS a
+           FROM v LEFT JOIN a2r ON a2r.h = v.h),
+    h2r AS (SELECT w.src AS h, CAST(sum(a2.a * w.w) AS BIGINT) AS c
+            FROM w JOIN a2 ON a2.h = w.dst GROUP BY w.src),
+    h2 AS (SELECT v.h,
+                  CAST(coalesce(h2r.c, 0) * 1000000
+                       // (SELECT max(c) FROM h2r) AS BIGINT) AS s
+           FROM v LEFT JOIN h2r ON h2r.h = v.h)
+    SELECT a2.h AS host,
+           a2.a AS auth_scaled,
+           h2.s AS hub_scaled,
+           CAST(a2.a AS DOUBLE) / 1000000.0 AS auth,
+           CAST(h2.s AS DOUBLE) / 1000000.0 AS hub
+    FROM a2 JOIN h2 ON h2.h = a2.h
+    """,
+)
+def host_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities over the weighted host link graph (2 full
+    mutual-reinforcement iterations) — the complementary signal to
+    host_pagerank: authorities rank CONTENT hosts worth fetch budget,
+    hubs rank LISTING/directory hosts worth re-crawling for discovery.
+
+    Integer-exact across engines: scores live at a 1e6 fixed-point scale
+    with L-infinity normalization per half-step — ``score = raw * 1e6
+    DIV max(raw)`` (all operands non-negative, so Spark's truncating DIV
+    equals DuckDB's flooring ``//``; the max is an exact integer agg, so
+    there is no float normalization drift).  The two final IEEE divisions
+    are shared-literal and bit-identical.
+
+    100 TB shape: page edges collapse to the host graph first; each
+    half-step is one shuffle (edges joined to scores on one endpoint,
+    summed on the other — partitioning reused across iterations); the
+    1-row max joins back as a broadcast.  Nothing driver-resident."""
+    li = T(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 50).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 50).cast("string"))
+        .alias("dst"),
+    ).filter(F.col("l_orderkey") % 50 != F.col("l_partkey") % 50)
+    w = e.groupBy("src", "dst").agg(F.count("*").cast("long").alias("w"))
+    v = (
+        w.select(F.col("src").alias("h"))
+        .union(w.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        # raw: (h, c)  ->  (h, s = c * 1e6 DIV max(c)) over ALL vertices
+        mx = raw.agg(F.max("c").alias("mx"))
+        return (
+            v.join(raw, "h", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "h",
+                F.expr("coalesce(c, 0) * 1000000 DIV mx").cast("long")
+                .alias("s"),
+            )
+        )
+
+    # h0 = 1e6 for all vertices; a1_raw = sum_in(h0 * w) = 1e6 * in-weight
+    a = _normalize(
+        w.groupBy(F.col("dst").alias("h"))
+        .agg(F.sum(F.lit(1_000_000) * F.col("w")).alias("c"))
+    )
+    for i in range(2):
+        h = _normalize(
+            w.join(a.select(F.col("h").alias("dst"), F.col("s").alias("av")),
+                   "dst")
+            .groupBy(F.col("src").alias("h"))
+            .agg(F.sum(F.col("av") * F.col("w")).alias("c"))
+        )
+        if i == 0:
+            a = _normalize(
+                w.join(
+                    h.select(F.col("h").alias("src"), F.col("s").alias("hv")),
+                    "src")
+                .groupBy(F.col("dst").alias("h"))
+                .agg(F.sum(F.col("hv") * F.col("w")).alias("c"))
+            )
+    return (
+        a.select("h", F.col("s").alias("auth_scaled"))
+        .join(h.select("h", F.col("s").alias("hub_scaled")), "h")
+        .select(
+            F.col("h").alias("host"), "auth_scaled", "hub_scaled",
+            (F.col("auth_scaled").cast("double") / F.lit(1000000.0))
+            .alias("auth"),
+            (F.col("hub_scaled").cast("double") / F.lit(1000000.0))
+            .alias("hub"),
+        )
+    )
+
+
+# ============ DUST alias-rule mining =======================================
+
+
+@q(
+    "dust_alias_candidates",
+    """
+    WITH log AS (
+      SELECT 'https://h' || ((doc_id % 250) % 9)::VARCHAR || '.example/p/'
+               || (doc_id % 250)::VARCHAR
+               || CASE (doc_id // 250) % 3
+                    WHEN 1 THEN '?sess=' || substr(md5(doc_id::VARCHAR), 1, 8)
+                    WHEN 2 THEN '/index.html'
+                    ELSE '' END AS url,
+             md5((doc_id % 250)::VARCHAR) AS body_hash
+      FROM documents),
+    u AS (
+      SELECT url, body_hash,
+             split_part(split_part(url, '://', 2), '/', 1) AS host,
+             CASE WHEN contains(url, '?sess=') THEN 'param:sess'
+                  WHEN url LIKE '%/index.html' THEN 'suffix:index.html'
+                  ELSE 'plain' END AS kind
+      FROM log),
+    g AS (
+      SELECT host, body_hash,
+             sum(CASE WHEN kind = 'plain' THEN 1 ELSE 0 END) AS n_plain,
+             sum(CASE WHEN kind = 'param:sess' THEN 1 ELSE 0 END) AS n_param,
+             sum(CASE WHEN kind = 'suffix:index.html' THEN 1 ELSE 0 END)
+               AS n_suffix
+      FROM u GROUP BY host, body_hash)
+    SELECT host, 'param:sess' AS rule,
+           CAST(sum(CASE WHEN n_plain > 0 AND n_param > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS support,
+           CAST(sum(CASE WHEN n_plain > 0 THEN n_param ELSE 0 END) AS BIGINT)
+             AS alias_urls
+    FROM g GROUP BY host
+    UNION ALL
+    SELECT host, 'suffix:index.html' AS rule,
+           CAST(sum(CASE WHEN n_plain > 0 AND n_suffix > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS support,
+           CAST(sum(CASE WHEN n_plain > 0 THEN n_suffix ELSE 0 END) AS BIGINT)
+             AS alias_urls
+    FROM g GROUP BY host
+    """,
+)
+def dust_alias_candidates(spark, sf_dir):
+    """DUST rule mining (Different URLs, Same Text — Bar-Yossef et al.'s
+    DustBuster): from a crawl log of (url, payload digest), find per-host
+    REWRITE-RULE candidates whose application would collapse URL aliases
+    before fetching.  Clusters are (host, body_hash) groups; a rule
+    ('strip ?sess=', 'strip /index.html') earns support from every
+    cluster where both the plain URL and that alias shape co-occur.
+    Rules mined here feed the frontier's canonicalizer — unlike
+    url_param_canonicalize's fixed tracking list, this LEARNS host-
+    specific aliases from evidence, which is how a 10^10-frontier
+    discovers session-id params it has never seen before.
+
+    Shape: alias kinds are parsed from the URL STRING (row-local regex-
+    free predicates), one (host, body_hash)-keyed agg with map-side
+    partial combine, then a host rollup of the already cluster-sized
+    table.  The synthetic log plants ~3 URL variants per content id as a
+    pure function of doc_id so both engines derive identical evidence."""
+    d = T(spark, sf_dir, "documents")
+    cid = F.col("doc_id") % 250
+    log = d.select(
+        F.concat(
+            F.lit("https://h"), (cid % 9).cast("string"),
+            F.lit(".example/p/"), cid.cast("string"),
+            F.when(
+                F.expr("(doc_id DIV 250) % 3") == 1,
+                F.concat(
+                    F.lit("?sess="),
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                ),
+            ).when(
+                F.expr("(doc_id DIV 250) % 3") == 2, F.lit("/index.html")
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+        F.md5(cid.cast("string")).alias("body_hash"),
+    )
+    u = log.select(
+        "url", "body_hash",
+        F.substring_index(
+            F.substring_index("url", "://", -1), "/", 1
+        ).alias("host"),
+        F.when(F.col("url").contains("?sess="), F.lit("param:sess"))
+        .when(F.col("url").endswith("/index.html"),
+              F.lit("suffix:index.html"))
+        .otherwise(F.lit("plain")).alias("kind"),
+    )
+    g = u.groupBy("host", "body_hash").agg(
+        F.sum((F.col("kind") == "plain").cast("long")).alias("n_plain"),
+        F.sum((F.col("kind") == "param:sess").cast("long")).alias("n_param"),
+        F.sum((F.col("kind") == "suffix:index.html").cast("long"))
+        .alias("n_suffix"),
+    )
+
+    def _support(n_col: str):
+        return F.sum(
+            ((F.col("n_plain") > 0) & (F.col(n_col) > 0)).cast("long")
+        )
+
+    def _aliases(n_col: str):
+        return F.sum(
+            F.when(F.col("n_plain") > 0, F.col(n_col)).otherwise(F.lit(0))
+        ).cast("long")
+
+    # Both rules in ONE host rollup (a unionAll of two aggs would scan the
+    # corpus twice at 100 TB); the two output rows come from exploding a
+    # row-local 2-struct array over the already host-sized table.
+    per = g.groupBy("host").agg(
+        _support("n_param").alias("sp"), _aliases("n_param").alias("ap"),
+        _support("n_suffix").alias("ss"), _aliases("n_suffix").alias("asf"),
+    )
+    return per.select(
+        "host",
+        F.explode(F.array(
+            F.struct(
+                F.lit("param:sess").alias("rule"),
+                F.col("sp").alias("support"),
+                F.col("ap").alias("alias_urls"),
+            ),
+            F.struct(
+                F.lit("suffix:index.html").alias("rule"),
+                F.col("ss").alias("support"),
+                F.col("asf").alias("alias_urls"),
+            ),
+        )).alias("r"),
+    ).select("host", "r.rule", "r.support", "r.alias_urls")
+
+
+# ============ Epoch token-distribution drift ===============================
+
+
+@q(
+    "epoch_token_drift",
+    """
+    WITH tok AS (
+      SELECT doc_id % 2 AS epoch,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    c AS (
+      SELECT token,
+             CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM tok WHERE token != '' GROUP BY token),
+    t AS (SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1
+          FROM c)
+    SELECT token, n0, n1,
+           CAST(n0 * 1000000 // t.t0 AS BIGINT) AS p0_ppm,
+           CAST(n1 * 1000000 // t.t1 AS BIGINT) AS p1_ppm,
+           CAST(abs(n0 * 1000000 // t.t0 - n1 * 1000000 // t.t1) AS BIGINT)
+             AS drift_ppm
+    FROM c, t
+    """,
+)
+def epoch_token_drift(spark, sf_dir):
+    """Token-distribution drift between two crawl epochs — the corpus
+    health check a recurring 100 TB pipeline runs before mixing a new
+    epoch into training data: per-token parts-per-million frequency in
+    each epoch and the absolute shift (summing drift_ppm/2 over tokens
+    gives total-variation distance).  Catches template explosions, spam
+    injections, and extraction regressions that per-document quality
+    gates can't see because every individual document looks fine.
+
+    Integer-exact: counts are exact, ppm shares are integer floor
+    divisions against exact totals, drift is an integer abs — zero IEEE
+    ops, so the engines agree bit-for-bit.  Shape: one explode + one
+    token-keyed agg (map-side combine absorbs Zipf skew exactly like the
+    token_postings build), and the 1-row totals join back as a
+    broadcast.  Epochs come from doc_id parity so both engines see the
+    same split."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("epoch"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    c = tok.groupBy("token").agg(
+        F.sum((F.col("epoch") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("epoch") == 1).cast("long")).alias("n1"),
+    )
+    t = c.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    p0 = F.expr("n0 * 1000000 DIV t0")
+    p1 = F.expr("n1 * 1000000 DIV t1")
+    return c.crossJoin(F.broadcast(t)).select(
+        "token", "n0", "n1",
+        p0.cast("long").alias("p0_ppm"),
+        p1.cast("long").alias("p1_ppm"),
+        F.abs(p0 - p1).cast("long").alias("drift_ppm"),
+    )
+
+
+# ============ Host circuit breaker =========================================
+
+
+@q(
+    "host_circuit_breaker",
+    """
+    WITH log AS (
+      SELECT event_id, 'h' || (user_id % 20)::VARCHAR AS host,
+             CASE WHEN user_id % 20 = 13 THEN 1
+                  WHEN event_id % 7 < 2 THEN 1 ELSE 0 END AS failed
+      FROM events),
+    r AS (
+      SELECT host, event_id, failed,
+             row_number() OVER (PARTITION BY host ORDER BY event_id)
+             - row_number() OVER (PARTITION BY host, failed
+                                  ORDER BY event_id) AS grp
+      FROM log),
+    runs AS (
+      SELECT host, grp, CAST(count(*) AS BIGINT) AS run_len,
+             CAST(max(CASE WHEN idx = 4 THEN event_id END) AS BIGINT)
+               AS trip_event
+      FROM (SELECT host, grp, event_id,
+                   row_number() OVER (PARTITION BY host, grp
+                                      ORDER BY event_id) AS idx
+            FROM r WHERE failed = 1)
+      GROUP BY host, grp),
+    agg AS (
+      SELECT host, CAST(max(run_len) AS BIGINT) AS max_consec_fail,
+             CAST(min(trip_event) AS BIGINT) AS first_trip_event
+      FROM runs GROUP BY host),
+    base AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+             CAST(sum(failed) AS BIGINT) AS n_fail
+      FROM log GROUP BY host)
+    SELECT base.host, base.n_fetches, base.n_fail,
+           CAST(coalesce(agg.max_consec_fail, 0) AS BIGINT)
+             AS max_consec_fail,
+           CAST(CASE WHEN coalesce(agg.max_consec_fail, 0) >= 4
+                     THEN 1 ELSE 0 END AS BIGINT) AS tripped,
+           CAST(coalesce(agg.first_trip_event, -1) AS BIGINT)
+             AS first_trip_event
+    FROM base LEFT JOIN agg ON agg.host = base.host
+    """,
+)
+def host_circuit_breaker(spark, sf_dir):
+    """Per-host circuit-breaker report over the fetch outcome log: the
+    gaps-and-islands run analysis that decides which hosts a crawler
+    should STOP scheduling (K=4 consecutive terminal failures trips the
+    breaker — dead hosts, walls, network partitions) and the exact fetch
+    at which each tripped.  The reference retries per-request
+    (RETRY_TIMES); a fleet needs the per-HOST aggregate or it burns its
+    politeness-bounded slots on a host that is down.
+
+    Consecutive runs via the two-row_number difference (both engines
+    order by the unique event_id, so the island keys are identical);
+    the trip event is the 4th failure INSIDE a run, not run_start+3,
+    because fetch ids per host are not contiguous.  Shape: one
+    host-keyed shuffle shared by every window, then two host-sized aggs
+    joined back.  One synthetic host (user_id%20==13) always fails to
+    pin the breaker's terminal case."""
+    ev = T(spark, sf_dir, "events")
+    log = ev.select(
+        "event_id",
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+        .alias("host"),
+        F.when(F.col("user_id") % 20 == 13, F.lit(1))
+        .when(F.col("event_id") % 7 < 2, F.lit(1))
+        .otherwise(F.lit(0)).alias("failed"),
+    )
+    wh = Window.partitionBy("host").orderBy("event_id")
+    whf = Window.partitionBy("host", "failed").orderBy("event_id")
+    r = log.select(
+        "host", "event_id", "failed",
+        (F.row_number().over(wh) - F.row_number().over(whf)).alias("grp"),
+    )
+    fails = r.filter(F.col("failed") == 1)
+    widx = Window.partitionBy("host", "grp").orderBy("event_id")
+    runs = (
+        fails.select("host", "grp", "event_id",
+                     F.row_number().over(widx).alias("idx"))
+        .groupBy("host", "grp")
+        .agg(
+            F.count("*").cast("long").alias("run_len"),
+            F.max(F.when(F.col("idx") == 4, F.col("event_id")))
+            .cast("long").alias("trip_event"),
+        )
+    )
+    agg = runs.groupBy("host").agg(
+        F.max("run_len").alias("max_consec_fail"),
+        F.min("trip_event").alias("first_trip_event"),
+    )
+    base = log.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum("failed").cast("long").alias("n_fail"),
+    )
+    return base.join(agg, "host", "left").select(
+        "host", "n_fetches", "n_fail",
+        F.coalesce("max_consec_fail", F.lit(0)).cast("long")
+        .alias("max_consec_fail"),
+        (F.coalesce("max_consec_fail", F.lit(0)) >= 4).cast("long")
+        .alias("tripped"),
+        F.coalesce("first_trip_event", F.lit(-1)).cast("long")
+        .alias("first_trip_event"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -7071,6 +7603,15 @@ _DEMOTED = [
     "url_param_canonicalize",
     "etag_revalidate",
     "meta_robots_parse",
+    # NEW in the round-5 third continuation, parked OUTSIDE the window for
+    # the same reason as the seven above; PROMOTE ALL of this parked tail
+    # in round 6 (each is oracle-green via scripts/check_oracles.py and
+    # plan-asserted in test_plans this round)
+    "redirect_chain_resolve",
+    "host_hits_scores",
+    "dust_alias_candidates",
+    "epoch_token_drift",
+    "host_circuit_breaker",
 ]
 
 

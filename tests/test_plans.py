@@ -317,3 +317,55 @@ def test_budget_alloc_windows_over_host_table_only(spark, qs):
     p = _plan(spark, qs["crawl_budget_alloc"](spark, SF))
     assert "partial_count" in p  # map-side combine before the host agg
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_redirect_resolve_doubles_not_sequential(spark, qs):
+    """Pointer doubling with per-round materialization: the FINAL plan
+    holds exactly one composition join over checkpointed rounds (a lazy
+    unroll would show 2^rounds-1 joins and as many rescans); the inputs
+    are materialized RDD scans, not repeated parquet scans."""
+    p = _plan(spark, qs["redirect_chain_resolve"](spark, SF))
+    # formatted output prints each node twice (tree + details)
+    joins = (p.count("SortMergeJoin") + p.count("BroadcastHashJoin")
+             + p.count("ShuffledHashJoin")) // 2
+    assert joins == 1, f"expected 1 composition join, plan has {joins}"
+    assert "ExistingRDD" in p  # the materialized doubling rounds
+    assert "Scan parquet" not in p
+
+
+def test_hits_normalization_max_broadcasts(spark, qs):
+    """The L-inf normalizer joins a 1-row max back to the score table —
+    that must be a broadcast (nested-loop over 1 row), never a shuffle
+    of the vertex side."""
+    p = _plan(spark, qs["host_hits_scores"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+    # edges collapse map-side before any iteration shuffle
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_dust_mining_single_corpus_scan(spark, qs):
+    """Both rewrite rules must come out of ONE corpus scan + one
+    (host,body_hash) agg; the two output rows per host explode from a
+    row-local struct array over the host-sized rollup."""
+    p = _plan(spark, qs["dust_alias_candidates"](spark, SF))
+    # formatted output prints each node twice (tree + details)
+    assert p.count("Scan parquet") == 2, p.count("Scan parquet")
+    assert "Generate" in p and "explode" in p
+
+
+def test_token_drift_totals_broadcast(spark, qs):
+    """The 1-row epoch totals join back as a broadcast; the only keyed
+    shuffle is the token aggregation (map-side combine absorbs Zipf
+    skew)."""
+    p = _plan(spark, qs["epoch_token_drift"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_circuit_breaker_host_keyed_exchanges_only(spark, qs):
+    """Gaps-and-islands over the fetch log: every window/agg keys on host
+    (or a host-prefixed composite) — no global sort, no single-partition
+    collapse of the log."""
+    p = _plan(spark, qs["host_circuit_breaker"](spark, SF))
+    assert "SinglePartition" not in p
+    assert p.count("+- Exchange") <= 6  # host, (host,failed), (host,grp) + aggs
