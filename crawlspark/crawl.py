@@ -145,6 +145,16 @@ class CrawlConfig:
     autothrottle_start_delay_ms: int = 5000
     autothrottle_max_delay_ms: int = 60000
     autothrottle_target_concurrency: int = 1
+    # per-host circuit breaker (scheduler.breaker_blocked_hosts): a host
+    # whose last N ACTIVE batches produced zero successful fetches stops
+    # being scheduled for `cooldown` batches, then re-admits for one probe
+    # batch (half-open).  Politeness bounds how fast a host is fetched;
+    # this stops a DEAD host (down, walled, partitioned) from burning its
+    # politeness-bounded slots every batch.  The only state is the metrics
+    # log, so the breaker is resume-safe by construction.  None = off,
+    # every plan untouched.
+    failure_trip_threshold: int | None = None
+    failure_trip_cooldown_batches: int = 4
 
     def __post_init__(self):
         if self.expected_urls:
@@ -604,6 +614,18 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             target_concurrency=cfg.autothrottle_target_concurrency,
             period_ms=int(rules.BATCH_PERIOD_S * 1000),
         )
+    trip_hosts = None
+    if cfg.failure_trip_threshold is not None:
+        # circuit breaker: zero the budget of hosts whose breaker is open
+        # (their pending rows stay in the frontier and re-admit when the
+        # cooldown passes).  Applied AFTER autothrottle and regardless of
+        # budget_override: a dead host's budget is 0 under every policy.
+        trip_hosts = scheduler.breaker_blocked_hosts(
+            catalog.read("metrics", manifest), batch_id=batch_id,
+            threshold=cfg.failure_trip_threshold,
+            cooldown=cfg.failure_trip_cooldown_batches,
+        ).persist()
+        hosts_df = scheduler.apply_circuit_breaker(hosts_df, trip_hosts)
     scheduled, robots_blocked = scheduler.schedule(
         pending, hosts_df, batch_id, return_blocked=True
     )
@@ -720,10 +742,21 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
                 batch_id, appends={"progress": blocked_progress.coalesce(1)},
             )
             blocked_progress.unpersist()
+            if trip_hosts is not None:
+                trip_hosts.unpersist()
             return m
         blocked_progress.unpersist()
-        # nothing eligible now; if anything is backoff-gated, skip forward
+        # nothing eligible now; if anything is backoff-gated — or held
+        # back only by an open circuit breaker whose cooldown will pass —
+        # skip forward instead of finishing
         n_future = pending.filter(F.col("not_before_batch") > batch_id).count()
+        if n_future == 0 and trip_hosts is not None:
+            n_future = (
+                pending.filter(F.col("not_before_batch") <= batch_id)
+                .join(trip_hosts, on="host", how="left_semi").count()
+            )
+        if trip_hosts is not None:
+            trip_hosts.unpersist()
         if n_future == 0:
             return None
         return catalog.commit(batch_id, appends={})
@@ -1060,6 +1093,8 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
               + ", ".join(f"{k}={v:.2f}s" for k, v in prof.items()))
     for df in (scheduled, pipe, new_frontier, blocked_progress):
         df.unpersist()
+    if trip_hosts is not None:
+        trip_hosts.unpersist()
     if bloom is not None:
         bloom.release()  # free the batch's Bloom broadcast (state committed)
     if probe_store is not None:
@@ -1075,8 +1110,13 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         # the hint over-promised: this batch scheduled AND retired nothing
         # (the commit above appended only empty deltas).  Same terminal
         # decision as the counted zero branch: stop unless something is
-        # still backoff-gated.
+        # still backoff-gated or held only by an open circuit breaker.
         n_future = pending.filter(F.col("not_before_batch") > batch_id).count()
+        if n_future == 0 and trip_hosts is not None:
+            n_future = (
+                pending.filter(F.col("not_before_batch") <= batch_id)
+                .join(trip_hosts, on="host", how="left_semi").count()
+            )
         if n_future == 0:
             return None
     return new_manifest

@@ -343,3 +343,67 @@ def apply_autothrottle(hosts: DataFrame, metrics: DataFrame, *,
         )
         .drop("_at_budget")
     )
+
+
+# ------------------------------------------------------- circuit breaker
+
+def breaker_tripped_py(batches: list[tuple[int, int, int]], *,
+                       threshold: int, cooldown: int,
+                       now_batch: int) -> bool:
+    """Per-host circuit-breaker predicate, shared verbatim by the engine's
+    SQL form (breaker_blocked_hosts) and the crawl oracle so the two
+    cannot drift.  ``batches`` is the host's metrics history as
+    (batch_id, n_ok, n_scheduled), any order.  The breaker is OPEN at
+    ``now_batch`` iff the host's last ``threshold`` ACTIVE batches
+    (n_scheduled > 0) all produced zero successful fetches AND the most
+    recent active batch is within ``cooldown`` batches — after the
+    cooldown passes, the host re-admits for one probe batch (half-open);
+    a failed probe becomes the new most-recent active batch and re-opens
+    the breaker for another cooldown."""
+    act = sorted(b for b in batches if b[2] > 0)
+    if len(act) < threshold:
+        return False
+    if any(n_ok > 0 for _, n_ok, _ in act[-threshold:]):
+        return False
+    return (now_batch - act[-1][0]) <= cooldown
+
+
+def breaker_blocked_hosts(metrics: DataFrame, *, batch_id: int,
+                          threshold: int, cooldown: int) -> DataFrame:
+    """Hosts whose breaker is open at ``batch_id`` (engine twin of
+    breaker_tripped_py): one host-keyed window over the active metrics
+    rows takes each host's last ``threshold`` batches, a host-sized agg
+    checks all-failing + cooldown.  The metrics log is the ONLY state —
+    resume-safe for free, nothing driver-resident."""
+    act = metrics.filter(F.col("n_scheduled") > 0)
+    w = Window.partitionBy("host").orderBy(F.desc("batch_id"))
+    tail = act.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") <= threshold)
+    st = tail.groupBy("host").agg(
+        F.count("*").alias("n_act"),
+        F.sum((F.col("n_ok") > 0).cast("long")).alias("n_ok_batches"),
+        F.max("batch_id").alias("last_b"),
+    )
+    return st.filter(
+        (F.col("n_act") >= threshold)
+        & (F.col("n_ok_batches") == 0)
+        & ((F.lit(batch_id) - F.col("last_b")) <= cooldown)
+    ).select("host")
+
+
+def apply_circuit_breaker(hosts: DataFrame, blocked: DataFrame) -> DataFrame:
+    """Zero the politeness budget of breaker-open hosts: their pending
+    rows stay in the frontier untouched (schedule()'s rank filter admits
+    nothing at budget 0) and re-admit automatically when the breaker
+    closes.  The blocked set is host-sized — broadcast join."""
+    return (
+        hosts.join(
+            F.broadcast(blocked.withColumn("_trip", F.lit(1))),
+            on="host", how="left")
+        .withColumn(
+            "budget_per_batch",
+            F.when(F.col("_trip") == 1, F.lit(0))
+            .otherwise(F.col("budget_per_batch")).cast("int"),
+        )
+        .drop("_trip")
+    )

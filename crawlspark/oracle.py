@@ -21,7 +21,11 @@ from crawlspark.functions.dates import parse_date_py
 from crawlspark.functions.textclean import clean_spans
 from crawlspark.functions.transfer import decode_body_py
 from crawlspark.operators.docs import doc_id_py
-from crawlspark.operators.scheduler import priority_py, robots_allowed_py
+from crawlspark.operators.scheduler import (
+    breaker_tripped_py,
+    priority_py,
+    robots_allowed_py,
+)
 
 
 @dataclass
@@ -44,9 +48,15 @@ def crawl_oracle(
     obey_meta_robots: bool = False,
     use_canonical_link: bool = False,
     autothrottle: bool = False,
+    failure_trip_threshold: int | None = None,
+    failure_trip_cooldown: int = 4,
 ) -> OracleResult:
     res = OracleResult()
     hosts: dict[str, dict] = {}
+    # circuit-breaker state (engine twin: scheduler.breaker_blocked_hosts,
+    # which reads the SAME shape from the metrics table): per-host
+    # (batch_id, n_ok, n_fetched) history, judged by the SHARED predicate
+    fx_hist: dict[str, list[tuple[int, int, int]]] = {}
     # AutoThrottle state (engine twin: scheduler.apply_autothrottle):
     # per-host metrics history, folded by the SHARED recurrence
     at_hist: dict[str, list[tuple[int, int, int]]] = {}
@@ -119,7 +129,14 @@ def crawl_oracle(
             del pending[r["url"]]
             res.progress.append((r["url"], batch, r["retry_count"], "robots_blocked", 0))
         scheduled: list[dict] = []
+        breaker_held = False
         for host in sorted(eligible):
+            if failure_trip_threshold is not None and breaker_tripped_py(
+                fx_hist.get(host, []), threshold=failure_trip_threshold,
+                cooldown=failure_trip_cooldown, now_batch=batch,
+            ):
+                breaker_held = True  # rows stay pending (engine: budget 0)
+                continue
             if autothrottle and budget_override is None:
                 budget = at_budget(host)
             else:
@@ -129,6 +146,8 @@ def crawl_oracle(
         if not scheduled:
             if blocked:
                 continue  # this batch only retired robots-blocked rows
+            if breaker_held:
+                continue  # breaker cooldown will pass (engine twin)
             if any(r["not_before"] > batch for r in pending.values()):
                 continue  # backoff-gated work remains
             batch -= 1
@@ -136,6 +155,7 @@ def crawl_oracle(
 
         candidates: dict[str, dict] = {}  # link url -> winner record
         at_batch: dict[str, list[int]] = {}  # host -> [n, sum_elapsed_ms]
+        fx_batch: dict[str, list[int]] = {}  # host -> [n_fetched, n_ok]
         for r in scheduled:
             del pending[r["url"]]
             status, final_url, raw, enc, _el = synthetic.fetch_encoded(spec, r["url"], r["retry_count"])
@@ -143,6 +163,8 @@ def crawl_oracle(
                 acc = at_batch.setdefault(r["host"], [0, 0])
                 acc[0] += 1
                 acc[1] += _el
+            if failure_trip_threshold is not None:
+                fx_batch.setdefault(r["host"], [0, 0])[0] += 1
             body, decode_error = decode_body_py(raw, enc)
             if status == 200 and decode_error and r["retry_count"] < rules.MAX_RETRIES:
                 outcome = "retry"  # corrupt transfer stream (GzipRetryMiddleware)
@@ -156,6 +178,8 @@ def crawl_oracle(
                 outcome = "retry"
             else:
                 outcome = "failed"
+            if failure_trip_threshold is not None and outcome == "done":
+                fx_batch[r["host"]][1] += 1
             res.progress.append((r["url"], batch, r["retry_count"], outcome, status))
             if outcome == "retry":
                 nr = dict(r)
@@ -219,6 +243,9 @@ def crawl_oracle(
         if autothrottle:
             for h, (n, s) in at_batch.items():
                 at_hist.setdefault(h, []).append((batch, n, s))
+        if failure_trip_threshold is not None:
+            for h, (n, ok) in fx_batch.items():
+                fx_hist.setdefault(h, []).append((batch, ok, n))
 
         # frontier merge: skip-filter → dedup vs seen → append
         for canon in sorted(candidates):

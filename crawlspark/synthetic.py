@@ -56,6 +56,10 @@ class WebSpec:
     # the document level even when the frontier fetched several; default
     # off
     canonical_links: bool = False
+    # hosts that answer every request with a retryable 503 (a down host /
+    # connection-timeout analog), so cfg.failure_trip_threshold has a
+    # genuinely dead host to trip on; default none
+    dead_hosts: tuple = ()
 
     @cached_property
     def hosts(self) -> dict[str, dict]:
@@ -495,6 +499,8 @@ def fetch(spec: WebSpec, url: str, attempt: int = 0) -> tuple[int, str, str, int
     spec_hosts = spec.hosts
     if host not in spec_hosts:
         return 404, url, "", elapsed
+    if host in spec.dead_hosts:
+        return 503, url, "", elapsed  # down host: every attempt times out
     pct = hv % 100
     if pct < 2 and attempt == 0:
         return 503, url, "", elapsed

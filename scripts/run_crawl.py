@@ -71,6 +71,14 @@ def main():
                          "analog): cautious first contact, then budget = "
                          "period // folded delay, floored at robots "
                          "crawl-delay")
+    ap.add_argument("--failure-trip-threshold", type=int, default=None,
+                    metavar="N",
+                    help="circuit breaker: stop scheduling a host after N "
+                         "active batches with zero successful fetches")
+    ap.add_argument("--failure-trip-cooldown", type=int, default=4,
+                    metavar="B",
+                    help="batches a tripped host sits out before one "
+                         "half-open probe batch (default 4)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -104,6 +112,8 @@ def main():
         obey_meta_robots=args.obey_meta_robots,
         use_canonical_link=args.use_canonical_link,
         autothrottle=args.autothrottle,
+        failure_trip_threshold=args.failure_trip_threshold,
+        failure_trip_cooldown_batches=args.failure_trip_cooldown,
     )
     if args.recrawl:
         from crawlspark.crawl import reset_for_recrawl
