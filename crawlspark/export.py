@@ -178,6 +178,8 @@ def export_warc(
     sample_pct: int | None = None,
     revisit: bool = True,
     cdxj: bool = True,
+    wet: bool = False,
+    wat: bool = False,
 ) -> dict:
     """Publish the crawl corpus as a web archive: documents → WARC
     response records → ``.warc.gz`` shards + CDXJ capture index — the
@@ -189,9 +191,17 @@ def export_warc(
     revisit records pointing at the original — the archive storage win);
     ``cdxj=True`` writes the per-shard capture index with exact gzip-member
     offsets, giving O(1) random access per URL over the published archive.
+    ``wet=True`` / ``wat=True`` also publish Common Crawl's companion
+    sidecars under ``<out_dir>/wet`` and ``<out_dir>/wat``: WET conversion
+    records carry the extracted text/plain payload, WAT metadata records a
+    canonical JSON envelope — both WARC-Refers-To-linked to the response
+    records, so archive consumers that only want text (tokenizer
+    pipelines) never touch the raw payload shards.
     Everything is executor-side streaming (write_warc's contract); only
     the per-shard manifest comes back."""
     from crawlspark.sources.warc import (documents_to_warc_rows,
+                                         documents_to_wat_rows,
+                                         documents_to_wet_rows,
                                          revisit_dedup, write_warc)
 
     docs = _sample(catalog.read("documents", manifest), sample_pct)
@@ -199,7 +209,14 @@ def export_warc(
     if revisit:
         rows = revisit_dedup(rows)
     r = write_warc(rows, out_dir, cdxj=cdxj)
-    return {**r, "revisit": revisit, "cdxj": cdxj}
+    out = {**r, "revisit": revisit, "cdxj": cdxj}
+    if wet:
+        out["wet"] = write_warc(
+            documents_to_wet_rows(docs), os.path.join(out_dir, "wet"))
+    if wat:
+        out["wat"] = write_warc(
+            documents_to_wat_rows(docs), os.path.join(out_dir, "wat"))
+    return out
 
 
 def export_incremental(

@@ -6869,6 +6869,347 @@ def etag_revalidate(spark, sf_dir):
     )
 
 
+# ============ TrustRank (seeded PageRank) ==================================
+
+
+@q(
+    "host_trustrank",
+    """
+    WITH e AS (
+      SELECT 'h' || (l_orderkey % 50) AS src, 'h' || (l_partkey % 50) AS dst
+      FROM lineitem WHERE l_orderkey % 50 != l_partkey % 50),
+    w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY src, dst),
+    deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM w GROUP BY src),
+    v AS (SELECT DISTINCT src AS h FROM w UNION SELECT DISTINCT dst AS h FROM w),
+    sv AS (SELECT h, CASE WHEN h IN ('h0','h1','h2','h3','h4')
+                          THEN CAST(150000000000 AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END AS base
+           FROM v),
+    r0 AS (SELECT h, base * 100 // 15 AS r FROM sv),
+    c1 AS (SELECT w.dst AS h, CAST(sum((r0.r * w.w) // deg.outw) AS BIGINT) AS c
+           FROM w JOIN deg USING (src) JOIN r0 ON r0.h = w.src GROUP BY w.dst),
+    r1 AS (SELECT sv.h,
+                  CAST(sv.base + (85 * coalesce(c1.c, 0)) // 100 AS BIGINT) AS r
+           FROM sv LEFT JOIN c1 ON c1.h = sv.h),
+    c2 AS (SELECT w.dst AS h, CAST(sum((r1.r * w.w) // deg.outw) AS BIGINT) AS c
+           FROM w JOIN deg USING (src) JOIN r1 ON r1.h = w.src GROUP BY w.dst),
+    r2 AS (SELECT sv.h,
+                  CAST(sv.base + (85 * coalesce(c2.c, 0)) // 100 AS BIGINT) AS r
+           FROM sv LEFT JOIN c2 ON c2.h = sv.h),
+    c3 AS (SELECT w.dst AS h, CAST(sum((r2.r * w.w) // deg.outw) AS BIGINT) AS c
+           FROM w JOIN deg USING (src) JOIN r2 ON r2.h = w.src GROUP BY w.dst),
+    r3 AS (SELECT sv.h,
+                  CAST(sv.base + (85 * coalesce(c3.c, 0)) // 100 AS BIGINT) AS r
+           FROM sv LEFT JOIN c3 ON c3.h = sv.h)
+    SELECT h AS host, r AS trust_scaled,
+           CAST(r AS DOUBLE) / 1000000000000.0 AS trust,
+           CAST(CASE WHEN h IN ('h0','h1','h2','h3','h4') THEN 1 ELSE 0 END
+                AS BIGINT) AS is_seed
+    FROM r3
+    """,
+)
+def host_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi et al.): PageRank with the teleport mass
+    restricted to a vetted SEED set — trust flows outward from known-good
+    hosts, so spam farms that inflate raw PageRank via link exchange get
+    little unless a trusted host links toward them.  The third member of
+    the frontier-quality trio (host_pagerank = popularity,
+    link_farm_score = spam fingerprints, trustrank = provenance).
+
+    Same integer discipline as host_pagerank: 1e12 fixed-point, floor-div
+    edge contributions, integer damping, seeds' base = (1-d) mass and 0
+    for non-seeds; initial rank = base * 100/15 puts full unit mass on
+    the seed set.  One shuffle per iteration over the host-collapsed
+    graph; the seed membership is a literal IN over the already
+    host-sized rank table."""
+    li = T(spark, sf_dir, "lineitem")
+    seeds = ["h0", "h1", "h2", "h3", "h4"]
+    e = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 50).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 50).cast("string"))
+        .alias("dst"),
+    ).filter(F.col("l_orderkey") % 50 != F.col("l_partkey") % 50)
+    w = e.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    deg = w.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = w.join(deg, "src")
+    v = (
+        w.select(F.col("src").alias("h"))
+        .union(w.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    base = F.when(F.col("h").isin(seeds), F.lit(150_000_000_000)) \
+        .otherwise(F.lit(0)).cast("long")
+    sv = v.select("h", base.alias("base"))
+    r = sv.select("h", F.expr("base * 100 DIV 15").alias("r"))
+    for _ in range(3):
+        contribs = (
+            ew.join(r.select(F.col("h").alias("src"), F.col("r").alias("rs")),
+                    "src")
+            .select(F.col("dst").alias("h"),
+                    F.expr("(rs * w) DIV outw").alias("contrib"))
+            .groupBy("h")
+            .agg(F.sum("contrib").alias("c"))
+        )
+        r = sv.join(contribs, "h", "left").select(
+            "h", "base",
+            (F.col("base") + F.expr("(85 * coalesce(c, 0)) DIV 100"))
+            .alias("r"),
+        )
+    return r.select(
+        F.col("h").alias("host"),
+        F.col("r").alias("trust_scaled"),
+        (F.col("r").cast("double") / F.lit(1000000000000.0)).alias("trust"),
+        F.col("h").isin(seeds).cast("long").alias("is_seed"),
+    )
+
+
+# ============ Fetch-share fairness (Lorenz / Gini) =========================
+
+
+@q(
+    "fetch_fairness_gini",
+    """
+    WITH x AS (
+      SELECT 'h' || (user_id % 40)::VARCHAR AS host,
+             CAST(count(*) AS BIGINT) AS n_fetches
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT host, n_fetches,
+             row_number() OVER (ORDER BY n_fetches, host) AS rnk,
+             sum(n_fetches) OVER (ORDER BY n_fetches, host
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+             count(*) OVER () AS n,
+             sum(n_fetches) OVER () AS tot,
+             sum(rnk_x) OVER () AS sum_ix
+      FROM (SELECT host, n_fetches,
+                   row_number() OVER (ORDER BY n_fetches, host) * n_fetches
+                     AS rnk_x
+            FROM x) t)
+    SELECT host, n_fetches, CAST(rnk AS BIGINT) AS rnk,
+           CAST(cum * 1000 // tot AS BIGINT) AS cum_permille,
+           CAST((2000 * sum_ix - 1000 * (n + 1) * tot) // (n * tot)
+                AS BIGINT) AS gini_permille
+    FROM r
+    """,
+)
+def fetch_fairness_gini(spark, sf_dir):
+    """Fetch-share fairness report: the Lorenz curve over per-host fetch
+    counts plus the EXACT integer Gini coefficient (rank formula,
+    ascending ties broken by host) — the crawl-ops dashboard number that
+    says whether the fleet's budget is spread across the web or captured
+    by a handful of hot hosts (politeness and yield-weighting pull in
+    opposite directions; this measures who won).  Gini lives in
+    [0, 1000] permille with ONE integer floor division — all counts,
+    ranks and cumulative sums are exact, so the engines agree
+    bit-for-bit.  Shape: one host agg with map-side combine, then
+    windows over the already host-sized table (a single-partition sort
+    of ~n_hosts rows — at 10^6 hosts still trivially one executor's
+    work)."""
+    ev = T(spark, sf_dir, "events")
+    x = ev.groupBy(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+        .alias("host")
+    ).agg(F.count("*").cast("long").alias("n_fetches"))
+    wo = Window.orderBy("n_fetches", "host")
+    wall = Window.partitionBy()
+    t = x.select(
+        "host", "n_fetches",
+        F.row_number().over(wo).alias("rnk"),
+        F.sum("n_fetches").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    ).select(
+        "host", "n_fetches", "rnk", "cum",
+        (F.col("rnk") * F.col("n_fetches")).alias("rnk_x"),
+    ).select(
+        "host", "n_fetches", "rnk", "cum",
+        F.count("*").over(wall).alias("n"),
+        F.sum("n_fetches").over(wall).alias("tot"),
+        F.sum("rnk_x").over(wall).alias("sum_ix"),
+    )
+    return t.select(
+        "host", "n_fetches", F.col("rnk").cast("long").alias("rnk"),
+        F.expr("cum * 1000 DIV tot").cast("long").alias("cum_permille"),
+        F.expr("(2000 * sum_ix - 1000 * (n + 1) * tot) DIV (n * tot)")
+        .cast("long").alias("gini_permille"),
+    )
+
+
+# ============ Content-defined chunking =====================================
+
+
+@q(
+    "cdc_chunks",
+    """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(strlen(text) - 7, 0))) AS p
+      FROM documents),
+    cuts AS (
+      SELECT doc_id, text, p
+      FROM pos WHERE substr(md5(substr(text, p, 8)), 1, 1) = '0'),
+    segs AS (
+      SELECT doc_id, text, p AS cut_end,
+             coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1
+               AS start_pos,
+             row_number() OVER (PARTITION BY doc_id ORDER BY p) AS chunk_idx
+      FROM cuts),
+    tails AS (
+      SELECT d.doc_id, d.text,
+             coalesce(c.last_cut, 0) + 1 AS start_pos,
+             coalesce(c.n_cuts, 0) + 1 AS chunk_idx,
+             strlen(d.text) AS end_pos
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, max(p) AS last_cut,
+                        CAST(count(*) AS BIGINT) AS n_cuts
+                 FROM cuts GROUP BY doc_id) c ON c.doc_id = d.doc_id
+      WHERE coalesce(c.last_cut, 0) < strlen(d.text)),
+    allsegs AS (
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(start_pos AS BIGINT) AS start_pos,
+             CAST(cut_end - start_pos + 1 AS BIGINT) AS chunk_len,
+             md5(substr(text, start_pos, cut_end - start_pos + 1))
+               AS chunk_md5
+      FROM segs
+      UNION ALL
+      SELECT doc_id, CAST(chunk_idx AS BIGINT), CAST(start_pos AS BIGINT),
+             CAST(end_pos - start_pos + 1 AS BIGINT),
+             md5(substr(text, start_pos, end_pos - start_pos + 1))
+      FROM tails)
+    SELECT * FROM allsegs
+    """,
+)
+def cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (the FastCDC/rsync family): cut each
+    document where a rolling window's hash hits a boundary pattern
+    (md5 of the 8-char window starts with '0' → expected chunk ≈ 16
+    chars), so chunk boundaries follow CONTENT, not offsets — an
+    insertion early in a document shifts every fixed-stride chunk but
+    leaves all later CDC chunks (and their hashes) intact, which is what
+    makes chunk-hash dedup robust against boilerplate injections and
+    edits.  Complements doc_chunk_windows (fixed stride, token space).
+
+    The Spark side runs the honest 100 TB shape: ONE row-local Arrow
+    pass per document (mapInPandas) computing windows, cuts and chunk
+    digests with zero shuffle and zero exploded intermediate; the oracle
+    re-derives identical chunks declaratively (generate_series +
+    window functions) — two independent constructions of the same
+    segmentation must agree on every (start, len, md5)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _chunk(batches):
+        import hashlib as _h
+
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "start_pos": [],
+                   "chunk_len": [], "chunk_md5": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                cuts = [
+                    p for p in range(1, max(n - 7, 0) + 1)
+                    if _h.md5(text[p - 1:p + 7].encode()).hexdigest()[0]
+                    == "0"
+                ]
+                bounds = []
+                start = 1
+                for c in cuts:
+                    bounds.append((start, c))
+                    start = c + 1
+                if start <= n:
+                    bounds.append((start, n))
+                for i, (s, e) in enumerate(bounds, 1):
+                    out["doc_id"].append(did)
+                    out["chunk_idx"].append(i)
+                    out["start_pos"].append(s)
+                    out["chunk_len"].append(e - s + 1)
+                    out["chunk_md5"].append(
+                        _h.md5(text[s - 1:e].encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        _chunk,
+        schema="doc_id long, chunk_idx long, start_pos long, "
+               "chunk_len long, chunk_md5 string",
+    )
+
+
+# ============ WET sidecar round-trip =======================================
+
+
+@q(
+    "wet_record_fields",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example/news/' || doc_id AS uri,
+             text
+      FROM documents)
+    SELECT doc_id, uri, 'conversion' AS warc_type,
+           'text/plain' AS content_type,
+           '<urn:uuid:' || substr(md5(uri), 1, 8) || '-'
+             || substr(md5(uri), 9, 4) || '-' || substr(md5(uri), 13, 4)
+             || '-' || substr(md5(uri), 17, 4) || '-'
+             || substr(md5(uri), 21, 12) || '>' AS refers_to,
+           CAST(strlen(text) AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM d
+    """,
+)
+def wet_record_fields(spark, sf_dir):
+    """WET sidecar serialize→parse inverse proof (sources/warc.py):
+    each document's extracted text is serialized as a WARC ``conversion``
+    record — ``text/plain`` content type, WARC-Refers-To pointing at the
+    response record's deterministic UUID — and parsed back by the same
+    grammar the ``.warc.gz`` sink/source use; every output field comes
+    from the PARSED record while the oracle derives them straight from
+    the table, INCLUDING the refers-to UUID (md5-derived, re-formatted in
+    SQL) — so a hash match proves both parse∘serialize = id and the
+    sidecar's back-link derivation.  Row-local, zero shuffle."""
+    from crawlspark.sources.warc import (conversion_headers, parse_records,
+                                         record_bytes)
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.lit(".example/news/"),
+                 F.col("doc_id").cast("string")).alias("uri"),
+        "text",
+    )
+
+    def _roundtrip(batches):
+        import hashlib as _h
+
+        for pdf in batches:
+            recs = [
+                next(parse_records(record_bytes(
+                    u, t.encode(), warc_type="conversion",
+                    extra_headers=conversion_headers(u),
+                    content_type="text/plain",
+                )))
+                for u, t in zip(pdf["uri"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "uri": [r["target_uri"] for r in recs],
+                    "warc_type": [r["warc_type"] for r in recs],
+                    "content_type": [r["content_type"] for r in recs],
+                    "refers_to": [r["refers_to"] for r in recs],
+                    "content_length": [r["content_length"] for r in recs],
+                    "payload_md5": [
+                        _h.md5(r["payload"]).hexdigest() for r in recs
+                    ],
+                }
+            )
+
+    return d.mapInPandas(
+        _roundtrip,
+        schema="doc_id long, uri string, warc_type string, "
+               "content_type string, refers_to string, "
+               "content_length long, payload_md5 string",
+    )
+
+
 # ============ Redirect-chain resolution ===================================
 
 
@@ -7612,6 +7953,10 @@ _DEMOTED = [
     "dust_alias_candidates",
     "epoch_token_drift",
     "host_circuit_breaker",
+    "host_trustrank",
+    "fetch_fairness_gini",
+    "cdc_chunks",
+    "wet_record_fields",
 ]
 
 

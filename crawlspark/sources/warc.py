@@ -54,6 +54,7 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("payload", BinaryType()),
         StructField("refers_to", StringType()),
         StructField("payload_digest", StringType()),
+        StructField("content_type", StringType()),
     ]
 )
 
@@ -74,6 +75,7 @@ def record_bytes(
     warc_type: str = "response",
     record_id: str | None = None,
     extra_headers: dict[str, str] | None = None,
+    content_type: str = "text/html",
 ) -> bytes:
     """Serialize ONE WARC record (header block + payload + separator)."""
     headers = [
@@ -86,10 +88,18 @@ def record_bytes(
     for k, v in (extra_headers or {}).items():
         headers.append(f"{k}: {v}".encode())
     headers += [
-        b"Content-Type: text/html",
+        b"Content-Type: " + content_type.encode(),
         b"Content-Length: " + str(len(payload)).encode(),
     ]
     return _CRLF.join(headers) + _CRLF * 2 + payload + _CRLF * 2
+
+
+def conversion_headers(source_uri: str) -> dict[str, str]:
+    """The WARC/1.1 §6.8 header for a derived record (WET text extract /
+    WAT metadata) pointing back at the response record it was derived
+    from."""
+    return {"WARC-Refers-To": record_id_for(source_uri),
+            "WARC-Refers-To-Target-URI": source_uri}
 
 
 def revisit_headers(original_uri: str, payload_digest: str) -> dict[str, str]:
@@ -133,6 +143,7 @@ def parse_records(blob: bytes) -> Iterator[dict]:
             "payload": payload,
             "refers_to": fields.get("WARC-Refers-To", ""),
             "payload_digest": fields.get("WARC-Payload-Digest", ""),
+            "content_type": fields.get("Content-Type", ""),
         }
         pos = body_start + clen + 4  # skip the record separator
 
@@ -279,17 +290,26 @@ def write_warc(df: DataFrame, out_dir: str, cdxj: bool = False) -> dict:
                     if "payload_digest" in pdf.columns
                     else [""] * m
                 )
-                for uri, payload, date, wt, ref, dg in zip(
-                    pdf["uri"], pdf["payload"], dates, types, refs, digests
+                ctypes = (
+                    pdf["content_type"]
+                    if "content_type" in pdf.columns
+                    else ["text/html"] * m
+                )
+                for uri, payload, date, wt, ref, dg, ct in zip(
+                    pdf["uri"], pdf["payload"], dates, types, refs, digests,
+                    ctypes,
                 ):
                     raw = payload if isinstance(payload, bytes) else bytes(payload)
-                    extra = (
-                        revisit_headers(ref, dg) if wt == "revisit" else None
-                    )
+                    if wt == "revisit":
+                        extra = revisit_headers(ref, dg)
+                    elif ref:  # derived record (WET/WAT): link the source
+                        extra = conversion_headers(ref)
+                    else:
+                        extra = None
                     member = _gzip_member(
                         record_bytes(
                             uri, raw, warc_date=date, warc_type=wt,
-                            extra_headers=extra,
+                            extra_headers=extra, content_type=ct,
                         )
                     )
                     f.write(member)
@@ -384,4 +404,64 @@ def documents_to_warc_rows(docs: DataFrame) -> DataFrame:
             F.date_format("published_date", "yyyy-MM-dd"),
             F.lit("T00:00:00Z"),
         ).alias("warc_date"),
+    )
+
+
+def documents_to_wet_rows(docs: DataFrame) -> DataFrame:
+    """Project documents into WET sidecar rows (Common Crawl's extracted-
+    text companion format): one ``conversion`` record per document with
+    the flattened span text as a ``text/plain`` payload, WARC-Refers-To
+    linking back to the response record's deterministic id.  All
+    row-local — the sidecar build is a pure map over the corpus."""
+    txt = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    return docs.select(
+        F.col("url").alias("uri"),
+        F.encode(txt, "UTF-8").alias("payload"),
+        F.concat(
+            F.date_format("published_date", "yyyy-MM-dd"),
+            F.lit("T00:00:00Z"),
+        ).alias("warc_date"),
+        F.lit("conversion").alias("warc_type"),
+        F.col("url").alias("refers_to_uri"),
+        F.lit("text/plain").alias("content_type"),
+    )
+
+
+def documents_to_wat_rows(docs: DataFrame) -> DataFrame:
+    """Project documents into WAT sidecar rows (Common Crawl's metadata
+    companion format): one ``metadata`` record per document whose payload
+    is a canonical JSON envelope (title, span counts, payload digest of
+    the WET text).  ``to_json`` over a struct keeps field order fixed, so
+    re-publishing the same corpus yields byte-identical sidecars."""
+    txt = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    env = F.to_json(F.struct(
+        F.col("url").alias("url"),
+        F.col("title").alias("title"),
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "media"))
+        .alias("n_media_spans"),
+        F.md5(txt).alias("text_digest"),
+    ))
+    return docs.select(
+        F.col("url").alias("uri"),
+        F.encode(env, "UTF-8").alias("payload"),
+        F.concat(
+            F.date_format("published_date", "yyyy-MM-dd"),
+            F.lit("T00:00:00Z"),
+        ).alias("warc_date"),
+        F.lit("metadata").alias("warc_type"),
+        F.col("url").alias("refers_to_uri"),
+        F.lit("application/json").alias("content_type"),
     )

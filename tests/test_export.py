@@ -329,3 +329,34 @@ def test_export_warc_archive_with_index(spark, tmp_path):
             f.seek(x["offset"])
             rec = next(parse_records(gzip.decompress(f.read(x["length"]))))
         assert rec["target_uri"] == x["url"]
+
+
+def test_export_warc_wet_wat_sidecars(spark, tmp_path):
+    """wet=True/wat=True publish Common Crawl's companion sidecars under
+    <out>/wet and <out>/wat: one conversion + one metadata record per
+    document, refers-to-linked, text extract as the WET payload."""
+    from crawlspark import schemas
+    from crawlspark.export import export_warc
+    from crawlspark.sources.warc import read_warc, record_id_for
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.commit(1, appends={"documents": spark.createDataFrame(
+        [_doc_row("a1", _BASE_TEXT),
+         _doc_row("c1", "different story about markets and trade")],
+        schemas.DOCUMENTS)})
+
+    out = str(tmp_path / "archive")
+    r = export_warc(cat, out, wet=True, wat=True)
+    assert r["records"] == 2
+    assert r["wet"]["records"] == 2 and r["wat"]["records"] == 2
+
+    wet = {x["target_uri"]: x for x in read_warc(spark, out + "/wet").collect()}
+    wat = {x["target_uri"]: x for x in read_warc(spark, out + "/wat").collect()}
+    for d, txt in (("a1", _BASE_TEXT),
+                   ("c1", "different story about markets and trade")):
+        uri = f"https://www.cna.example/news/{d}"
+        assert wet[uri]["warc_type"] == "conversion"
+        assert bytes(wet[uri]["payload"]).decode() == txt
+        assert wet[uri]["refers_to"] == record_id_for(uri)
+        assert wat[uri]["warc_type"] == "metadata"
+        assert wat[uri]["content_type"] == "application/json"

@@ -369,3 +369,28 @@ def test_circuit_breaker_host_keyed_exchanges_only(spark, qs):
     p = _plan(spark, qs["host_circuit_breaker"](spark, SF))
     assert "SinglePartition" not in p
     assert p.count("+- Exchange") <= 6  # host, (host,failed), (host,grp) + aggs
+
+
+def test_trustrank_iterations_shuffle_on_host_keys(spark, qs):
+    """TrustRank's plan: edges collapse map-side, every iteration keys on
+    src/dst (hash exchanges only), the seed membership is a literal IN —
+    no global sort, no per-row Python."""
+    p = _plan(spark, qs["host_trustrank"](spark, SF))
+    assert "SinglePartition" not in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_gini_single_host_agg_then_tiny_windows(spark, qs):
+    """The Lorenz/Gini job aggregates per host with map-side combine;
+    the global windows run over the already host-sized table."""
+    p = _plan(spark, qs["fetch_fairness_gini"](spark, SF))
+    assert "partial_count" in p  # map-side combine before the host agg
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_cdc_chunking_is_one_rowlocal_pass(spark, qs):
+    """Content-defined chunking must be a single Arrow pass over the
+    corpus: one scan, one Python stage, zero Exchange."""
+    p = _plan(spark, qs["cdc_chunks"](spark, SF))
+    assert "Exchange" not in p
+    assert p.count("Scan parquet") == 2  # tree + details sections

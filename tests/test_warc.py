@@ -225,3 +225,53 @@ def test_surt_expression_matches_python_function(spark):
            for r in df.select("url", surt.alias("surt")).collect()}
     for u in edge:
         assert got[u] == surt_key(u), u
+
+
+def test_wet_wat_sidecars(spark, tmp_path):
+    """WET/WAT companion records: conversion carries the text/plain
+    extract, metadata the canonical JSON envelope, and both point their
+    WARC-Refers-To at the response record's deterministic UUID."""
+    import datetime as dt
+    import json as _json
+
+    from crawlspark import schemas
+    from crawlspark.sources.warc import (documents_to_wat_rows,
+                                         documents_to_wet_rows,
+                                         record_id_for)
+
+    url = "https://www.cna.example/news/d1"
+    row = (
+        "d1", url, "T", dt.date(2021, 3, 5), "CNA", 1,
+        [{"kind": "text", "text": "first span", "media_ref": None, "offset": 0},
+         {"kind": "media", "text": None, "media_ref": "m1", "offset": 1},
+         {"kind": "text", "text": "second span", "media_ref": None, "offset": 2}],
+    )
+    docs = spark.createDataFrame([row], schemas.DOCUMENTS)
+
+    wet_dir = str(tmp_path / "wet")
+    assert write_warc(documents_to_wet_rows(docs), wet_dir)["records"] == 1
+    wet = read_warc(spark, wet_dir).collect()[0]
+    assert wet["warc_type"] == "conversion"
+    assert wet["content_type"] == "text/plain"
+    assert wet["refers_to"] == record_id_for(url)
+    assert bytes(wet["payload"]) == b"first span second span"
+
+    wat_dir = str(tmp_path / "wat")
+    assert write_warc(documents_to_wat_rows(docs), wat_dir)["records"] == 1
+    wat = read_warc(spark, wat_dir).collect()[0]
+    assert wat["warc_type"] == "metadata"
+    assert wat["content_type"] == "application/json"
+    assert wat["refers_to"] == record_id_for(url)
+    env = _json.loads(bytes(wat["payload"]))
+    assert env["url"] == url and env["title"] == "T"
+    assert env["n_spans"] == 3 and env["n_media_spans"] == 1
+    import hashlib
+    assert env["text_digest"] == hashlib.md5(
+        b"first span second span").hexdigest()
+
+    # publishing twice yields byte-identical sidecar shards (replayable)
+    import glob as _g
+    first = {p: open(p, "rb").read() for p in _g.glob(wet_dir + "/*.warc.gz")}
+    write_warc(documents_to_wet_rows(docs), wet_dir)
+    again = {p: open(p, "rb").read() for p in _g.glob(wet_dir + "/*.warc.gz")}
+    assert first == again
