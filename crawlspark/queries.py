@@ -6869,6 +6869,130 @@ def etag_revalidate(spark, sf_dir):
     )
 
 
+# ============ Sitemap-lastmod recrawl hints ================================
+
+
+@q(
+    "sitemap_freshness_hint",
+    """
+    WITH sm AS (
+      SELECT 'https://www.' || source || '.example/news/' || doc_id AS url,
+             'www.' || source || '.example' AS host,
+             CAST(doc_id % 28 + 1 AS BIGINT) AS lastmod_day
+      FROM documents),
+    f AS (
+      SELECT 'https://www.' || source || '.example/news/' || doc_id AS url,
+             CAST((doc_id * 7) % 28 + 1 AS BIGINT) AS fetched_day
+      FROM documents)
+    SELECT sm.url, sm.host, sm.lastmod_day, f.fetched_day,
+           CAST(CASE WHEN sm.lastmod_day > f.fetched_day
+                     THEN 1 ELSE 0 END AS BIGINT) AS stale,
+           CAST(CASE WHEN sm.lastmod_day > f.fetched_day
+                     THEN sm.lastmod_day - f.fetched_day
+                     ELSE 0 END AS BIGINT) AS staleness_days
+    FROM sm JOIN f ON f.url = sm.url
+    """,
+)
+def sitemap_freshness_hint(spark, sf_dir):
+    """Sitemap-driven recrawl targeting: join each URL's sitemap
+    ``<lastmod>`` against the fetch log's last-fetch time and flag the
+    URLs the SITE says changed since we fetched them.  This is the
+    cheapest freshness signal on the web — one sitemap fetch per host
+    replaces thousands of conditional GETs — and it complements the
+    engine's observation-driven adaptive policy (adaptive_recrawl_policy
+    backs off on OBSERVED stability; this reacts to DECLARED change, so a
+    page that changes right after its adaptive interval doubled still
+    refetches promptly).  One url-keyed equi-join (both sides co-derived
+    here; in production the sitemap side is tiny per host and the join
+    broadcasts per partition), exact integer day math."""
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://www."), F.col("source"),
+                   F.lit(".example/news/"), F.col("doc_id").cast("string"))
+    sm = d.select(
+        url.alias("url"),
+        F.concat(F.lit("www."), F.col("source"), F.lit(".example"))
+        .alias("host"),
+        (F.col("doc_id") % 28 + 1).cast("long").alias("lastmod_day"),
+    )
+    f = d.select(
+        url.alias("url"),
+        ((F.col("doc_id") * 7) % 28 + 1).cast("long").alias("fetched_day"),
+    )
+    j = sm.join(f, "url")
+    stale = F.col("lastmod_day") > F.col("fetched_day")
+    return j.select(
+        "url", "host", "lastmod_day", "fetched_day",
+        stale.cast("long").alias("stale"),
+        F.when(stale, F.col("lastmod_day") - F.col("fetched_day"))
+        .otherwise(F.lit(0)).cast("long").alias("staleness_days"),
+    )
+
+
+# ============ Politeness compliance audit ==================================
+
+
+@q(
+    "politeness_audit",
+    """
+    WITH log AS (
+      SELECT 'h' || (user_id % 20)::VARCHAR AS host,
+             CAST(event_id % 30 AS BIGINT) AS batch_id
+      FROM events),
+    per AS (
+      SELECT host, batch_id, CAST(count(*) AS BIGINT) AS n_fetched
+      FROM log GROUP BY host, batch_id),
+    b AS (
+      SELECT host, batch_id, n_fetched,
+             CAST(3 + strlen(host) % 5 AS BIGINT) AS budget
+      FROM per)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(n_fetched) AS BIGINT) AS n_fetched,
+           CAST(max(budget) AS BIGINT) AS budget,
+           CAST(sum(CASE WHEN n_fetched > budget THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(max(CASE WHEN n_fetched > budget THEN n_fetched - budget
+                         ELSE 0 END) AS BIGINT) AS max_overage,
+           CAST(CASE WHEN sum(CASE WHEN n_fetched > budget THEN 1 ELSE 0 END)
+                     = 0 THEN 1 ELSE 0 END AS BIGINT) AS compliant
+    FROM b GROUP BY host
+    """,
+)
+def politeness_audit(spark, sf_dir):
+    """Politeness compliance audit over the per-batch lineage log: for
+    every host, did any batch fetch more than the host's budget — and by
+    how much?  This is the self-check the north rule's per-partition
+    lineage exists FOR: a fleet must be able to PROVE to a site operator
+    (or to itself after an incident) that it never exceeded the declared
+    crawl-delay budget, straight from the committed metrics table.  One
+    (host, batch) agg with map-side combine, then a host rollup; every
+    count and overage exact integers."""
+    ev = T(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+        .alias("host"),
+        (F.col("event_id") % 30).cast("long").alias("batch_id"),
+    )
+    per = log.groupBy("host", "batch_id").agg(
+        F.count("*").cast("long").alias("n_fetched")
+    )
+    b = per.withColumn(
+        "budget", (F.lit(3) + F.length("host") % 5).cast("long")
+    )
+    over = F.col("n_fetched") > F.col("budget")
+    return b.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_batches"),
+        F.sum("n_fetched").cast("long").alias("n_fetched"),
+        F.max("budget").cast("long").alias("budget"),
+        F.sum(over.cast("long")).cast("long").alias("n_violations"),
+        F.max(
+            F.when(over, F.col("n_fetched") - F.col("budget"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("max_overage"),
+        (F.sum(over.cast("long")) == 0).cast("long").alias("compliant"),
+    )
+
+
 # ============ TrustRank (seeded PageRank) ==================================
 
 
@@ -7957,6 +8081,8 @@ _DEMOTED = [
     "fetch_fairness_gini",
     "cdc_chunks",
     "wet_record_fields",
+    "sitemap_freshness_hint",
+    "politeness_audit",
 ]
 
 

@@ -206,3 +206,67 @@ def stream_sessionize(fetch_stream: DataFrame, gap_ms: int = 5_000,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+BREAKER_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("consec_fails", T.LongType()),
+    ]
+)
+BREAKER_STATE = T.StructType(
+    [
+        T.StructField("consec", T.LongType()),
+        T.StructField("tripped", T.IntegerType()),
+    ]
+)
+
+
+def breaker_monitor_fn(threshold: int):
+    """Per-host consecutive-failure counter with cross-trigger state: the
+    streaming twin of the batch circuit breaker
+    (scheduler.breaker_blocked_hosts).  Emits a ``trip`` event on the
+    exact fetch whose failure crosses ``threshold`` and a ``close`` event
+    on the first success after a trip — the live ops feed a fleet
+    dashboard alerts on, while the batch loop enforces the budget."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        consec, tripped = state.get if state.exists else (0, 0)
+        events = []
+        rows = sorted(
+            (int(t), bool(o))
+            for pdf in pdfs
+            for t, o in zip(pdf["ts_ms"].tolist(), pdf["ok"].tolist())
+        )
+        for t, ok in rows:
+            if ok:
+                if tripped:
+                    events.append((host, "close", t, consec))
+                consec, tripped = 0, 0
+            else:
+                consec += 1
+                if consec == threshold and not tripped:
+                    tripped = 1
+                    events.append((host, "trip", t, consec))
+        state.update((consec, tripped))
+        if events:
+            yield pd.DataFrame(
+                events, columns=["host", "event", "ts_ms", "consec_fails"]
+            )
+
+    return fn
+
+
+def stream_host_breaker(fetch_stream: DataFrame, threshold: int = 3) -> DataFrame:
+    """fetch_stream(host, ts_ms, ok) → trip/close breaker events per host
+    (custom stateful streaming operator; state survives across triggers)."""
+    return fetch_stream.groupBy("host").applyInPandasWithState(
+        breaker_monitor_fn(threshold),
+        outputStructType=BREAKER_OUT,
+        stateStructType=BREAKER_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -394,3 +394,21 @@ def test_cdc_chunking_is_one_rowlocal_pass(spark, qs):
     p = _plan(spark, qs["cdc_chunks"](spark, SF))
     assert "Exchange" not in p
     assert p.count("Scan parquet") == 2  # tree + details sections
+
+
+def test_freshness_hint_single_url_join(spark, qs):
+    """The lastmod-vs-fetched join is one url-keyed equi-join; the stale
+    flag/overage math is row-local after it."""
+    p = _plan(spark, qs["sitemap_freshness_hint"](spark, SF))
+    joins = (p.count("SortMergeJoin") + p.count("BroadcastHashJoin")
+             + p.count("ShuffledHashJoin")) // 2
+    assert joins == 1, joins
+
+
+def test_politeness_audit_two_keyed_aggs(spark, qs):
+    """The audit is a (host,batch) agg then a host rollup — hash-keyed
+    exchanges only, map-side combine, nothing global."""
+    p = _plan(spark, qs["politeness_audit"](spark, SF))
+    assert "SinglePartition" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert p.count("Exchange hashpartitioning") <= 2

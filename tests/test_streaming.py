@@ -191,3 +191,45 @@ def test_stream_sessionize_gap_and_timeout(spark, tmp_path):
     finally:
         q.stop()
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_host_breaker_trip_and_close_across_triggers(spark, tmp_path):
+    """The streaming breaker's consecutive-failure count must survive
+    trigger boundaries: two failures in batch 1 + one in batch 2 trip at
+    the third failure's timestamp; the first success after the trip
+    emits close and resets the count."""
+    from crawlspark.streaming.jobs import stream_host_breaker
+
+    src = str(tmp_path / "fetches")
+    b1 = [("h1", 1_000, False), ("h1", 2_000, False),
+          ("h2", 1_500, True)]
+    spark.createDataFrame(
+        b1, "host string, ts_ms long, ok boolean"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    stream = (spark.readStream
+              .schema("host string, ts_ms long, ok boolean")
+              .parquet(f"{src}/*"))
+    out = stream_host_breaker(stream, threshold=3)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("brk_out").start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from brk_out").count() == 0  # below threshold
+
+        b2 = [("h1", 3_000, False),   # 3rd consecutive failure -> trip
+              ("h1", 4_000, False),   # already tripped: no second trip event
+              ("h1", 5_000, True),    # recovery -> close
+              ("h2", 3_500, False)]   # h2: count restarts, stays below
+        spark.createDataFrame(
+            b2, "host string, ts_ms long, ok boolean"
+        ).coalesce(1).write.parquet(f"{src}/b2")
+        q.processAllAvailable()
+        got = sorted(
+            (r["host"], r["event"], r["ts_ms"], r["consec_fails"])
+            for r in spark.sql("select * from brk_out").collect()
+        )
+        assert got == [("h1", "close", 5_000, 4), ("h1", "trip", 3_000, 3)]
+        assert q.exception() is None
+    finally:
+        q.stop()
+    shutil.rmtree(src, ignore_errors=True)
