@@ -117,6 +117,15 @@ class CrawlConfig:
     # links to.  Default off: the reference has no sitemap path, and the
     # oracle-equality e2e contract is defined without it.
     use_sitemaps: bool = False
+    # RSS/Atom feed intake: listing heads' autodiscovery
+    # <link type="application/rss+xml|atom+xml"> tags enqueue the host's
+    # feed as a fetch-and-extract frontier row; feed entries become
+    # article links carrying feed-declared meta (title + published date,
+    # the same fallback chain listing cards provide) — reaching ORPHAN
+    # pages no listing links to, fresher than sitemaps on news hosts.
+    # Default off: the reference has no feed path, and the oracle-equality
+    # e2e contract is defined without it.
+    use_feeds: bool = False
     # strip analytics/click-id query params (utm_*, gclid, ...) and sort
     # the survivors on every canonicalized link AND seed, BEFORE the
     # seen-set probe — collapses tracking-param variants of one page into
@@ -779,6 +788,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         entire_site=cfg.search_entire_site, strip_tracking=cfg.strip_tracking,
         obey_meta_robots=cfg.obey_meta_robots,
         use_canonical_link=cfg.use_canonical_link,
+        use_feeds=cfg.use_feeds,
     ).persist()
     _t = _time.time()
     if n_sched > 1000:

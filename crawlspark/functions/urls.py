@@ -239,13 +239,15 @@ def should_skip_py(url: str) -> bool:
 
 def link_kind_py(classified: str) -> str:
     """classify_url kind → frontier page_kind for a discovered/seeded URL.
-    Listing and sitemap kinds are fetch-and-extract surfaces and must be
-    preserved (a link to a sitemap — sitemap-index nesting — has to be
-    FETCHED as a sitemap, not parsed as an article); everything else is
+    Listing, sitemap, and feed kinds are fetch-and-extract surfaces and
+    must be preserved (a link to a sitemap — sitemap-index nesting — has
+    to be FETCHED as a sitemap, not parsed as an article; likewise a feed
+    autodiscovery link must be FETCHED as a feed); everything else is
     fetched as an article.  ONE definition shared by the parse stage's
     link branches and the seed path so the engine cannot drift against
     itself (the oracle keeps an intentionally independent copy)."""
-    return classified if classified in ("listing", "sitemap") else "article"
+    return (classified if classified in ("listing", "sitemap", "feed")
+            else "article")
 
 
 # ---- tracking-param canonicalization (dedup-side, opt-in) ----------------

@@ -498,3 +498,25 @@ def rel_canonical_href(html: str) -> str | None:
     if not m:
         return None
     return m.group(1) or m.group(2) or None
+
+
+_FEED_LINK_RX = _re.compile(
+    r"<link\b[^>]*\btype=['\"]application/(?:rss|atom)\+xml['\"][^>]*"
+    r"\bhref=['\"]([^'\"]*)['\"]"
+    r"|<link\b[^>]*\bhref=['\"]([^'\"]*)['\"][^>]*"
+    r"\btype=['\"]application/(?:rss|atom)\+xml['\"]",
+    _re.IGNORECASE,
+)
+
+
+def feed_autodiscovery_hrefs(html: str) -> list[str]:
+    """hrefs of every ``<link type="application/rss+xml|atom+xml">``
+    autodiscovery tag (either attribute order) — the standard way a page
+    advertises its feed.  A HEAD link, so extract_links' a@href walk
+    never sees it; only cfg.use_feeds follows these into the frontier."""
+    out = []
+    for m in _FEED_LINK_RX.finditer(html):
+        href = m.group(1) or m.group(2)
+        if href:
+            out.append(href)
+    return out

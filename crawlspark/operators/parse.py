@@ -22,7 +22,8 @@ from crawlspark.functions import urls as U
 def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, body: str, meta,
                entire_site: bool = True, strip_tracking: bool = False,
                obey_meta_robots: bool = False,
-               use_canonical_link: bool = False):
+               use_canonical_link: bool = False,
+               use_feeds: bool = False):
     out = []
 
     def _canon(href: str) -> str:
@@ -48,7 +49,7 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
     # — the reference stack doesn't honor it): nofollow suppresses every
     # link record from this page, noindex suppresses its doc record
     no_follow = no_index = False
-    if obey_meta_robots and page_kind != "sitemap":
+    if obey_meta_robots and page_kind not in ("sitemap", "feed"):
         d = html_parse.meta_robots_directives(body)
         no_follow = "nofollow" in d or "none" in d
         no_index = "noindex" in d or "none" in d
@@ -76,6 +77,31 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
             kind, _, _ = synthetic.classify_url(canon)
             out.append(rec(rec="link", link=canon,
                            link_kind=U.link_kind_py(kind)))
+        if use_feeds:
+            # feed autodiscovery (HEAD <link type="application/rss+xml">,
+            # invisible to the a@href walk above): the advertised feed
+            # joins the frontier as a fetch-and-extract surface
+            for href in html_parse.feed_autodiscovery_hrefs(body):
+                canon = _canon(href)
+                kind, _, _ = synthetic.classify_url(canon)
+                out.append(rec(rec="link", link=canon,
+                               link_kind=U.link_kind_py(kind)))
+    elif page_kind == "feed":
+        # RSS/Atom entries → link rows carrying feed-declared meta
+        # (title + published date), exactly like listing cards — a page
+        # whose own markup lacks a date can still pass the date gate on
+        # its feed entry, the same fallback chain cards provide.  The
+        # entry grammar is shared with the feed_entries_parse query's
+        # oracle twin (sources/feeds.py).
+        from crawlspark.sources.feeds import feed_entries_py
+
+        for e in feed_entries_py(body):
+            canon = _canon(e["url"])
+            kind, _, _ = synthetic.classify_url(canon)
+            lk = U.link_kind_py(kind)
+            m = ({"title": e["title"], "date": e["published"],
+                  "article_url": canon} if lk == "article" else None)
+            out.append(rec(rec="link", link=canon, link_kind=lk, meta=m))
     elif page_kind == "sitemap":
         # sitemaps.org <urlset> → link rows (sitemap intake surface; the
         # loc grammar is the same one sitemap_urlset_parse proves against
@@ -124,7 +150,8 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
 def parse_stage(fetched: DataFrame, entire_site: bool = True,
                 strip_tracking: bool = False,
                 obey_meta_robots: bool = False,
-                use_canonical_link: bool = False) -> DataFrame:
+                use_canonical_link: bool = False,
+                use_feeds: bool = False) -> DataFrame:
     """FETCHED (status==200 rows) → PARSED union rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,7 +164,8 @@ def parse_stage(fetched: DataFrame, entire_site: bool = True,
                     _parse_row(r.final_url or r.url, r.host, r.depth, r.page_kind, r.status, r.body, meta,
                                entire_site=entire_site, strip_tracking=strip_tracking,
                                obey_meta_robots=obey_meta_robots,
-                               use_canonical_link=use_canonical_link)
+                               use_canonical_link=use_canonical_link,
+                               use_feeds=use_feeds)
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)

@@ -29,12 +29,12 @@ SALT_BUCKETS = 16  # phase-1 sub-groups per host (hot-host skew mitigation)
 
 
 def priority_expr(depth, page_kind, url):
-    """Deterministic priority: link-discovery surfaces first (listings and
-    sitemaps — they keep the frontier fed), keyword-bearing URLs boosted
-    (reference 'higher priority' note :218), deeper pages later."""
+    """Deterministic priority: link-discovery surfaces first (listings,
+    sitemaps, feeds — they keep the frontier fed), keyword-bearing URLs
+    boosted (reference 'higher priority' note :218), deeper pages later."""
     kw = "|".join(rules.SEARCH_KEYWORDS)
     return (
-        F.when(page_kind.isin("listing", "sitemap"), F.lit(10.0))
+        F.when(page_kind.isin("listing", "sitemap", "feed"), F.lit(10.0))
         .otherwise(F.lit(0.0))
         + F.when(F.lower(url).rlike(kw), F.lit(2.0)).otherwise(F.lit(0.0))
         - depth.cast("double") * 0.1
@@ -42,7 +42,7 @@ def priority_expr(depth, page_kind, url):
 
 
 def priority_py(depth: int, page_kind: str, url: str) -> float:
-    p = 10.0 if page_kind in ("listing", "sitemap") else 0.0
+    p = 10.0 if page_kind in ("listing", "sitemap", "feed") else 0.0
     lu = url.lower()
     if any(k in lu for k in rules.SEARCH_KEYWORDS):
         p += 2.0

@@ -44,6 +44,7 @@ def crawl_oracle(
     seed_urls: list[str] | None = None,
     entire_site: bool = True,
     use_sitemaps: bool = False,
+    use_feeds: bool = False,
     strip_tracking: bool = False,
     obey_meta_robots: bool = False,
     use_canonical_link: bool = False,
@@ -94,8 +95,8 @@ def crawl_oracle(
         host = U.host_of_py(cu)
         robots(host)
         kind, _, _ = synthetic.classify_url(cu)
-        # sitemap survives (engine twin: crawl._seed_row_py)
-        kind = kind if kind in ("listing", "sitemap") else "article"
+        # sitemap/feed survive (engine twin: crawl._seed_row_py)
+        kind = kind if kind in ("listing", "sitemap", "feed") else "article"
         pending[cu] = {
             "url": cu, "host": host, "depth": 0,
             "priority": priority_py(0, kind, cu),
@@ -194,7 +195,7 @@ def crawl_oracle(
             path = U.path_of_py(page_url)
             # robots META gate (engine twin: parse._parse_row)
             no_follow = no_index = False
-            if obey_meta_robots and r["kind"] != "sitemap":
+            if obey_meta_robots and r["kind"] not in ("sitemap", "feed"):
                 d = html_parse.meta_robots_directives(body)
                 no_follow = "nofollow" in d or "none" in d
                 no_index = "noindex" in d or "none" in d
@@ -216,6 +217,25 @@ def crawl_oracle(
                         continue
                     k, _, _ = synthetic.classify_url(canon)
                     _add_candidate(candidates, canon, r, _link_kind(k), None)
+                if use_feeds:
+                    # feed autodiscovery (engine twin: parse._parse_row's
+                    # use_feeds listing tail)
+                    for href in html_parse.feed_autodiscovery_hrefs(body):
+                        canon = _canon(href, page_url)
+                        k, _, _ = synthetic.classify_url(canon)
+                        _add_candidate(candidates, canon, r, _link_kind(k), None)
+            elif r["kind"] == "feed":
+                # RSS/Atom entries → article links with feed-declared meta
+                # (engine twin: parse._parse_row's feed branch)
+                from crawlspark.sources.feeds import feed_entries_py
+
+                for e in feed_entries_py(body):
+                    canon = _canon(e["url"], page_url)
+                    k, _, _ = synthetic.classify_url(canon)
+                    lk = _link_kind(k)
+                    m = ({"title": e["title"], "date": e["published"],
+                          "article_url": canon} if lk == "article" else None)
+                    _add_candidate(candidates, canon, r, lk, m)
             elif r["kind"] == "sitemap":
                 # sitemaps.org <urlset> → links (engine twin: parse._parse_row)
                 for loc in re.findall(r"<loc>(.*?)</loc>", body):
@@ -267,10 +287,12 @@ def crawl_oracle(
 
 
 def _link_kind(classified: str) -> str:
-    """Link-kind mapping shared by listing and sitemap link extraction: a
-    discovered link to another sitemap (sitemap-index nesting) must be
-    FETCHED as a sitemap, not parsed as an article."""
-    return classified if classified in ("listing", "sitemap") else "article"
+    """Link-kind mapping shared by listing, sitemap, and feed link
+    extraction: a discovered link to another sitemap (sitemap-index
+    nesting) or to a feed (autodiscovery) must be FETCHED as that kind,
+    not parsed as an article."""
+    return (classified if classified in ("listing", "sitemap", "feed")
+            else "article")
 
 
 def _add_candidate(candidates: dict, canon: str, src: dict, kind: str, meta):

@@ -6993,6 +6993,345 @@ def politeness_audit(spark, sf_dir):
     )
 
 
+# ============ RSS/Atom feed entry parsing ==================================
+
+
+@q(
+    "feed_entries_parse",
+    """
+    WITH fx AS (
+      SELECT source,
+             CASE WHEN strlen(source) % 2 = 0 THEN 'rss' ELSE 'atom' END
+               AS feed_kind,
+             CASE WHEN strlen(source) % 2 = 0 THEN
+               '<rss version="2.0"><channel>' || string_agg(
+                 '<item><link>https://www.' || source || '.example/news/'
+                 || doc_id || '</link><title>doc ' || doc_id
+                 || '</title><pubDate>2021-03-'
+                 || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 || '</pubDate></item>', '' ORDER BY doc_id)
+               || '</channel></rss>'
+             ELSE
+               '<feed xmlns="http://www.w3.org/2005/Atom">' || string_agg(
+                 '<entry><link href="https://www.' || source
+                 || '.example/news/' || doc_id || '"/><title>doc ' || doc_id
+                 || '</title><updated>2021-03-'
+                 || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 || '</updated></entry>', '' ORDER BY doc_id) || '</feed>'
+             END AS xml
+      FROM documents GROUP BY source),
+    blocks AS (
+      SELECT source, feed_kind,
+             unnest(regexp_extract_all(xml,
+               '<(?:item|entry)>(.*?)</(?:item|entry)>', 1)) AS b
+      FROM fx)
+    SELECT source, feed_kind,
+           coalesce(nullif(regexp_extract(b, '<link>([^<]*)</link>', 1), ''),
+                    regexp_extract(b, '<link href="([^"]*)"', 1)) AS url,
+           regexp_extract(b, '<title>([^<]*)</title>', 1) AS title,
+           coalesce(nullif(regexp_extract(b,
+                    '<pubDate>([^<]*)</pubDate>', 1), ''),
+                    regexp_extract(b, '<updated>([^<]*)</updated>', 1))
+             AS published
+    FROM blocks
+    """,
+)
+def feed_entries_parse(spark, sf_dir):
+    """RSS 2.0 / Atom feed intake: parse ``<item>`` / ``<entry>`` blocks
+    out of feed XML into frontier seed rows (url, title, published) —
+    the third standard seed channel next to sitemaps and the archive
+    (news sites publish feeds before their sitemaps update, so a
+    freshness-focused crawl polls feeds first).  Each source's feed is
+    synthesized in ONE of the two grammars (by name-length parity) and
+    one grammar-agnostic block regexp + per-field coalesce chain parses
+    both, exactly as ``sources/feeds.py::feed_entries_py`` does on real
+    payloads.  One shuffle to assemble the per-source feed (absent in
+    production where feeds arrive as fetched payloads); the parse itself
+    is row-local regexp work that fuses into the scan."""
+    d = T(spark, sf_dir, "documents")
+    is_rss = F.length("source") % 2 == 0
+    rss_entry = F.concat(
+        F.lit("<item><link>https://www."), F.col("source"),
+        F.lit(".example/news/"), F.col("doc_id").cast("string"),
+        F.lit("</link><title>doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><pubDate>2021-03-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</pubDate></item>"),
+    )
+    atom_entry = F.concat(
+        F.lit('<entry><link href="https://www.'), F.col("source"),
+        F.lit(".example/news/"), F.col("doc_id").cast("string"),
+        F.lit('"/><title>doc '), F.col("doc_id").cast("string"),
+        F.lit("</title><updated>2021-03-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</updated></entry>"),
+    )
+    fx = (
+        d.select(
+            "source",
+            F.struct(
+                "doc_id",
+                F.when(is_rss, rss_entry).otherwise(atom_entry).alias("e"),
+            ).alias("s"),
+        )
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.when(
+                    F.length("source") % 2 == 0,
+                    F.lit('<rss version="2.0"><channel>'),
+                ).otherwise(
+                    F.lit('<feed xmlns="http://www.w3.org/2005/Atom">')
+                ),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")),
+                                lambda s: s["e"]),
+                    "",
+                ),
+                F.when(F.length("source") % 2 == 0,
+                       F.lit("</channel></rss>"))
+                .otherwise(F.lit("</feed>")),
+            ).alias("xml"),
+            F.when(F.length(F.first("source")) % 2 == 0, F.lit("rss"))
+            .otherwise(F.lit("atom")).alias("feed_kind"),
+        )
+    )
+    b = fx.select(
+        "source", "feed_kind",
+        F.explode(
+            F.regexp_extract_all(
+                "xml", F.lit("<(?:item|entry)>(.*?)</(?:item|entry)>"), 1
+            )
+        ).alias("b"),
+    )
+    return b.select(
+        "source", "feed_kind",
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract("b", "<link>([^<]*)</link>", 1), F.lit("")
+            ),
+            F.regexp_extract("b", '<link href="([^"]*)"', 1),
+        ).alias("url"),
+        F.regexp_extract("b", "<title>([^<]*)</title>", 1).alias("title"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract("b", "<pubDate>([^<]*)</pubDate>", 1),
+                F.lit(""),
+            ),
+            F.regexp_extract("b", "<updated>([^<]*)</updated>", 1),
+        ).alias("published"),
+    )
+
+
+# ============ hreflang alternate clusters ==================================
+
+
+@q(
+    "hreflang_clusters",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(doc_id // 3 AS BIGINT) AS cluster_id,
+             '<head><link rel="alternate" hreflang="en" href="https://ex.example/'
+               || (doc_id // 3) * 3 || '"/>'
+               || '<link rel="alternate" hreflang="ms" href="https://ex.example/'
+               || ((doc_id // 3) * 3 + 1) || '"/>'
+               || CASE WHEN (doc_id // 3) % 2 = 0 THEN
+                    '<link rel="alternate" hreflang="zh" href="https://ex.example/'
+                    || ((doc_id // 3) * 3 + 2) || '"/>'
+                  ELSE
+                    '<link rel="alternate" hreflang="x-default" href="https://ex.example/'
+                    || (doc_id // 3) * 3 || '"/>'
+                  END
+               || '</head>' AS head
+      FROM documents),
+    alt AS (
+      SELECT doc_id, cluster_id,
+             unnest(regexp_extract_all(head,
+               'hreflang="([a-z-]+)"', 1)) AS hreflang
+      FROM h),
+    langs AS (
+      SELECT cluster_id, hreflang,
+             CAST(count(*) AS BIGINT) AS n_pages
+      FROM alt GROUP BY cluster_id, hreflang)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(sum(n_pages) AS BIGINT) AS n_alt_links,
+           string_agg(hreflang, ',' ORDER BY hreflang) AS langs,
+           CAST(max(CASE WHEN hreflang = 'x-default' THEN 1 ELSE 0 END)
+                AS BIGINT) AS has_default
+    FROM langs GROUP BY cluster_id
+    """,
+)
+def hreflang_clusters(spark, sf_dir):
+    """hreflang alternate-cluster assembly: parse ``<link rel="alternate"
+    hreflang=…>`` annotations out of page heads and roll them up into
+    language clusters (n_langs, lang list, x-default presence).  This is
+    how a crawl of international news sites — the reference's exact
+    corpus, PH/MY/SG/VN/ID/KH outlets publishing parallel en/ms/zh/vi
+    editions — discovers that N URLs are ONE logical document, so dedup
+    can keep one edition per language instead of treating translations
+    as distinct pages, and training-data export can emit aligned
+    language pairs.  Row-local regexp extraction, then two hash-keyed
+    aggs with map-side combine; cluster count never materializes
+    anything driver-side."""
+    d = T(spark, sf_dir, "documents")
+    cid = (F.col("doc_id") / 3).cast("long")
+    base = (cid * 3).cast("string")
+    head = F.concat(
+        F.lit('<head><link rel="alternate" hreflang="en" '
+              'href="https://ex.example/'), base, F.lit('"/>'),
+        F.lit('<link rel="alternate" hreflang="ms" '
+              'href="https://ex.example/'),
+        (cid * 3 + 1).cast("string"), F.lit('"/>'),
+        F.when(
+            cid % 2 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="zh" '
+                      'href="https://ex.example/'),
+                (cid * 3 + 2).cast("string"), F.lit('"/>'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="x-default" '
+                      'href="https://ex.example/'), base, F.lit('"/>'),
+            )
+        ),
+        F.lit("</head>"),
+    )
+    h = d.select("doc_id", cid.alias("cluster_id"), head.alias("head"))
+    alt = h.select(
+        "cluster_id",
+        F.explode(
+            F.regexp_extract_all("head", F.lit('hreflang="([a-z-]+)"'), 1)
+        ).alias("hreflang"),
+    )
+    langs = alt.groupBy("cluster_id", "hreflang").agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+    return langs.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum("n_pages").cast("long").alias("n_alt_links"),
+        F.array_join(F.array_sort(F.collect_list("hreflang")), ",")
+        .alias("langs"),
+        F.max((F.col("hreflang") == "x-default").cast("long"))
+        .cast("long").alias("has_default"),
+    )
+
+
+# ============ charset negotiation ==========================================
+
+
+@q(
+    "charset_negotiate",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS has_bom,
+             CASE WHEN doc_id % 5 = 0 THEN 'text/html; charset=ISO-8859-1'
+                  WHEN doc_id % 5 = 1 THEN 'text/html; charset=UTF-8'
+                  ELSE 'text/html' END AS content_type,
+             CASE WHEN doc_id % 3 = 0
+                    THEN '<meta charset="windows-1252">'
+                  WHEN doc_id % 3 = 1
+                    THEN '<meta http-equiv="Content-Type" content="text/html; charset=utf-8">'
+                  ELSE '<meta name="viewport" content="width=device-width">'
+             END AS meta_tag
+      FROM documents),
+    x AS (
+      SELECT doc_id, has_bom, content_type, meta_tag,
+             lower(regexp_extract(content_type, 'charset=([A-Za-z0-9-]+)', 1))
+               AS header_charset,
+             lower(coalesce(
+               nullif(regexp_extract(meta_tag,
+                 '<meta charset="([A-Za-z0-9-]+)"', 1), ''),
+               nullif(regexp_extract(meta_tag,
+                 'content="[^"]*charset=([A-Za-z0-9-]+)', 1), ''), ''))
+               AS meta_charset
+      FROM r)
+    SELECT doc_id, has_bom, header_charset, meta_charset,
+           CASE WHEN has_bom = 1 THEN 'utf-8'
+                WHEN header_charset <> '' THEN header_charset
+                WHEN meta_charset <> '' THEN meta_charset
+                ELSE 'utf-8' END AS charset,
+           CASE WHEN has_bom = 1 THEN 'bom'
+                WHEN header_charset <> '' THEN 'header'
+                WHEN meta_charset <> '' THEN 'meta'
+                ELSE 'default' END AS decided_by
+    FROM x
+    """,
+)
+def charset_negotiate(spark, sf_dir):
+    """Charset negotiation with the HTML5 precedence order — BOM beats
+    the Content-Type header beats ``<meta charset>`` beats the utf-8
+    default — over synthesized (BOM flag, header, meta tag) triples that
+    cover both meta grammars (HTML5 ``<meta charset>`` and the legacy
+    http-equiv form) plus a viewport decoy.  This is the decode decision
+    mojibake_repair exists to clean up AFTER someone gets it wrong; a
+    crawler that negotiates correctly never produces the mojibake in the
+    first place (reference scope: scrapy's w3lib does this under
+    response.text).  Row-local regexp + CASE chain, zero shuffle, fuses
+    into the scan."""
+    d = T(spark, sf_dir, "documents")
+    has_bom = F.when(F.col("doc_id") % 7 == 0, F.lit(1)).otherwise(
+        F.lit(0)).cast("long")
+    content_type = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("text/html; charset=ISO-8859-1"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("text/html; charset=UTF-8"))
+        .otherwise(F.lit("text/html"))
+    )
+    meta_tag = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit('<meta charset="windows-1252">'))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit('<meta http-equiv="Content-Type" '
+                  'content="text/html; charset=utf-8">'),
+        )
+        .otherwise(
+            F.lit('<meta name="viewport" content="width=device-width">'))
+    )
+    r = d.select(
+        "doc_id", has_bom.alias("has_bom"),
+        content_type.alias("content_type"), meta_tag.alias("meta_tag"),
+    )
+    header_cs = F.lower(
+        F.regexp_extract("content_type", "charset=([A-Za-z0-9-]+)", 1)
+    )
+    meta_cs = F.lower(
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    "meta_tag", '<meta charset="([A-Za-z0-9-]+)"', 1),
+                F.lit(""),
+            ),
+            F.nullif(
+                F.regexp_extract(
+                    "meta_tag", 'content="[^"]*charset=([A-Za-z0-9-]+)', 1),
+                F.lit(""),
+            ),
+            F.lit(""),
+        )
+    )
+    x = r.select(
+        "doc_id", "has_bom",
+        header_cs.alias("header_charset"), meta_cs.alias("meta_charset"),
+    )
+    return x.select(
+        "doc_id", "has_bom", "header_charset", "meta_charset",
+        F.when(F.col("has_bom") == 1, F.lit("utf-8"))
+        .when(F.col("header_charset") != "", F.col("header_charset"))
+        .when(F.col("meta_charset") != "", F.col("meta_charset"))
+        .otherwise(F.lit("utf-8")).alias("charset"),
+        F.when(F.col("has_bom") == 1, F.lit("bom"))
+        .when(F.col("header_charset") != "", F.lit("header"))
+        .when(F.col("meta_charset") != "", F.lit("meta"))
+        .otherwise(F.lit("default")).alias("decided_by"),
+    )
+
+
 # ============ TrustRank (seeded PageRank) ==================================
 
 
@@ -8083,6 +8422,9 @@ _DEMOTED = [
     "wet_record_fields",
     "sitemap_freshness_hint",
     "politeness_audit",
+    "feed_entries_parse",
+    "hreflang_clusters",
+    "charset_negotiate",
 ]
 
 

@@ -60,6 +60,12 @@ class WebSpec:
     # connection-timeout analog), so cfg.failure_trip_threshold has a
     # genuinely dead host to trip on; default none
     dead_hosts: tuple = ()
+    # feed-bearing hosts serve /feed.xml (one RSS 2.0, one Atom) listing
+    # ORPHAN articles, and their listing heads carry the standard
+    # autodiscovery <link rel="alternate" type="application/rss+xml">, so
+    # cfg.use_feeds has a real discovery surface; default off — the
+    # baseline web (and every pinned equality test) is feed-free
+    feeds: bool = False
 
     @cached_property
     def hosts(self) -> dict[str, dict]:
@@ -129,6 +135,52 @@ N_ORPHANS = 3
 
 def _has_sitemap(host: str) -> bool:
     return bool(_ROBOTS.get(host, {}).get("sitemap"))
+
+
+# feed-bearing hosts (active only when spec.feeds): one RSS 2.0 host and
+# one Atom host so both grammars get e2e coverage.  Their /feed.xml lists
+# orphan articles (aids [n_articles, n_articles + N_ORPHANS)) plus the
+# already-reachable aid 0 — intake must dedup it via the normal seen-set
+# path, exactly like sitemap intake's aid-0 probe.
+_FEED_HOSTS = ("www.mnow.example", "www.inq.example")
+
+
+def _has_feed(host: str) -> bool:
+    return host in _FEED_HOSTS
+
+
+def feed_url(host: str) -> str:
+    return f"https://{host}/feed.xml"
+
+
+def feed_xml(spec: WebSpec, host: str) -> str:
+    """The feed the synthetic web serves at /feed.xml: RSS 2.0 or Atom by
+    host-name-length parity (the same split feed_entries_parse's oracle
+    uses), carrying the host's orphan articles plus its first regular
+    article.  Entry titles/dates are the SAME deterministic values the
+    host's listing cards carry, so feed-sourced meta fallbacks agree with
+    card-sourced ones."""
+    n = spec.hosts[host]["n_articles"]
+    aids = list(range(n, n + N_ORPHANS)) + [0]
+    if len(host) % 2 == 0:  # RSS 2.0
+        items = "\n".join(
+            f"  <item><link>{article_url(host, a)}</link>"
+            f"<title>{_article_title(host, a)}</title>"
+            f"<pubDate>{_article_date(host, a)}</pubDate></item>"
+            for a in aids
+        )
+        return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<rss version="2.0"><channel>\n'
+                f"<title>{host} feed</title>\n{items}\n</channel></rss>\n")
+    entries = "\n".join(  # Atom
+        f'  <entry><link href="{article_url(host, a)}"/>'
+        f"<title>{_article_title(host, a)}</title>"
+        f"<updated>{_article_date(host, a)}</updated></entry>"
+        for a in aids
+    )
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<feed xmlns="http://www.w3.org/2005/Atom">\n'
+            f"<title>{host} feed</title>\n{entries}\n</feed>\n")
 
 
 def sitemap_url(host: str) -> str:
@@ -252,6 +304,14 @@ def listing_html(spec: WebSpec, host: str, section: int, page: int) -> str:
     lmeta = ""
     if spec.meta_robots and _h("mrobots-l", host, section, page) % 8 == 0:
         lmeta = "<meta name='robots' content='nofollow'>"
+    if spec.feeds and _has_feed(host):
+        # standard feed autodiscovery link in the head (RSS or Atom MIME
+        # by the same host parity feed_xml serves); a HEAD link, invisible
+        # to extract_links' a@href walk — only cfg.use_feeds follows it
+        mime = ("application/rss+xml" if len(host) % 2 == 0
+                else "application/atom+xml")
+        lmeta += (f"<link rel=\"alternate\" type=\"{mime}\" "
+                  f"title=\"feed\" href=\"{feed_url(host)}\">")
     parts = [f"<html>{lmeta}<body><h1>Section {section}</h1><div class='listing'>"]
     # article cards
     for slot in range(spec.cards_per_page):
@@ -467,6 +527,8 @@ def classify_url(url: str) -> tuple[str, str, dict]:
     path = "/" + path
     if path == "/sitemap.xml":
         return "sitemap", host, {}
+    if path == "/feed.xml":
+        return "feed", host, {}
     if "/section/" in path and "/page/" in path:
         try:
             section = int(path.split("/section/")[1].split("/")[0])
@@ -513,12 +575,17 @@ def fetch(spec: WebSpec, url: str, attempt: int = 0) -> tuple[int, str, str, int
         if not _has_sitemap(host):
             return 404, url, "", elapsed
         return 200, url, sitemap_xml(spec, host), elapsed
+    if kind == "feed":
+        if not (spec.feeds and _has_feed(host)):
+            return 404, url, "", elapsed
+        return 200, url, feed_xml(spec, host), elapsed
     if kind == "listing":
         if params["section"] >= spec.sections or params["page"] >= cfg["pages_per_section"]:
             return 404, url, "", elapsed
         return 200, url, listing_html(spec, host, params["section"], params["page"]), elapsed
     aid = params["aid"]
-    if aid >= cfg["n_articles"] + (N_ORPHANS if _has_sitemap(host) else 0):
+    has_orphans = _has_sitemap(host) or (spec.feeds and _has_feed(host))
+    if aid >= cfg["n_articles"] + (N_ORPHANS if has_orphans else 0):
         return 404, url, "", elapsed
     final = article_url(host, aid)  # redirect: query/alias forms collapse
     if spec.canonical_links and "?" in url:

@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--use-sitemaps", action="store_true",
                     help="enqueue robots-declared sitemap URLs as "
                          "high-priority seeds")
+    ap.add_argument("--use-feeds", action="store_true",
+                    help="follow listing-head RSS/Atom autodiscovery "
+                         "links; feed entries join the frontier with "
+                         "feed-declared title/date meta")
     ap.add_argument("--strip-tracking", action="store_true",
                     help="strip utm_/click-id params (and sort survivors) "
                          "on every seed and link before the seen-set probe")
@@ -94,7 +98,7 @@ def main():
 
     cfg = CrawlConfig(
         warehouse=args.warehouse,
-        spec=synthetic.WebSpec(scale=args.scale),
+        spec=synthetic.WebSpec(scale=args.scale, feeds=args.use_feeds),
         max_batches=args.max_batches,
         max_depth=args.max_depth,
         budget_override=args.budget,
@@ -108,6 +112,7 @@ def main():
         bloom_autosplit=not args.no_bloom_autosplit,
         search_entire_site=not args.targeted,
         use_sitemaps=args.use_sitemaps,
+        use_feeds=args.use_feeds,
         strip_tracking=args.strip_tracking,
         obey_meta_robots=args.obey_meta_robots,
         use_canonical_link=args.use_canonical_link,

@@ -1,8 +1,8 @@
-"""All opt-in crawl features composed on one web: sitemap intake +
-tracking-param stripping + robots META honoring + rel=canonical keying,
-against a synthetic web planting all three substrates at once.  Each
-feature is e2e-tested alone in its own module; this proves they COMPOSE
-(one engine run == one oracle run with everything enabled)."""
+"""All opt-in crawl features composed on one web: sitemap intake + feed
+intake + tracking-param stripping + robots META honoring + rel=canonical
+keying, against a synthetic web planting all the substrates at once.
+Each feature is e2e-tested alone in its own module; this proves they
+COMPOSE (one engine run == one oracle run with everything enabled)."""
 
 from crawlspark import synthetic
 from crawlspark.crawl import CrawlConfig, run_crawl
@@ -17,17 +17,19 @@ MAX_BATCHES = 20
 
 def test_all_optin_features_compose(spark, tmp_path):
     spec = synthetic.WebSpec(scale=SCALE, tracking_params=True,
-                             meta_robots=True, canonical_links=True)
+                             meta_robots=True, canonical_links=True,
+                             feeds=True)
     wh = str(tmp_path / "wh_all")
     run_crawl(spark, CrawlConfig(
         warehouse=wh, spec=spec, max_batches=MAX_BATCHES,
         budget_override=BUDGET, compact_every=4,
-        use_sitemaps=True, strip_tracking=True,
+        use_sitemaps=True, use_feeds=True, strip_tracking=True,
         obey_meta_robots=True, use_canonical_link=True,
     ))
     ora = crawl_oracle(spec, max_batches=MAX_BATCHES,
                        budget_override=BUDGET,
-                       use_sitemaps=True, strip_tracking=True,
+                       use_sitemaps=True, use_feeds=True,
+                       strip_tracking=True,
                        obey_meta_robots=True, use_canonical_link=True)
 
     cat = SnapshotCatalog(spark, wh)
@@ -69,3 +71,5 @@ def test_all_optin_features_compose(spark, tmp_path):
     assert gated and not [u for u in gated if u in doc_urls]
     # sitemap intake — the sitemap URLs themselves entered the frontier
     assert [u for u in seen if u.endswith("/sitemap.xml")]
+    # feed intake — both feed URLs (RSS + Atom hosts) entered the frontier
+    assert len([u for u in seen if u.endswith("/feed.xml")]) == 2
