@@ -7332,6 +7332,103 @@ def charset_negotiate(spark, sf_dir):
     )
 
 
+# ============ BM25 ranking ================================================
+
+
+@q(
+    "bm25_rank",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    stats AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS sum_dl
+      FROM tok),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    qterms AS (
+      SELECT term, df FROM df, stats
+      WHERE df * 2 <= n_docs AND df > 2
+      ORDER BY df DESC, term LIMIT 5),
+    scored AS (
+      SELECT tf.term, tf.doc_id, tf.tf, dl.dl, qterms.df,
+             (CAST(n_docs - df AS DOUBLE) / (df + 1))
+               * (44.0 * tf * sum_dl)
+               / (20 * tf * sum_dl + 6 * sum_dl + 18 * dl * n_docs)
+               AS bm25
+      FROM tf
+      JOIN qterms ON qterms.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats)
+    SELECT term, doc_id, tf, dl, df, bm25,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def bm25_rank(spark, sf_dir):
+    """BM25 top-k retrieval over the inverted index (the ranking stage
+    token_postings' docstring promises: decontamination lookups and
+    query-driven corpus search both end in exactly this plan).  Query
+    terms are picked deterministically from the corpus itself (the 5
+    highest-DF terms appearing in at most half the docs), scored with
+    the k1=1.2, b=0.75 BM25 tf-saturation in exact rational form —
+    tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) multiplied out over the
+    common denominator 20·sum_dl so every term is an exact integer —
+    and an (N−df)/(df+1) integer idf surrogate (rank-equivalent to the
+    log form for fixed N; avoids cross-engine libm ln differences).
+    Shape at 100 TB: the tf/df/dl aggs are the posting build (one
+    token-keyed shuffle each, map-side combine eats Zipf skew); qterms
+    and stats are tiny broadcasts; the final top-k is a per-term window
+    over ONLY the 5 query terms' postings — never the whole index."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    stats = tok.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("sum_dl"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qterms = (
+        df_.crossJoin(F.broadcast(stats))
+        .filter((F.col("df") * 2 <= F.col("n_docs")) & (F.col("df") > 2))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(5)
+        .select("term", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term", "doc_id", "tf", "dl", "df",
+            (
+                ((F.col("n_docs") - F.col("df")).cast("double")
+                 / (F.col("df") + 1))
+                * (F.lit(44.0) * F.col("tf") * F.col("sum_dl"))
+                / (F.lit(20) * F.col("tf") * F.col("sum_dl")
+                   + F.lit(6) * F.col("sum_dl")
+                   + F.lit(18) * F.col("dl") * F.col("n_docs"))
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 # ============ TrustRank (seeded PageRank) ==================================
 
 
@@ -8425,6 +8522,7 @@ _DEMOTED = [
     "feed_entries_parse",
     "hreflang_clusters",
     "charset_negotiate",
+    "bm25_rank",
 ]
 
 
