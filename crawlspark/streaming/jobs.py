@@ -270,3 +270,46 @@ def stream_host_breaker(fetch_stream: DataFrame, threshold: int = 3) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FEED_ENTRY_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("published", T.StringType()),
+        T.StructField("poll_ts_ms", T.LongType()),
+    ]
+)
+
+
+def stream_feed_poll(feed_stream: DataFrame,
+                     watermark: tuple[str, str] | None = None) -> DataFrame:
+    """Streaming feed poller — the live twin of cfg.use_feeds' batch
+    intake: feed_stream(host, poll_ts_ms, xml) rows (each a fetched feed
+    snapshot) parse into entries with the SAME grammar-agnostic parser
+    the batch loop and the feed_entries_parse oracle share
+    (sources/feeds.py), then cross-trigger URL dedup emits each entry
+    ONCE, on the poll that first carried it.  Re-polling a feed is the
+    whole point of feeds (they change faster than sitemaps), so most
+    entries in most polls are repeats — the dedup state turns the
+    repeated snapshots into a stream of genuinely-new URLs ready for
+    frontier admission.  ``watermark=(col, delay)`` bounds the dedup
+    state by event time for long-running streams (same contract as
+    stream_frontier_dedup)."""
+    from crawlspark.sources.feeds import feed_entries_py
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, ts, xml in zip(pdf["host"], pdf["poll_ts_ms"],
+                                     pdf["xml"]):
+                for e in feed_entries_py(xml):
+                    rows.append((host, e["url"], e["title"],
+                                 e["published"], int(ts)))
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in
+                                                  FEED_ENTRY_OUT.fields])
+
+    parsed = feed_stream.mapInPandas(parse, schema=FEED_ENTRY_OUT)
+    return stream_frontier_dedup(parsed, watermark)

@@ -233,3 +233,54 @@ def test_stream_host_breaker_trip_and_close_across_triggers(spark, tmp_path):
     finally:
         q.stop()
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_feed_poll_emits_only_new_entries(spark, tmp_path):
+    """Re-polling a feed must emit each entry once, on the poll that
+    first carried it: poll 1 delivers A+B, poll 2 re-delivers A+B and
+    adds C — only C crosses in trigger 2 (cross-trigger dedup state)."""
+    from crawlspark.streaming.jobs import stream_feed_poll
+
+    def rss(*aids):
+        items = "".join(
+            f"<item><link>https://h1.example/news/{a}</link>"
+            f"<title>doc {a}</title><pubDate>2021-03-0{a}</pubDate></item>"
+            for a in aids
+        )
+        return f'<rss version="2.0"><channel>{items}</channel></rss>'
+
+    src = str(tmp_path / "polls")
+    spark.createDataFrame(
+        [("h1.example", 1_000, rss(1, 2))],
+        "host string, poll_ts_ms long, xml string",
+    ).coalesce(1).write.parquet(f"{src}/p1")
+    stream = (spark.readStream
+              .schema("host string, poll_ts_ms long, xml string")
+              .parquet(f"{src}/*"))
+    out = stream_feed_poll(stream)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("feed_out").start())
+    try:
+        q.processAllAvailable()
+        got1 = {(r["url"], r["poll_ts_ms"])
+                for r in spark.sql("select * from feed_out").collect()}
+        assert got1 == {("https://h1.example/news/1", 1_000),
+                        ("https://h1.example/news/2", 1_000)}
+
+        spark.createDataFrame(
+            [("h1.example", 2_000, rss(1, 2, 3))],
+            "host string, poll_ts_ms long, xml string",
+        ).coalesce(1).write.parquet(f"{src}/p2")
+        q.processAllAvailable()
+        got2 = {(r["url"], r["poll_ts_ms"])
+                for r in spark.sql("select * from feed_out").collect()}
+        # the repeats were suppressed; the new entry carries poll 2's ts
+        assert got2 == got1 | {("https://h1.example/news/3", 2_000)}
+        # titles/dates rode through the parse
+        titles = {r["title"] for r in
+                  spark.sql("select * from feed_out").collect()}
+        assert titles == {"doc 1", "doc 2", "doc 3"}
+        assert q.exception() is None
+    finally:
+        q.stop()
+    shutil.rmtree(src, ignore_errors=True)
