@@ -1188,10 +1188,22 @@ def enrich_frontier(spark: SparkSession, cfg: CrawlConfig, extra_seeds) -> dict:
     return out
 
 
-def run_crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False) -> dict:
-    """Run to completion (or max_batches); returns a summary dict."""
+def run_crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False,
+              resume_from_snapshot: int | None = None) -> dict:
+    """Run to completion (or max_batches); returns a summary dict.
+
+    ``resume_from_snapshot``: time-travel resume — roll the warehouse
+    back to that retained snapshot (catalog.rollback) and continue from
+    exactly the state committed there, abandoning any later snapshots
+    (they stay readable until expire_snapshots).  The engine is
+    deterministic, so rollback(S) + resume replays batches S+1… to the
+    same final state a straight run produced — the operational lever for
+    'a bad config/rule shipped at batch k; rewind and re-run'."""
     catalog = SnapshotCatalog(spark, cfg.warehouse)
-    manifest = catalog.latest() if resume else None
+    if resume_from_snapshot is not None:
+        manifest = catalog.rollback(resume_from_snapshot)
+    else:
+        manifest = catalog.latest() if resume else None
     if manifest is None:
         manifest = init_crawl(spark, cfg)
     known_hosts: set = set()  # per-run cache; see run_batch docstring

@@ -190,6 +190,67 @@ class SnapshotCatalog:
         os.replace(ptr_tmp, self._latest_path)  # the atomic commit point
         return manifest
 
+    def snapshots(self) -> list[int]:
+        """Retained snapshot ids, ascending (the time-travel surface:
+        any id here can be read with manifest_at or resumed from with
+        rollback, until expire_snapshots drops it)."""
+        snap_dir = os.path.join(self.root, "_snapshots")
+        try:
+            names = os.listdir(snap_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(f[len("snap-"):-len(".json")])
+            for f in names if f.startswith("snap-") and f.endswith(".json")
+        )
+
+    def manifest_at(self, snapshot_id: int) -> dict:
+        """Load a specific retained snapshot's manifest (time-travel
+        read: pass the result to read(table, manifest))."""
+        path = os.path.join(self.root, "_snapshots",
+                            f"snap-{snapshot_id:06d}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Iceberg-style rollback: make ``snapshot_id``'s state current by
+        committing a NEW manifest that references the target's exact
+        file set and state (tables, Bloom blobs, batch_id), then swinging
+        LATEST to it.  The abandoned newer snapshots stay readable until
+        expire_snapshots; because the rollback manifest REFERENCES the
+        old files, expiry keeps them live for as long as any surviving
+        manifest (including this one) needs them.  A fresh snapshot id
+        (max existing + 1) is always minted — no manifest file is ever
+        overwritten, so history stays append-only and auditable.
+
+        This is the time-travel resume primitive: rollback(S) then
+        run_crawl(resume=True) re-runs the crawl from exactly the state
+        committed at S (deterministic engine ⇒ same final state as a
+        straight run)."""
+        target = self.manifest_at(snapshot_id)  # raises if expired/absent
+        snaps = self.snapshots()
+        new_id = (snaps[-1] if snaps else 0) + 1
+        manifest = {
+            "snapshot_id": new_id,
+            "batch_id": target["batch_id"],
+            "committed_at": time.time(),
+            "tables": {k: list(v) for k, v in target["tables"].items()},
+            "state": dict(target.get("state") or {}),
+            "lineage": {"rollback_of": snapshot_id},
+        }
+        snap_dir = os.path.join(self.root, "_snapshots")
+        snap_file = f"snap-{new_id:06d}.json"
+        snap_path = os.path.join(snap_dir, snap_file)
+        tmp = snap_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, snap_path)  # manifest durable first
+        ptr_tmp = self._latest_path + ".tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(snap_file)
+        os.replace(ptr_tmp, self._latest_path)  # the atomic commit point
+        return manifest
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg-style snapshot expiry: drop manifests older than the
         newest ``keep_last`` and physically delete data files (and Bloom

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--max-depth", type=int, default=64)
     ap.add_argument("--budget", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--resume-from-snapshot", type=int, default=None,
+                    metavar="S",
+                    help="time-travel resume: roll back to retained "
+                         "snapshot S and replay from there (abandoned "
+                         "snapshots stay readable until expiry)")
     ap.add_argument("--seed-file", default=None)
     ap.add_argument("--compact-every", type=int, default=8)
     ap.add_argument("--expected-urls", type=int, default=None,
@@ -126,7 +131,8 @@ def main():
         reset_for_recrawl(spark, cfg)
         summary = run_crawl(spark, cfg, resume=True)
     else:
-        summary = run_crawl(spark, cfg, resume=args.resume)
+        summary = run_crawl(spark, cfg, resume=args.resume,
+                            resume_from_snapshot=args.resume_from_snapshot)
     summary.pop("manifest", None)
     print(json.dumps(summary))
     spark.stop()
