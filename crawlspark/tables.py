@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -34,6 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from crawlspark import schemas
 from crawlspark.operators.bloom import BloomBucketStore, BloomState
+
+# commit()'s table-delta leaf-dir naming (snapNNNNNN-<uuid8>); the
+# crash-orphan sweep in expire_snapshots matches against this exactly so
+# it can never touch a dir the catalog didn't write
+_SNAP_DIR_RX = re.compile(r"^snap\d{6}-[0-9a-f]{8}$")
 
 
 class SnapshotCatalog:
@@ -262,8 +268,11 @@ class SnapshotCatalog:
         snap_dir = os.path.join(self.root, "_snapshots")
         snaps = sorted(f for f in os.listdir(snap_dir) if f.startswith("snap-") and f.endswith(".json"))
         if len(snaps) <= keep_last:
-            return {"snapshots_removed": 0, "files_removed": 0}
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+            # nothing to expire, but the orphan sweeps below still run
+            # (crash leftovers are unreferenced regardless of retention)
+            keep, drop = list(snaps), []
+        else:
+            keep, drop = snaps[-keep_last:], snaps[:-keep_last]
         with open(self._latest_path) as f:
             latest_file = f.read().strip()
         if latest_file in drop:  # never expire the committed snapshot
@@ -307,6 +316,23 @@ class SnapshotCatalog:
                     p = os.path.realpath(os.path.join(dirpath, fn))
                     if fn.endswith(".npy") and p not in live:
                         dead.add(p)
+        # crash-orphan parquet sweep: a commit that crashed AFTER its
+        # table writes but BEFORE the manifest swap leaves snapNNN-<uuid>
+        # dirs referenced by NO manifest, ever — invisible to the
+        # refs(drop)-live set above.  Safe here for the same reason as
+        # the bucket sweep: expire runs only right after a commit in the
+        # single-writer loop, so every in-flight file is referenced by
+        # the LATEST manifest (always in ``keep``).
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if table.startswith("_") or not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if not _SNAP_DIR_RX.match(d):
+                    continue
+                p = os.path.realpath(os.path.join(tdir, d))
+                if p not in live:
+                    dead.add(p)
         n_files = 0
         for p in sorted(dead):
             if os.path.isdir(p):

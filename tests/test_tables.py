@@ -265,3 +265,30 @@ def test_legacy_fetched_cache_without_snap_id_still_reads(spark, tmp_path):
         F.coalesce(F.col("snap_id"), F.lit(0)) >= 100
     ).count()
     assert kept == 0
+
+
+def test_expire_sweeps_crash_orphan_table_dirs(spark, tmp_path):
+    """A commit that crashed after its table writes but before the
+    manifest swap leaves snapNNN-<uuid> dirs no manifest ever references;
+    expire must sweep exactly those and leave every live delta (and any
+    non-catalog dir in the warehouse) untouched."""
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.commit(1, appends={"metrics": _metrics_df(spark, 1)})
+    cat.commit(2, appends={"metrics": _metrics_df(spark, 2)})
+    live = [p for ps in cat.latest()["tables"].values() for p in ps]
+
+    # simulate the crash leftover: a write that never got a manifest
+    orphan = os.path.join(str(tmp_path), "metrics", "snap000099-deadbeef")
+    _metrics_df(spark, 99).write.parquet(orphan)
+    # and a dir the catalog did NOT write (name doesn't match the
+    # commit pattern): must never be touched
+    alien = os.path.join(str(tmp_path), "metrics", "user-backup")
+    os.makedirs(alien)
+
+    res = cat.expire_snapshots(keep_last=10)  # no manifest is expired
+    assert not os.path.exists(orphan), "crash orphan not swept"
+    assert os.path.isdir(alien), "non-catalog dir was wrongly touched"
+    for p in live:
+        assert os.path.exists(p), f"live delta wrongly swept: {p}"
+    assert res["files_removed"] >= 1
+    assert cat.read("metrics").count() == 6  # both committed deltas read
