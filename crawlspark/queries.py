@@ -1387,6 +1387,85 @@ def interleaved_clean_renumber(spark, sf_dir):
     )
 
 
+@q(
+    "interleaved_seq_pack",
+    _SPANS_SQL + """
+    , per AS (
+      SELECT doc_id,
+             CAST(coalesce(sum(len(string_split(span_text, ' ')))
+                             FILTER (kind = 'text'), 0)
+                  + 64 * count(*) FILTER (kind = 'media') AS BIGINT)
+               AS doc_tokens
+      FROM e GROUP BY doc_id),
+    j AS (
+      SELECT per.doc_id, d.source, per.doc_tokens
+      FROM per JOIN documents d ON d.doc_id = per.doc_id),
+    c AS (
+      SELECT *,
+             CAST(sum(doc_tokens) OVER
+                    (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ROWS UNBOUNDED PRECEDING) - doc_tokens AS BIGINT)
+               AS cum_before
+      FROM j)
+    SELECT source, doc_id, doc_tokens, cum_before,
+           CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+           CAST(cum_before % 2048 AS BIGINT) AS seq_pos,
+           CAST(CASE WHEN cum_before % 2048 + doc_tokens > 2048
+                     THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
+    FROM c
+    """,
+)
+def interleaved_seq_pack(spark, sf_dir):
+    """Multimodal sequence packing over the input_hint span shape — the
+    pretraining assembly step AFTER curation: concatenate each source's
+    documents (md5-shuffled, deterministic) into one token stream where
+    a text span costs its whitespace tokens and a media span costs a
+    fixed 64 vision-token slot, then chunk the stream at a 2048-token
+    context budget.  Every doc gets (seq_id, seq_pos) — exactly the
+    concatenate-then-chunk layout real pretraining pipelines emit — plus
+    a crosses_boundary flag (the doc a packer with document-masking
+    would split attention around).  All exact integers: per-doc costs
+    from one span explode + agg, the stream position from one running
+    window per source; no data moves except the doc-size rows."""
+    sp = _spans_df(spark, sf_dir)
+    e = sp.select("doc_id", F.explode("spans").alias("s"))
+    per = e.groupBy("doc_id").agg(
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("s.kind") == "text",
+                        F.size(F.split(F.col("s.text"), " ")),
+                    )
+                ),
+                F.lit(0),
+            )
+            + 64 * F.sum((F.col("s.kind") == "media").cast("long"))
+        ).cast("long").alias("doc_tokens")
+    )
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    j = per.join(src, "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = j.withColumn(
+        "cum_before",
+        (F.sum("doc_tokens").over(w) - F.col("doc_tokens")).cast("long"),
+    )
+    return c.select(
+        "source", "doc_id", "doc_tokens", "cum_before",
+        # `div`: exact integer division (a double `/` would round at
+        # 2^53-scale stream positions)
+        F.expr("cum_before div 2048").cast("long").alias("seq_id"),
+        (F.col("cum_before") % 2048).cast("long").alias("seq_pos"),
+        (F.col("cum_before") % 2048 + F.col("doc_tokens") > 2048)
+        .cast("long").alias("crosses_boundary"),
+    )
+
+
 # ---- 34. SimHash Hamming-distance near-dup pairs --------------------------
 
 def _simhash_cte() -> str:
@@ -8523,6 +8602,7 @@ _DEMOTED = [
     "hreflang_clusters",
     "charset_negotiate",
     "bm25_rank",
+    "interleaved_seq_pack",
 ]
 
 

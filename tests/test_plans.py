@@ -449,3 +449,13 @@ def test_bm25_broadcasts_qterms_and_stats(spark, qs):
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" in p  # 1-row stats cross join
     assert p.count("rangepartitioning") == 0  # no global ORDER BY remains
+
+
+def test_seq_pack_one_docsize_shuffle_then_source_window(spark, qs):
+    """Packing never moves span data: the explode+agg reduces to per-doc
+    size rows, then ONE source-partitioned running window assigns stream
+    positions — keyed exchanges only, no global sort."""
+    p = _plan(spark, qs["interleaved_seq_pack"](spark, SF))
+    assert "SinglePartition" not in p
+    assert p.count("rangepartitioning") == 0
+    assert "partial_sum" in p or "partial_count" in p
