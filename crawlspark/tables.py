@@ -42,6 +42,11 @@ from crawlspark.operators.bloom import BloomBucketStore, BloomState
 _SNAP_DIR_RX = re.compile(r"^snap\d{6}-[0-9a-f]{8}$")
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer swung LATEST between this commit's base read and
+    its pointer swap; the commit was refused with nothing corrupted."""
+
+
 class SnapshotCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -109,6 +114,13 @@ class SnapshotCatalog:
         compaction of append-only logs) — older manifests keep referencing
         the dropped files, so snapshot isolation holds and expire_snapshots
         garbage-collects them once no surviving manifest needs them.
+
+        Optimistic concurrency: the catalog is single-writer by design;
+        if another writer swung LATEST between this commit's base read
+        and its pointer swap, the swap is REFUSED (ConcurrentCommitError)
+        and this commit's delta files are left for the orphan sweep —
+        the Iceberg commit-conflict contract, so two drivers pointed at
+        one warehouse corrupt nothing (the loser loses cleanly).
         """
         prev = self.latest() or {"snapshot_id": 0, "tables": {}, "state": {}}
         snap_id = prev["snapshot_id"] + 1
@@ -186,9 +198,25 @@ class SnapshotCatalog:
         }
         snap_file = f"snap-{snap_id:06d}.json"
         snap_path = os.path.join(self.root, "_snapshots", snap_file)
-        tmp = snap_path + ".tmp"
+        tmp = snap_path + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
+        # commit-conflict check BEFORE the manifest lands on its final
+        # name (a stale-based commit computes a snap_id that collides
+        # with the winner's manifest — it must never overwrite it): if
+        # LATEST no longer names the base this commit was computed
+        # against, another writer won — refuse.  Our delta files become
+        # orphans the expiry sweep collects; the loser loses CLEANLY
+        # (Iceberg's conflict contract).  A same-id manifest file with
+        # LATEST unmoved is a CRASH leftover (manifest written, pointer
+        # never swung) and is correctly overwritten.
+        cur_id = (self.latest() or {"snapshot_id": 0})["snapshot_id"]
+        if cur_id != prev["snapshot_id"]:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"commit based on snapshot {prev['snapshot_id']} but LATEST "
+                f"moved to {cur_id}; retry from the new base"
+            )
         os.replace(tmp, snap_path)  # manifest durable first
         ptr_tmp = self._latest_path + ".tmp"
         with open(ptr_tmp, "w") as f:

@@ -292,3 +292,39 @@ def test_expire_sweeps_crash_orphan_table_dirs(spark, tmp_path):
         assert os.path.exists(p), f"live delta wrongly swept: {p}"
     assert res["files_removed"] >= 1
     assert cat.read("metrics").count() == 6  # both committed deltas read
+
+
+def test_concurrent_commit_loses_cleanly(spark, tmp_path):
+    """Optimistic concurrency: a commit based on a stale LATEST must be
+    refused at swap time, corrupting nothing — the winner's manifest and
+    data survive, the loser's deltas become sweepable orphans."""
+    from unittest import mock
+
+    import pytest
+
+    from crawlspark.tables import ConcurrentCommitError
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.commit(1, appends={"metrics": _metrics_df(spark, 1)})
+    stale = cat.latest()  # the base a second writer would have read
+    cat.commit(2, appends={"metrics": _metrics_df(spark, 2)})  # winner
+
+    calls = {"n": 0}
+    real = cat.latest
+
+    def stale_then_real():
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real()
+
+    with mock.patch.object(cat, "latest", side_effect=stale_then_real):
+        with pytest.raises(ConcurrentCommitError):
+            cat.commit(3, appends={"metrics": _metrics_df(spark, 3)})
+
+    # winner intact: pointer, manifest file set, and data all unchanged
+    assert cat.latest()["snapshot_id"] == 2
+    assert cat.snapshots() == [1, 2]
+    assert cat.read("metrics").count() == 6
+    # the loser's delta dir is unreferenced; the orphan sweep collects it
+    res = cat.expire_snapshots(keep_last=10)
+    assert res["files_removed"] >= 1
+    assert cat.read("metrics").count() == 6
