@@ -7298,6 +7298,108 @@ def hreflang_clusters(spark, sf_dir):
     )
 
 
+# ============ aligned language pairs =======================================
+
+
+@q(
+    "aligned_lang_pairs",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(doc_id // 3 AS BIGINT) AS cluster_id,
+             '<head><link rel="alternate" hreflang="en" href="https://ex.example/'
+               || (doc_id // 3) * 3 || '"/>'
+               || '<link rel="alternate" hreflang="ms" href="https://ex.example/'
+               || ((doc_id // 3) * 3 + 1) || '"/>'
+               || CASE WHEN (doc_id // 3) % 2 = 0 THEN
+                    '<link rel="alternate" hreflang="zh" href="https://ex.example/'
+                    || ((doc_id // 3) * 3 + 2) || '"/>'
+                  ELSE
+                    '<link rel="alternate" hreflang="x-default" href="https://ex.example/'
+                    || (doc_id // 3) * 3 || '"/>'
+                  END
+               || '</head>' AS head
+      FROM documents),
+    alt AS (
+      SELECT DISTINCT cluster_id,
+             regexp_extract(a, 'hreflang="([a-z-]+)"', 1) AS hreflang,
+             regexp_extract(a, 'href="([^"]+)"', 1) AS href
+      FROM (SELECT cluster_id,
+                   unnest(regexp_extract_all(head, '<link[^>]*>')) AS a
+            FROM h)
+      WHERE regexp_extract(a, 'hreflang="([a-z-]+)"', 1) <> 'x-default')
+    SELECT a.cluster_id,
+           a.hreflang AS lang_a, b.hreflang AS lang_b,
+           a.href AS url_a, b.href AS url_b
+    FROM alt a JOIN alt b
+      ON b.cluster_id = a.cluster_id AND a.hreflang < b.hreflang
+    """,
+)
+def aligned_lang_pairs(spark, sf_dir):
+    """Aligned language-pair extraction — the training-data payoff of
+    hreflang clusters: every unordered pair of language editions inside
+    one cluster becomes an (url_a, url_b) row, the unit a
+    translation-pair / cross-lingual-alignment corpus is built from
+    (join each side to the documents table and you have parallel text).
+    DISTINCT collapses the per-edition repetition of the cluster's link
+    set; the pairing is a cluster-keyed self-join with a lang_a < lang_b
+    guard (each pair once, never self-pairs).  One hash shuffle on
+    cluster_id; pair fan-out is bounded by langs-per-cluster squared
+    (single digits), never corpus-sized."""
+    d = T(spark, sf_dir, "documents")
+    cid = (F.col("doc_id") / 3).cast("long")
+    base = (cid * 3).cast("string")
+    head = F.concat(
+        F.lit('<head><link rel="alternate" hreflang="en" '
+              'href="https://ex.example/'), base, F.lit('"/>'),
+        F.lit('<link rel="alternate" hreflang="ms" '
+              'href="https://ex.example/'),
+        (cid * 3 + 1).cast("string"), F.lit('"/>'),
+        F.when(
+            cid % 2 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="zh" '
+                      'href="https://ex.example/'),
+                (cid * 3 + 2).cast("string"), F.lit('"/>'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="x-default" '
+                      'href="https://ex.example/'), base, F.lit('"/>'),
+            )
+        ),
+        F.lit("</head>"),
+    )
+    h = d.select(cid.alias("cluster_id"), head.alias("head"))
+    alt = (
+        h.select(
+            "cluster_id",
+            F.explode(
+                F.regexp_extract_all("head", F.lit("<link[^>]*>"), 0)
+            ).alias("a"),
+        )
+        .select(
+            "cluster_id",
+            F.regexp_extract("a", 'hreflang="([a-z-]+)"', 1).alias("hreflang"),
+            F.regexp_extract("a", 'href="([^"]+)"', 1).alias("href"),
+        )
+        .filter(F.col("hreflang") != "x-default")
+        .distinct()
+    )
+    a, b = alt.alias("a"), alt.alias("b")
+    return a.join(
+        b,
+        (F.col("b.cluster_id") == F.col("a.cluster_id"))
+        & (F.col("a.hreflang") < F.col("b.hreflang")),
+    ).select(
+        F.col("a.cluster_id").alias("cluster_id"),
+        F.col("a.hreflang").alias("lang_a"),
+        F.col("b.hreflang").alias("lang_b"),
+        F.col("a.href").alias("url_a"),
+        F.col("b.href").alias("url_b"),
+    )
+
+
 # ============ charset negotiation ==========================================
 
 
@@ -8603,6 +8705,7 @@ _DEMOTED = [
     "charset_negotiate",
     "bm25_rank",
     "interleaved_seq_pack",
+    "aligned_lang_pairs",
 ]
 
 

@@ -459,3 +459,12 @@ def test_seq_pack_one_docsize_shuffle_then_source_window(spark, qs):
     assert "SinglePartition" not in p
     assert p.count("rangepartitioning") == 0
     assert "partial_sum" in p or "partial_count" in p
+
+
+def test_aligned_pairs_cluster_keyed_join(spark, qs):
+    """The edition pairing is a cluster-keyed equi-join after a DISTINCT —
+    hash exchanges only, no cartesian, no global sort."""
+    p = _plan(spark, qs["aligned_lang_pairs"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p
+    assert "hashpartitioning" in p
