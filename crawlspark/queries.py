@@ -8483,6 +8483,330 @@ def host_circuit_breaker(spark, sf_dir):
     )
 
 
+# ============ BPE tokenizer training: adjacent-pair counts =================
+
+
+@q(
+    "bpe_pair_counts",
+    """
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substring(w, i, 2))) AS pair
+      FROM w WHERE length(w) >= 2),
+    a AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_occ FROM p GROUP BY pair)
+    SELECT pair, n_occ,
+           CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT) AS rnk
+    FROM a QUALIFY rnk <= 100
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer training, the inner-loop statistic: count adjacent
+    symbol pairs inside words across the corpus and rank them — the top
+    pair is the next merge a byte-pair-encoding trainer would apply.
+    Training a tokenizer over the crawl IS a 100 TB job (GPT-2/LLaMA
+    tokenizers are trained on exactly this corpus shape), and the pair
+    count is its bottleneck: here it is row-local pair explosion
+    (``transform(sequence(...))`` — zero Python, zero pre-shuffle) into
+    one map-side-combined groupBy.  The final rank orders a vocabulary-
+    sized aggregate (``#distinct pairs ≤ 26² + punctuation``), so the
+    single-partition window is over ~700 rows regardless of corpus size —
+    the classic tiny-global-topK tail.  Tie-break (n_occ DESC, pair) is
+    total, so ranks are deterministic across engines."""
+    d = T(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    a = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("n_occ"))
+    win = Window.orderBy(F.desc("n_occ"), F.asc("pair"))
+    return (
+        a.select("pair", "n_occ",
+                 F.row_number().over(win).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 100)
+    )
+
+
+# ============ n-gram LM counts (Kneser-Ney raw statistics) =================
+
+
+@q(
+    "ngram_lm_counts",
+    """
+    WITH t AS (
+      SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+      FROM t WHERE len(t) >= 2),
+    c AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2),
+    k AS (SELECT w1, w2, c,
+                 CAST(count(*) OVER (PARTITION BY w2) AS BIGINT)
+                   AS n_left_contexts,
+                 CAST(count(*) OVER (PARTITION BY w1) AS BIGINT)
+                   AS n_right_types
+          FROM c)
+    SELECT w1, w2, c, n_left_contexts, n_right_types,
+           CAST(row_number() OVER (ORDER BY c DESC, w1, w2) AS BIGINT) AS rnk
+    FROM k QUALIFY rnk <= 200
+    """,
+)
+def ngram_lm_counts(spark, sf_dir):
+    """Bigram language-model statistics with the Kneser-Ney continuation
+    counts: per-bigram frequency ``c(w1,w2)``, the number of DISTINCT left
+    contexts per w2 (``N1+(·w2)`` — the KN lower-order numerator) and
+    distinct right types per w1 (``N1+(w1·)`` — the discount normalizer).
+    These three integer tables are everything a modified-KN smoother needs
+    from the corpus, and at 100 TB they are the canonical count-shuffle
+    workload (quality-scoring LMs à la CCNet are trained this way).
+    Shape: row-local bigram explosion (array lambda, zero Python), ONE
+    map-side-combined groupBy to bigram counts (the only corpus-sized
+    shuffle and the only corpus scan — plan-asserted), then both
+    continuation counts are windows OVER the already-aggregated
+    vocabulary-sized table, so they cost two keyed exchanges of
+    |bigram-types| rows, not a re-scan.  Counts are exact integers; ranks
+    total-ordered by (c, w1, w2)."""
+    d = T(spark, sf_dir, "documents")
+    bg = (
+        d.select(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+                 .alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> named_struct('w1', element_at(t, i),"
+            "                   'w2', element_at(t, i + 1)))")).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    c = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    k = c.select(
+        "w1", "w2", "c",
+        F.count("*").over(Window.partitionBy("w2")).cast("long")
+        .alias("n_left_contexts"),
+        F.count("*").over(Window.partitionBy("w1")).cast("long")
+        .alias("n_right_types"),
+    )
+    win = Window.orderBy(F.desc("c"), "w1", "w2")
+    return (
+        k.select("w1", "w2", "c", "n_left_contexts", "n_right_types",
+                 F.row_number().over(win).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 200)
+    )
+
+
+# ============ Unigram-LM surprisal gate (perplexity-style filter) ==========
+
+
+@q(
+    "unigram_surprisal_gate",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents),
+    cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    bits AS (
+      SELECT tok.doc_id,
+             CAST(length(bin(tot.n // cnt.c)) - 1 AS BIGINT) AS tok_bits
+      FROM tok JOIN cnt USING (w) CROSS JOIN tot),
+    d AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(tok_bits) AS BIGINT) AS total_bits
+      FROM bits GROUP BY doc_id)
+    SELECT doc_id, n_tokens, total_bits,
+           CAST(total_bits * 1000 // n_tokens AS BIGINT) AS milli_bits_per_tok,
+           CAST(CASE WHEN total_bits * 1000 // n_tokens BETWEEN 3500 AND 4099
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM d
+    """,
+)
+def unigram_surprisal_gate(spark, sf_dir):
+    """Perplexity-style quality gate from a corpus-trained unigram LM —
+    the CCNet/KenLM filter pattern, made integer-exact: each token's
+    surprisal is ``floor(log2(N / c(w)))`` computed as
+    ``length(bin(N DIV c)) - 1`` (binary digit count — identical strings
+    on both engines, so no libm/ULP risk), summed per document and
+    normalized to milli-bits-per-token; documents outside the [3.5, 4.1]
+    bits/token band are dropped (too repetitive or too random — the same
+    two-sided cut CCNet applies with perplexity buckets).  Shape: the LM
+    "training" is one map-side-combined token count (vocabulary-sized
+    result), broadcast back onto the token stream (AQE broadcasts both the
+    count table and the 1-row total), then a doc-keyed partial agg — at
+    100 TB the only big shuffle is the final per-doc rollup."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    bits = (
+        tok.join(cnt, "w")
+        .crossJoin(tot)
+        .select("doc_id",
+                (F.length(F.bin(F.expr("n DIV c"))) - 1)
+                .cast("long").alias("tok_bits"))
+    )
+    dd = bits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("tok_bits").cast("long").alias("total_bits"),
+    )
+    mbpt = F.expr("total_bits * 1000 DIV n_tokens")
+    return dd.select(
+        "doc_id", "n_tokens", "total_bits",
+        mbpt.cast("long").alias("milli_bits_per_tok"),
+        mbpt.between(3500, 4099).cast("long").alias("keep"),
+    )
+
+
+# ============ Blocklist-density gate (toxicity-wordlist analog) ============
+
+
+@q(
+    "toxicity_wordlist_gate",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(t, x -> x IN ('slow', 'dup', 'small')))
+                  AS BIGINT) AS n_blocked
+      FROM t WHERE len(t) >= 1)
+    SELECT doc_id, n_tokens, n_blocked,
+           CAST(n_blocked * 1000 // n_tokens AS BIGINT) AS blocked_permille,
+           CAST(CASE WHEN n_blocked * 1000 // n_tokens < 90 THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM s
+    """,
+)
+def toxicity_wordlist_gate(spark, sf_dir):
+    """Blocklist-density document gate — the LDNOOBW-style toxicity filter
+    every public pretraining pipeline (C4, Gopher, FineWeb) applies: count
+    tokens that hit a curated wordlist, compute the per-document density,
+    and drop documents over threshold (90‰ here; the stand-in list
+    {slow, dup, small} plays the banned vocabulary over the synthetic
+    corpus).  Entirely row-local — tokenize, ``filter()`` the array
+    against the list, two lengths — so the plan has ZERO shuffles and
+    ZERO Python: at 100 TB this gate runs at parquet-scan speed inside
+    one codegen stage, which is exactly why wordlist gates run FIRST in
+    real pipelines (cheapest filter, biggest fan-in reduction before the
+    expensive dedup/LM stages)."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("t"),
+    ).filter(F.size("t") >= 1)
+    s = t.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr("size(filter(t, x -> x IN ('slow', 'dup', 'small')))")
+        .cast("long").alias("n_blocked"),
+    )
+    permille = F.expr("n_blocked * 1000 DIV n_tokens")
+    return s.select(
+        "doc_id", "n_tokens", "n_blocked",
+        permille.cast("long").alias("blocked_permille"),
+        (permille < 90).cast("long").alias("keep"),
+    )
+
+
+# ============ Cache-Control header parsing → refetch policy ================
+
+
+@q(
+    "cache_control_parse",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'public, max-age=' || (60 + doc_id % 540)::VARCHAR
+               WHEN 1 THEN 'no-store'
+               WHEN 2 THEN 'no-cache, private'
+               WHEN 3 THEN 'max-age=' || (doc_id % 300)::VARCHAR
+                           || ', s-maxage=' || (doc_id % 900 + 30)::VARCHAR
+               WHEN 4 THEN ''
+               ELSE 'private, max-age=0, must-revalidate'
+             END AS cc
+      FROM documents),
+    p AS (
+      SELECT doc_id, cc,
+             CAST(CASE WHEN cc LIKE '%no-store%' THEN 1 ELSE 0 END AS BIGINT)
+               AS no_store,
+             CAST(CASE WHEN cc LIKE '%no-store%' OR cc LIKE '%private%'
+                       THEN 0 ELSE 1 END AS BIGINT) AS cacheable,
+             CAST(CASE
+               WHEN cc LIKE '%no-store%' THEN 0
+               WHEN cc LIKE '%s-maxage=%'
+                 THEN CAST(regexp_extract(cc, 's-maxage=([0-9]+)', 1) AS BIGINT)
+               WHEN cc LIKE '%no-cache%' THEN 0
+               WHEN cc LIKE '%max-age=%'
+                 THEN CAST(regexp_extract(cc, 'max-age=([0-9]+)', 1) AS BIGINT)
+               ELSE 86400
+             END AS BIGINT) AS ttl_s
+      FROM h)
+    SELECT doc_id, cc, no_store, cacheable, ttl_s,
+           CAST(ttl_s // 3600 AS BIGINT) AS refetch_bucket
+    FROM p
+    """,
+)
+def cache_control_parse(spark, sf_dir):
+    """HTTP ``Cache-Control`` parsing into a refetch policy — what a
+    polite recrawler reads BEFORE falling back to heuristics: ``no-store``
+    forbids caching entirely, ``s-maxage`` (shared-cache TTL, which a
+    crawler is) overrides ``max-age``, ``no-cache`` forces revalidation
+    (TTL 0, conditional GET on every visit), ``private`` responses are
+    excluded from the shared fetch cache, and an absent header falls back
+    to the engine's default TTL (86400 s — the same default
+    ``CrawlConfig.cache_max_age`` uses).  The refetch bucket (TTL DIV
+    3600) is the scheduling histogram key.  Pure row-local string ops
+    (LIKE + one anchored regexp_extract), zero shuffle, zero Python —
+    header parsing at 100 TB must run inside the scan's codegen stage,
+    and this does."""
+    d = T(spark, sf_dir, "documents")
+    cc = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("public, max-age="),
+                        (F.lit(60) + F.col("doc_id") % 540).cast("string")))
+        .when(F.col("doc_id") % 6 == 1, F.lit("no-store"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("no-cache, private"))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("max-age="),
+                       (F.col("doc_id") % 300).cast("string"),
+                       F.lit(", s-maxage="),
+                       (F.col("doc_id") % 900 + 30).cast("string")))
+        .when(F.col("doc_id") % 6 == 4, F.lit(""))
+        .otherwise(F.lit("private, max-age=0, must-revalidate"))
+    )
+    h = d.select("doc_id", cc.alias("cc"))
+    no_store = F.col("cc").contains("no-store")
+    ttl = (
+        F.when(no_store, F.lit(0))
+        .when(F.col("cc").contains("s-maxage="),
+              F.regexp_extract("cc", "s-maxage=([0-9]+)", 1).cast("long"))
+        .when(F.col("cc").contains("no-cache"), F.lit(0))
+        .when(F.col("cc").contains("max-age="),
+              F.regexp_extract("cc", "max-age=([0-9]+)", 1).cast("long"))
+        .otherwise(F.lit(86400))
+    )
+    return h.select(
+        "doc_id", "cc",
+        no_store.cast("long").alias("no_store"),
+        (~(no_store | F.col("cc").contains("private"))).cast("long")
+        .alias("cacheable"),
+        ttl.cast("long").alias("ttl_s"),
+    ).withColumn("refetch_bucket", F.expr("ttl_s DIV 3600").cast("long"))
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -8706,6 +9030,14 @@ _DEMOTED = [
     "bm25_rank",
     "interleaved_seq_pack",
     "aligned_lang_pairs",
+    # NEW in the round-5 fourth continuation (tokenizer/LM training stats +
+    # header-policy parsing), parked OUTSIDE the window like the tail
+    # above; PROMOTE in round 6 (oracle-green via check_oracles this round)
+    "bpe_pair_counts",
+    "ngram_lm_counts",
+    "unigram_surprisal_gate",
+    "toxicity_wordlist_gate",
+    "cache_control_parse",
 ]
 
 

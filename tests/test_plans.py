@@ -468,3 +468,47 @@ def test_aligned_pairs_cluster_keyed_join(spark, qs):
     assert "CartesianProduct" not in p
     assert "rangepartitioning" not in p
     assert "hashpartitioning" in p
+
+
+def test_wordlist_gate_is_rowlocal_scan(spark, qs):
+    """The blocklist gate must fuse into the scan: tokenize + array filter
+    + two sizes are row-local, so the plan has no exchange at all."""
+    p = _plan(spark, qs["toxicity_wordlist_gate"](spark, SF))
+    assert "hashpartitioning" not in p
+    assert "SinglePartition" not in p
+    assert "Exchange" not in p
+
+
+def test_cache_control_parse_is_rowlocal_scan(spark, qs):
+    """Header parsing is LIKE + one anchored regexp per row — zero
+    exchanges, and only the two source columns are read."""
+    p = _plan(spark, qs["cache_control_parse"](spark, SF))
+    assert "Exchange" not in p
+    rs = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    assert "doc_id" in rs and "text" not in rs
+
+
+def test_bpe_pair_counts_partial_agg_before_topk(spark, qs):
+    """Pair explosion aggregates with a map-side combine BEFORE the
+    exchange; the only single-partition step is the vocabulary-sized
+    final rank (~hundreds of rows)."""
+    p = _plan(spark, qs["bpe_pair_counts"](spark, SF))
+    assert "partial_count" in p
+    assert p.count("hashpartitioning") >= 1
+
+
+def test_ngram_counts_derive_continuations_from_aggregate(spark, qs):
+    """Continuation tables must join the ALREADY-AGGREGATED bigram table,
+    not re-scan the corpus: exactly one scan of documents feeds the plan."""
+    p = _plan(spark, qs["ngram_lm_counts"](spark, SF))
+    assert p.count("documents.parquet") <= 2  # tree + detail sections
+    assert "partial_count" in p
+
+
+def test_surprisal_gate_broadcasts_lm_tables(spark, qs):
+    """The unigram count table and the 1-row total must broadcast back
+    onto the token stream — the corpus-sized side never shuffles for the
+    join."""
+    p = _plan(spark, qs["unigram_surprisal_gate"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" not in p
