@@ -78,6 +78,19 @@ class CrawlConfig:
     fetch_cache_adaptive: bool = False
     adaptive_base_snaps: int = 2
     adaptive_max_doublings: int = 5
+    # conditional revalidation of STALE cache entries (the HTTP 304 /
+    # RFC 7232 If-None-Match analog, over the fetched log's decoded-body
+    # hash): a scheduled article whose cache entry has expired is still
+    # fetched — a conditional GET spends a politeness slot like any
+    # request — but when the fresh body hash equals the LATEST logged
+    # hash the row retires with a terminal 'revalidated' record instead
+    # of re-entering the parse stage (no doc/link rows — same downstream
+    # contract as 'cached'), and its fetch-log append renews the entry's
+    # snap_id so the freshness window (fixed or adaptive) restarts.
+    # Requires use_fetch_cache; inert on a first crawl (empty log), when
+    # every entry is fresh (served from cache before scheduling), or
+    # when the response redirected (a real 304 cannot redirect).
+    revalidate_stale: bool = False
     # Bloom capacity auto-guard (partitioned layout): when the worst
     # bucket's theoretical FPR exceeds 10x the design target, the next
     # compaction rebuilds the store at DOUBLE the bucket count from the
@@ -265,7 +278,10 @@ def _invariant_cols(spark: SparkSession) -> dict:
         ),
         "metrics_aggs": [
             F.count("*").alias("n_scheduled"),
-            F.sum((F.col("outcome") == "done").cast("long")).alias("n_ok"),
+            # 'revalidated' (cfg.revalidate_stale: 304-analog conditional
+            # refetch) is a healthy response — it must count as ok for the
+            # circuit breaker and autothrottle, exactly like 'done'
+            F.sum(F.col("outcome").isin("done", "revalidated").cast("long")).alias("n_ok"),
             F.sum((F.col("outcome") == "retry").cast("long")).alias("n_retry"),
             F.sum((F.col("outcome") == "failed").cast("long")).alias("n_failed"),
             F.sum((F.col("outcome") == "skipped").cast("long")).alias("n_skipped"),
@@ -286,7 +302,11 @@ def _invariant_cols(spark: SparkSession) -> dict:
         "rec_link": F.col("rec") == "link",
         "rec_doc": F.col("rec") == "doc",
         "is_retry": F.col("outcome") == "retry",
-        "is_done": F.col("outcome") == "done",
+        # fetch-log gate: 'revalidated' rows were genuinely fetched and
+        # hashed — logging them is the cache RENEWAL (new snap_id, same
+        # hash), which restarts the staleness window and extends the
+        # adaptive unchanged-streak
+        "is_done": F.col("outcome").isin("done", "revalidated"),
         "fetch_log_pre": [
             F.col("url"), F.xxhash64("url").alias("url_hash"), F.col("status"),
             F.col("content_encoding"), F.col("body_hash"),
@@ -658,8 +678,10 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # instead of refetched.  Listings are always refetched (they are the
     # link-discovery surface; a refresh crawl must see new articles).
     cached_progress = None
+    fetched_all = None  # full (unwindowed) log, kept for revalidate_stale
     if cfg.use_fetch_cache:
         fetched_tbl = catalog.read("fetched", manifest)
+        fetched_all = fetched_tbl
         if cfg.fetch_cache_adaptive:
             # per-URL adaptive freshness: serve while the change-history
             # interval has not elapsed (operators/freshness.py).  The
@@ -721,6 +743,29 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     is_compact = bool(cfg.compact_every) and batch_id % cfg.compact_every == 0
     deferred = sched_hint is not None and sched_hint > 0 and not is_compact
     scheduled = scheduled.persist()
+    # conditional-revalidation lookup (cfg.revalidate_stale): the latest
+    # logged body hash for each STALE scheduled article (anything fresh
+    # was already served as 'cached' above, so what remains of the
+    # article rows ∩ the log is exactly the expired set).  Batch-bounded
+    # via the same broadcast-scan inversion as the urlseen/doc checks —
+    # the log is scanned once against the broadcast batch, never
+    # shuffled — and persisted because three commit-plan consumers
+    # (progress outcome, parse suppression, fetch log) read it.
+    revalid_hashes = None
+    if cfg.revalidate_stale and fetched_all is not None:
+        stale_arts = scheduled.filter(
+            F.col("page_kind") == "article"
+        ).select("url")
+        revalid_hashes = (
+            fetched_all.join(F.broadcast(stale_arts), on="url", how="left_semi")
+            .groupBy("url")
+            .agg(F.max(F.struct(
+                F.coalesce(F.col("snap_id"), F.lit(0)).alias("snap_id"),
+                F.col("body_hash"),
+            )).alias("m"))
+            .select("url", F.col("m.body_hash").alias("cached_hash"))
+            .persist()
+        )
     _t = _time.time()
     # retire robots-disallowed rows (and cache hits) with a terminal
     # progress record so they leave the pending set instead of being
@@ -776,7 +821,9 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         if loop_stats is not None:
             loop_stats["n_sched"] = n_sched
         if n_sched == 0:
-            return _zero_batch()
+            return _zero_batch(
+                extra_unpersist=(revalid_hashes,) if revalid_hashes is not None else ()
+            )
     else:
         n_sched = sched_hint  # sizing estimate; true count observed at commit
 
@@ -805,6 +852,33 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     bid = F.lit(batch_id)
     fetched_o = pipe.filter(cols["rec_fetch"]).select("*", cols["outcome_aliased"])
     parsed = pipe.filter(cols["rec_not_fetch"])
+    if revalid_hashes is not None:
+        # 304 semantics: an un-redirected 200 article whose fresh body
+        # hash equals the latest logged hash retires as 'revalidated' —
+        # and, like 'cached', contributes no parse rows (its doc is
+        # already in the documents table; a real 304 carries no body).
+        # Changed pages keep outcome 'done' and parse normally.
+        is_reval = (
+            (F.col("outcome") == "done")
+            & (F.col("page_kind") == "article")
+            & (F.coalesce(F.col("final_url"), F.col("url")) == F.col("url"))
+            & F.col("body_hash").isNotNull()
+            & (F.col("body_hash") == F.col("cached_hash"))
+        )
+        fetched_o = (
+            fetched_o.join(F.broadcast(revalid_hashes), on="url", how="left")
+            .withColumn(
+                "outcome",
+                F.when(is_reval, F.lit("revalidated")).otherwise(F.col("outcome")),
+            )
+            .drop("cached_hash")
+        )
+        # parse rows are keyed by the parsed url, which for the
+        # un-redirected candidates above IS the fetch url
+        reval_urls = fetched_o.filter(
+            F.col("outcome") == "revalidated"
+        ).select("url")
+        parsed = parsed.join(F.broadcast(reval_urls), on="url", how="left_anti")
 
     # ---- links path (the only plans the STATE job consumes) ----
     links = parsed.filter(cols["rec_link"]).select(*cols["links_sel"])
@@ -1103,6 +1177,8 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
               + ", ".join(f"{k}={v:.2f}s" for k, v in prof.items()))
     for df in (scheduled, pipe, new_frontier, blocked_progress):
         df.unpersist()
+    if revalid_hashes is not None:
+        revalid_hashes.unpersist()
     if trip_hosts is not None:
         trip_hosts.unpersist()
     if bloom is not None:
@@ -1224,6 +1300,7 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False,
         F.count("*").alias("n"),
         F.sum((F.col("outcome") == "done").cast("long")).alias("n_done"),
         F.sum((F.col("outcome") == "cached").cast("long")).alias("n_cached"),
+        F.sum((F.col("outcome") == "revalidated").cast("long")).alias("n_reval"),
     ).collect()[0]
     return {
         "batches": manifest["batch_id"],
@@ -1232,5 +1309,6 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig, resume: bool = False,
         "n_progress": int(prog_row["n"]),
         "n_frontier": frontier.count(),
         "refetch_skipped": int(prog_row["n_cached"] or 0),
+        "revalidated": int(prog_row["n_reval"] or 0),
         "manifest": manifest,
     }

@@ -66,6 +66,17 @@ class WebSpec:
     # cfg.use_feeds has a real discovery surface; default off — the
     # baseline web (and every pinned equality test) is feed-free
     feeds: bool = False
+    # content epoch: 0 (default) serves every page's ORIGINAL body —
+    # byte-identical to the pre-epoch web, so every pinned equality test
+    # is untouched.  epoch N>0 appends a deterministic "Update N" trailing
+    # paragraph to the ~1/3 of articles selected by a stable per-article
+    # hash; the paragraph's text varies per epoch, so a recrawl at a new
+    # epoch sees that subset CHANGED (new body hash) and the rest
+    # byte-unchanged.  This is the changed/unchanged substrate that
+    # cfg.revalidate_stale (conditional-GET analog) and the adaptive
+    # freshness policy need; listings/feeds/sitemaps are never mutated
+    # (they are the discovery surface and refetch every epoch anyway).
+    epoch: int = 0
 
     @cached_property
     def hosts(self) -> dict[str, dict]:
@@ -465,6 +476,13 @@ def article_html(spec: WebSpec, host: str, aid: int) -> str:
                 paras.append(f"<p>{phrase[:cut].capitalize()}</p><p>{phrase[cut+1:]} now</p>")
             else:
                 paras.append(f"<p>{phrase.capitalize()} today.</p>")
+    if spec.epoch > 0 and _h("epoch-mut", host, aid) % 3 == 0:
+        # epoch-mutated subset (see WebSpec.epoch): a trailing update
+        # paragraph whose text is a fresh deterministic sentence per
+        # (article, epoch) — successive epochs keep changing these
+        # articles while the other two thirds stay byte-identical
+        erng = _rng("epoch-text", host, aid, spec.epoch)
+        paras.append(f"<p>Update {spec.epoch}: {_sentence(erng, 10)}</p>")
     body = "".join(paras)
     # per-host container + header variants: each host's pages rotate
     # through its rule row's selector-fallback branches (reference: the

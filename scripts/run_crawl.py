@@ -75,6 +75,12 @@ def main():
     ap.add_argument("--use-canonical-link", action="store_true",
                     help="key documents by <link rel=canonical> instead of "
                          "the fetch URL (URL aliases collapse)")
+    ap.add_argument("--revalidate-stale", action="store_true",
+                    help="conditional revalidation (HTTP 304 analog): a "
+                         "stale cached article whose refetched body hash "
+                         "is unchanged retires 'revalidated' and renews "
+                         "its cache entry instead of re-entering parse "
+                         "(requires --recrawl + --cache-max-age)")
     ap.add_argument("--autothrottle", action="store_true",
                     help="latency-adaptive per-host budgets (AutoThrottle "
                          "analog): cautious first contact, then budget = "
@@ -113,6 +119,7 @@ def main():
         bloom_partitioned=True if args.bloom_partitioned else None,
         use_fetch_cache=args.recrawl,
         fetch_cache_max_age_snaps=args.cache_max_age,
+        revalidate_stale=args.revalidate_stale,
         bloom_target_fpr=args.bloom_target_fpr,
         bloom_autosplit=not args.no_bloom_autosplit,
         search_entire_site=not args.targeted,

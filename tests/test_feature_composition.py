@@ -25,6 +25,11 @@ def test_all_optin_features_compose(spark, tmp_path):
         budget_override=BUDGET, compact_every=4,
         use_sitemaps=True, use_feeds=True, strip_tracking=True,
         obey_meta_robots=True, use_canonical_link=True,
+        # cache + revalidation are recrawl-mode features; on a FIRST
+        # crawl each url is scheduled once, so both must be inert —
+        # composing them here proves exactly that (oracle equality below)
+        use_fetch_cache=True, fetch_cache_max_age_snaps=2,
+        revalidate_stale=True,
     ))
     ora = crawl_oracle(spec, max_batches=MAX_BATCHES,
                        budget_override=BUDGET,
