@@ -255,6 +255,13 @@ def _invariant_cols(spark: SparkSession) -> dict:
             F.lit("retry"),
         )
         .when((F.col("status") == 200) & F.col("decode_error"), F.lit("failed"))
+        # in-worker 304 verdict (cfg.revalidate_stale): a clean 200 whose
+        # body hash matched the logged cache entry — terminal, unparsed
+        .when(
+            (F.col("status") == 200)
+            & F.coalesce(F.col("revalidated"), F.lit(False)),
+            F.lit("revalidated"),
+        )
         .when(F.col("status") == 200, F.lit("done"))
         .when(F.col("status").isin(rules.SKIP_STATUSES), F.lit("skipped"))
         .when(
@@ -749,8 +756,10 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # article rows ∩ the log is exactly the expired set).  Batch-bounded
     # via the same broadcast-scan inversion as the urlseen/doc checks —
     # the log is scanned once against the broadcast batch, never
-    # shuffled — and persisted because three commit-plan consumers
-    # (progress outcome, parse suppression, fetch log) read it.
+    # shuffled.  The hashes ride INTO the fused fetch/parse stage as an
+    # optional cached_hash column, where the worker compares them to the
+    # fresh body hash BEFORE parsing — an unchanged page skips the parse
+    # itself, which is the work a real 304 saves.
     revalid_hashes = None
     if cfg.revalidate_stale and fetched_all is not None:
         stale_arts = scheduled.filter(
@@ -764,7 +773,6 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
                 F.col("body_hash"),
             )).alias("m"))
             .select("url", F.col("m.body_hash").alias("cached_hash"))
-            .persist()
         )
     _t = _time.time()
     # retire robots-disallowed rows (and cache hits) with a terminal
@@ -821,17 +829,22 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         if loop_stats is not None:
             loop_stats["n_sched"] = n_sched
         if n_sched == 0:
-            return _zero_batch(
-                extra_unpersist=(revalid_hashes,) if revalid_hashes is not None else ()
-            )
+            return _zero_batch()
     else:
         n_sched = sched_hint  # sizing estimate; true count observed at commit
 
     # fused fetch→parse→clean: one Python stage, bodies never cross Arrow;
     # partition count sized to the batch (~100 pages/partition) so small
     # politeness batches don't pay a full worker-pool spin-up
+    sched_in = scheduled
+    if revalid_hashes is not None:
+        # optional cached_hash column for the in-worker 304 check; left
+        # join so non-candidates carry null and behave exactly as before
+        sched_in = scheduled.join(
+            F.broadcast(revalid_hashes), on="url", how="left"
+        )
     pipe = fetch_parse_stage(
-        scheduled, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100),
+        sched_in, cfg.spec, num_partitions=max(1, (n_sched + 99) // 100),
         entire_site=cfg.search_entire_site, strip_tracking=cfg.strip_tracking,
         obey_meta_robots=cfg.obey_meta_robots,
         use_canonical_link=cfg.use_canonical_link,
@@ -852,33 +865,6 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     bid = F.lit(batch_id)
     fetched_o = pipe.filter(cols["rec_fetch"]).select("*", cols["outcome_aliased"])
     parsed = pipe.filter(cols["rec_not_fetch"])
-    if revalid_hashes is not None:
-        # 304 semantics: an un-redirected 200 article whose fresh body
-        # hash equals the latest logged hash retires as 'revalidated' —
-        # and, like 'cached', contributes no parse rows (its doc is
-        # already in the documents table; a real 304 carries no body).
-        # Changed pages keep outcome 'done' and parse normally.
-        is_reval = (
-            (F.col("outcome") == "done")
-            & (F.col("page_kind") == "article")
-            & (F.coalesce(F.col("final_url"), F.col("url")) == F.col("url"))
-            & F.col("body_hash").isNotNull()
-            & (F.col("body_hash") == F.col("cached_hash"))
-        )
-        fetched_o = (
-            fetched_o.join(F.broadcast(revalid_hashes), on="url", how="left")
-            .withColumn(
-                "outcome",
-                F.when(is_reval, F.lit("revalidated")).otherwise(F.col("outcome")),
-            )
-            .drop("cached_hash")
-        )
-        # parse rows are keyed by the parsed url, which for the
-        # un-redirected candidates above IS the fetch url
-        reval_urls = fetched_o.filter(
-            F.col("outcome") == "revalidated"
-        ).select("url")
-        parsed = parsed.join(F.broadcast(reval_urls), on="url", how="left_anti")
 
     # ---- links path (the only plans the STATE job consumes) ----
     links = parsed.filter(cols["rec_link"]).select(*cols["links_sel"])
@@ -1177,8 +1163,6 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
               + ", ".join(f"{k}={v:.2f}s" for k, v in prof.items()))
     for df in (scheduled, pipe, new_frontier, blocked_progress):
         df.unpersist()
-    if revalid_hashes is not None:
-        revalid_hashes.unpersist()
     if trip_hosts is not None:
         trip_hosts.unpersist()
     if bloom is not None:

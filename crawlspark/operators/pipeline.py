@@ -48,6 +48,12 @@ PIPE = T.StructType(
         T.StructField("date_raw", T.StringType(), True),
         T.StructField("published_date", T.DateType(), True),
         T.StructField("spans", T.ArrayType(schemas.SPAN), True),
+        # conditional-revalidation verdict (cfg.revalidate_stale): set on
+        # 'fetch' records when the input row carried a cached_hash column
+        # and the fresh decoded-body hash matched it (an un-redirected
+        # 200) — the worker then skips the parse entirely, so the saved
+        # work is the parse itself, not just its downstream rows
+        T.StructField("revalidated", T.BooleanType(), True),
     ]
 )
 
@@ -86,6 +92,14 @@ def fetch_parse_stage(
                 status, final_url, raw, enc, elapsed = fetcher(r.url, r.retry_count)
                 body, decode_error = decode_body_py(raw, enc)
                 meta = r.meta if isinstance(r.meta, dict) else None
+                bh = body_hash_py(body) if status == 200 and not decode_error else None
+                # conditional revalidation (HTTP 304 analog): the caller
+                # left-joined the latest logged hash onto stale articles
+                # as an OPTIONAL cached_hash column — an un-redirected
+                # clean 200 with an unchanged hash skips the parse below
+                ch = getattr(r, "cached_hash", None)
+                reval = (isinstance(ch, str) and bh is not None
+                         and (final_url or r.url) == r.url and bh == ch)
                 base = {
                     "url": r.url, "final_url": final_url, "host": r.host,
                     "depth": int(r.depth), "page_kind": r.page_kind,
@@ -96,14 +110,16 @@ def fetch_parse_stage(
                     "link": None, "link_kind": None,
                     "meta": None, "title": None, "date_raw": None,
                     "published_date": None, "spans": None,
+                    "revalidated": None,
                 }
                 rows.append({
                     **base, "rec": "fetch", "meta": meta,
                     "content_encoding": enc,
-                    "body_hash": body_hash_py(body) if status == 200 and not decode_error else None,
+                    "body_hash": bh,
                     "decode_error": bool(decode_error),
+                    "revalidated": reval,
                 })
-                if status != 200 or decode_error:
+                if status != 200 or decode_error or reval:
                     continue
                 for p in _parse_row(final_url or r.url, r.host, int(r.depth),
                                     r.page_kind, status, body, meta,
