@@ -8807,6 +8807,116 @@ def cache_control_parse(spark, sf_dir):
     ).withColumn("refetch_bucket", F.expr("ttl_s DIV 3600").cast("long"))
 
 
+# ============ Epoch-salted deterministic training shuffle ==================
+
+
+@q(
+    "training_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':ep7'), 1, 12))::BIGINT
+               AS hv
+      FROM documents)
+    SELECT doc_id, hv,
+           CAST(hv % 16 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16
+                                   ORDER BY hv, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM h
+    """,
+)
+def training_shuffle(spark, sf_dir):
+    """Epoch-salted deterministic global shuffle for training delivery —
+    the permutation a data loader needs per epoch, WITHOUT ``rand()``
+    (irreproducible across retries/cluster sizes) and WITHOUT a global
+    sort (a rangepartitioning of the full corpus): hash each doc_id with
+    the epoch salt, shard on ``hash % n_shards`` (ONE keyed exchange),
+    and order within shards only.  Readers consume shards in id order →
+    a reproducible epoch permutation whose plan is a hash exchange plus
+    per-partition sorts; a different salt re-deals everything.  This is
+    how 100 TB epochs are shuffled in practice (shard-then-sort, e.g.
+    WebDataset-style delivery), and the whole thing is engine-agnostic
+    integer md5 arithmetic — the same idiom as `sample_weighted`."""
+    d = T(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":ep7"))), 1, 12), 16, 10
+    ).cast("long")
+    h = d.select("doc_id", hv.alias("hv"))
+    win = Window.partitionBy(F.col("hv") % 16).orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id", "hv",
+        (F.col("hv") % 16).cast("long").alias("shard"),
+        F.row_number().over(win).cast("long").alias("pos_in_shard"),
+    )
+
+
+# ============ Curriculum ordering without a global sort =====================
+
+
+@q(
+    "curriculum_order",
+    """
+    WITH b AS (
+      SELECT doc_id, CAST(least(n_chars // 500, 9) AS BIGINT) AS bucket,
+             md5(doc_id::VARCHAR) AS hk
+      FROM documents),
+    p AS (
+      SELECT doc_id, bucket,
+             CAST(row_number() OVER (PARTITION BY bucket
+                                     ORDER BY hk, doc_id) AS BIGINT)
+               AS pos_in_bucket
+      FROM b),
+    sizes AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bucket),
+    off AS (
+      SELECT bucket,
+             CAST(coalesce(sum(c) OVER (ORDER BY bucket
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT)
+               AS bucket_offset
+      FROM sizes)
+    SELECT p.doc_id, p.bucket, p.pos_in_bucket,
+           CAST(off.bucket_offset + p.pos_in_bucket AS BIGINT) AS global_pos
+    FROM p JOIN off USING (bucket)
+    """,
+)
+def curriculum_order(spark, sf_dir):
+    """Curriculum-learning delivery order (easy → hard by length bucket)
+    with a TOTAL global position but NO global sort: a naive
+    ``ORDER BY bucket, hash`` rangepartitions the whole corpus; instead,
+    rank within each bucket (one keyed exchange), compute each bucket's
+    cumulative offset over the 10-row size table (the only
+    single-partition window — constant-sized regardless of corpus), and
+    broadcast the offsets back: ``global_pos = offset + pos_in_bucket``
+    is a dense total order.  The same offset trick serializes ANY
+    grouped ordering at 100 TB; ordering inside buckets by md5 keeps the
+    within-difficulty order reproducible and unbiased."""
+    d = T(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.least(F.expr("n_chars DIV 500"), F.lit(9)).cast("long").alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    pwin = Window.partitionBy("bucket").orderBy("hk", "doc_id")
+    p = b.select(
+        "doc_id", "bucket",
+        F.row_number().over(pwin).cast("long").alias("pos_in_bucket"),
+    )
+    sizes = b.groupBy("bucket").agg(F.count("*").cast("long").alias("c"))
+    owin = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    off = sizes.select(
+        "bucket",
+        F.coalesce(F.sum("c").over(owin), F.lit(0)).cast("long")
+        .alias("bucket_offset"),
+    )
+    return p.join(F.broadcast(off), on="bucket").select(
+        "doc_id", "bucket", "pos_in_bucket",
+        (F.col("bucket_offset") + F.col("pos_in_bucket")).cast("long")
+        .alias("global_pos"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -9038,6 +9148,10 @@ _DEMOTED = [
     "unigram_surprisal_gate",
     "toxicity_wordlist_gate",
     "cache_control_parse",
+    # NEW in the round-5 fifth continuation (training-delivery ordering),
+    # same parking rule; PROMOTE in round 6
+    "training_shuffle",
+    "curriculum_order",
 ]
 
 

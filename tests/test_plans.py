@@ -505,6 +505,25 @@ def test_ngram_counts_derive_continuations_from_aggregate(spark, qs):
     assert "partial_count" in p
 
 
+def test_training_shuffle_no_global_sort(spark, qs):
+    """The epoch permutation must be shard-then-sort: one hash exchange
+    on the shard key, per-partition sorts, and NEVER a rangepartitioning
+    (global sort) or single-partition window over the corpus."""
+    p = _plan(spark, qs["training_shuffle"](spark, SF))
+    assert "rangepartitioning" not in p
+    assert "SinglePartition" not in p
+    assert "hashpartitioning" in p
+
+
+def test_curriculum_order_offsets_not_global_sort(spark, qs):
+    """Global curriculum positions must come from per-bucket ranks plus
+    broadcast bucket offsets — no rangepartitioning of the corpus, and
+    the offsets join back as a broadcast."""
+    p = _plan(spark, qs["curriculum_order"](spark, SF))
+    assert "rangepartitioning" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_surprisal_gate_broadcasts_lm_tables(spark, qs):
     """The unigram count table and the 1-row total must broadcast back
     onto the token stream — the corpus-sized side never shuffles for the
