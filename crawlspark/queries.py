@@ -8917,6 +8917,188 @@ def curriculum_order(spark, sf_dir):
     )
 
 
+# ============ OPIC cash distribution (online frontier priority) ============
+
+
+@q(
+    "opic_cash_step",
+    """
+    WITH e AS (
+      SELECT 'h' || (l_orderkey % 50) AS src, 'h' || (l_partkey % 50) AS dst,
+             l_orderkey % 50 AS srcn
+      FROM lineitem WHERE l_orderkey % 50 != l_partkey % 50),
+    v AS (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
+    w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          FROM e WHERE srcn < 40 GROUP BY src, dst),
+    deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM w GROUP BY src),
+    cin AS (SELECT w.dst AS h,
+                   CAST(sum((1000000000000 * w.w) // deg.outw) AS BIGINT)
+                     AS cash_in
+            FROM w JOIN deg USING (src) GROUP BY w.dst),
+    pot AS (SELECT CAST(count(*) AS BIGINT) * 1000000000000 AS dangling_pot
+            FROM v WHERE h NOT IN (SELECT src FROM deg)),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_hosts FROM v)
+    SELECT v.h AS host,
+           CAST(coalesce(cin.cash_in, 0) AS BIGINT) AS cash_in_scaled,
+           CAST(pot.dangling_pot // n.n_hosts AS BIGINT) AS virtual_share_scaled,
+           CAST(coalesce(cin.cash_in, 0) + pot.dangling_pot // n.n_hosts
+                AS BIGINT) AS new_cash_scaled
+    FROM v LEFT JOIN cin ON cin.h = v.h CROSS JOIN pot CROSS JOIN n
+    """,
+)
+def opic_cash_step(spark, sf_dir):
+    """One OPIC cash-distribution step (Abiteboul/Preda/Cobena, WWW'03) —
+    the ONLINE frontier-priority signal that, unlike PageRank power
+    iteration, updates as the crawl runs: every host holds cash, a
+    crawled host distributes its cash across its outlinks, and a host
+    with no outlinks (dangling) pays its cash to a virtual node that
+    redistributes equally to all hosts.  Fetch priority = accumulated
+    cash, so newly-important pages surface without recomputing a global
+    eigenvector — the natural priority column for the frontier table.
+
+    Batch form over the host graph (same edge derivation as
+    ``host_pagerank``; hosts h40-h49 are structurally dangling — their
+    outgoing edges are excluded, modeling not-yet-parsed hosts).
+    Integer-exact at the 1e12 fixed-point scale: edge shares are
+    ``(G * w) DIV outw`` (all operands non-negative, so Spark's
+    truncating DIV == DuckDB's flooring ``//``), the virtual-node share
+    is ``dangling_pot DIV n_hosts``.
+
+    100 TB shape: page edges collapse to hosts FIRST (map-side combine),
+    the cash flow is one keyed shuffle (edges×deg join on src, sum on
+    dst), and the dangling pot / host count are 1-row aggregates that
+    BROADCAST back onto the vertex set — nothing driver-resident, no
+    global iteration."""
+    li = T(spark, sf_dir, "lineitem")
+    G = 10**12
+    e = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 50).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 50).cast("string"))
+        .alias("dst"),
+        (F.col("l_orderkey") % 50).alias("srcn"),
+    ).filter(F.col("l_orderkey") % 50 != F.col("l_partkey") % 50)
+    v = (
+        e.select(F.col("src").alias("h"))
+        .union(e.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    w = (
+        e.filter(F.col("srcn") < 40)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    deg = w.groupBy("src").agg(F.sum("w").alias("outw"))
+    cin = (
+        w.join(deg, "src")
+        .select(F.col("dst").alias("h"),
+                F.expr(f"({G} * w) DIV outw").alias("share"))
+        .groupBy("h")
+        .agg(F.sum("share").alias("cash_in"))
+    )
+    pot = (
+        v.join(deg.select(F.col("src").alias("h")), "h", "left_anti")
+        .agg((F.count("*") * F.lit(G)).cast("long").alias("dangling_pot"))
+    )
+    n = v.agg(F.count("*").cast("long").alias("n_hosts"))
+    return (
+        v.join(cin, "h", "left")
+        .crossJoin(F.broadcast(pot))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("h").alias("host"),
+            F.coalesce(F.col("cash_in"), F.lit(0)).cast("long")
+            .alias("cash_in_scaled"),
+            F.expr("dangling_pot DIV n_hosts").cast("long")
+            .alias("virtual_share_scaled"),
+            (F.coalesce(F.col("cash_in"), F.lit(0))
+             + F.expr("dangling_pot DIV n_hosts")).cast("long")
+            .alias("new_cash_scaled"),
+        )
+    )
+
+
+# ===== Capture-recapture frontier-size estimate (Chapman estimator) ========
+
+
+@q(
+    "frontier_size_estimate",
+    """
+    WITH u AS (
+      SELECT 'https://www.h' || (o_custkey % 50) || '.example/o/' || o_orderkey
+               AS url
+      FROM orders),
+    f AS (SELECT url,
+            ('0x' || substr(md5(url || ':capA'), 1, 12))::BIGINT % 8 = 0 AS s1,
+            ('0x' || substr(md5(url || ':capB'), 1, 12))::BIGINT % 8 = 0 AS s2
+          FROM u),
+    a AS (SELECT CAST(count(*) FILTER (WHERE s1) AS BIGINT) AS n1,
+                 CAST(count(*) FILTER (WHERE s2) AS BIGINT) AS n2,
+                 CAST(count(*) FILTER (WHERE s1 AND s2) AS BIGINT) AS overlap,
+                 CAST(count(*) AS BIGINT) AS true_n
+          FROM f)
+    SELECT n1, n2, overlap,
+           CAST((n1 + 1) * (n2 + 1) // (overlap + 1) - 1 AS BIGINT)
+             AS est_chapman,
+           true_n,
+           CAST(abs((n1 + 1) * (n2 + 1) // (overlap + 1) - 1 - true_n)
+                * 10000 // true_n AS BIGINT) AS err_bp
+    FROM a
+    """,
+)
+def frontier_size_estimate(spark, sf_dir):
+    """Capture-recapture estimate of the crawlable-URL universe (Chapman's
+    bias-corrected Lincoln-Petersen, the standard mark-recapture
+    estimator): two INDEPENDENT deterministic hash samples of the URL
+    space (salted md5, ~1/8 each) are the two "captures"; the universe
+    estimate is ``(n1+1)(n2+1)/(m+1) - 1`` from their overlap.  This is
+    how a crawler sizes what it hasn't seen — coverage ratio, frontier
+    provisioning (Bloom capacity, shard counts), and stop criteria —
+    without ever materializing the universe.  Chapman over raw
+    Lincoln-Petersen because it is defined even at zero overlap.
+
+    Integer-exact: counts are exact BIGINTs from ONE aggregate pass
+    (three conditional counts + the total share a single scan with
+    map-side partial aggregation), the estimate is integer floor-division
+    (non-negative operands: Spark DIV == DuckDB //), and the reported
+    error is integer basis points vs the known synthetic truth.  At
+    100 TB the plan is unchanged: one scan, partial aggs, a 1-row final
+    — the estimate costs one pass regardless of corpus size."""
+    o = T(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://www.h"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".example/o/"),
+        F.col("o_orderkey").cast("string"),
+    )
+
+    def in_sample(salt):
+        hv = F.conv(
+            F.substring(F.md5(F.concat(url, F.lit(salt))), 1, 12), 16, 10
+        ).cast("long")
+        return hv % 8 == 0
+
+    f = o.select(
+        in_sample(":capA").alias("s1"), in_sample(":capB").alias("s2")
+    )
+    a = f.agg(
+        F.count_if(F.col("s1")).cast("long").alias("n1"),
+        F.count_if(F.col("s2")).cast("long").alias("n2"),
+        F.count_if(F.col("s1") & F.col("s2")).cast("long").alias("overlap"),
+        F.count("*").cast("long").alias("true_n"),
+    )
+    est = F.expr("((n1 + 1) * (n2 + 1)) DIV (overlap + 1) - 1")
+    return a.select(
+        "n1", "n2", "overlap",
+        est.cast("long").alias("est_chapman"),
+        "true_n",
+        F.expr(
+            "abs(((n1 + 1) * (n2 + 1)) DIV (overlap + 1) - 1 - true_n)"
+            " * 10000 DIV true_n"
+        ).cast("long").alias("err_bp"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -9152,6 +9334,11 @@ _DEMOTED = [
     # same parking rule; PROMOTE in round 6
     "training_shuffle",
     "curriculum_order",
+    # NEW in the round-5 sixth continuation (frontier science: online
+    # priority + universe estimation), same parking rule; PROMOTE in
+    # round 6 (oracle-green via check_oracles + plan-asserted this round)
+    "opic_cash_step",
+    "frontier_size_estimate",
 ]
 
 

@@ -531,3 +531,23 @@ def test_surprisal_gate_broadcasts_lm_tables(spark, qs):
     p = _plan(spark, qs["unigram_surprisal_gate"](spark, SF))
     assert p.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" not in p
+
+
+def test_opic_step_broadcasts_scalars(spark, qs):
+    """The dangling pot and host count are 1-row aggregates that must
+    broadcast back onto the vertex set (BroadcastNestedLoopJoin for the
+    1-row cross joins is fine; a CartesianProduct of real tables is not),
+    and the cash flow must aggregate partially before its exchange."""
+    p = _plan(spark, qs["opic_cash_step"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p or "partial_count" in p
+    assert "hashpartitioning" in p
+
+
+def test_frontier_estimate_single_scan(spark, qs):
+    """Capture-recapture is ONE pass: a single scan of orders feeds all
+    three conditional counts (map-side partial aggregation), and the only
+    single-partition step is the 1-row final aggregate."""
+    p = _plan(spark, qs["frontier_size_estimate"](spark, SF))
+    assert p.count("orders.parquet") <= 2  # plan tree + detail section
+    assert "partial_count" in p
