@@ -128,6 +128,27 @@ def extract_links(html: str) -> list[str]:
     return out
 
 
+def extract_links_with_rel(html: str) -> list[tuple[str, str]]:
+    """All a@href with each anchor's ``rel`` tokens (lowercased, sorted,
+    space-joined; '' when absent) — the per-LINK REP channel
+    (rel=nofollow / sponsored / ugc): robots.txt gates a HOST's paths,
+    robots META gates a PAGE's links, this gates ONE anchor.  A frontier
+    that honors it skips nofollow-class links; a link-graph build that
+    honors it excludes them from equity signals (host_pagerank,
+    anchor_text_agg).  Same traversal as ``extract_links`` (onclick
+    anchors carry no rel and are excluded here — rel is an attribute of
+    the <a> grammar, not of script-carried URLs)."""
+    root = parse_html(html)
+    out = []
+    for a in root.find_all("a"):
+        href = a.attrs.get("href")
+        if not href:
+            continue
+        rel = " ".join(sorted((a.attrs.get("rel") or "").lower().split()))
+        out.append((href, rel))
+    return out
+
+
 def extract_targeted_links(html: str, host: str, path: str = "") -> list[str]:
     """Targeted-pagination link extraction (reference
     SEARCH_ENTIRE_WEBSITE=0, :751-829): domains with a

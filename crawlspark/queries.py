@@ -9099,6 +9099,195 @@ def frontier_size_estimate(spark, sf_dir):
     )
 
 
+# ============ Per-anchor rel gate (link-level REP channel) ==================
+
+
+@q(
+    "anchor_rel_gate",
+    """
+    SELECT doc_id, 1 AS pos,
+           'https://www.cna.example/news/' || doc_id || '-n' AS link,
+           '' AS rel, CAST(1 AS BIGINT) AS follow
+    FROM documents
+    UNION ALL SELECT doc_id, 2,
+           'https://ads.example/click/' || doc_id, 'nofollow', 0
+    FROM documents
+    UNION ALL SELECT doc_id, 3,
+           'https://partner.example/sp/' || doc_id, 'noopener sponsored', 0
+    FROM documents
+    UNION ALL SELECT doc_id, 4,
+           'https://forum.example/c/' || doc_id, 'ugc', 0
+    FROM documents
+    UNION ALL SELECT doc_id, 5,
+           'https://www.cna.example/next/' || doc_id, 'noopener', 1
+    FROM documents
+    """,
+)
+def anchor_rel_gate(spark, sf_dir):
+    """Per-anchor rel gate — the link-level REP channel that completes the
+    robots surface: robots.txt gates a HOST's paths, ``<meta robots>``
+    gates a PAGE's links (cfg.obey_meta_robots), and ``rel="nofollow" /
+    sponsored / ugc`` gates ONE anchor.  Five anchor shapes per page
+    (plain, nofollow ad, sponsored partner with a non-REP noopener token
+    riding along, UGC forum link, noopener-only popup): ``follow`` is 1
+    iff none of the three REP tokens appear — the flag a frontier
+    expansion filters on and a link-graph build (host_pagerank,
+    anchor_text_agg) excludes from equity.  rel tokens are case-folded
+    and SORTED so the gate is order-independent, exactly like the HTML
+    spec's unordered token-set semantics.
+
+    100 TB shape: one fused Arrow pass over page bodies (the same
+    mapInPandas stage the crawl's parse already pays — in the wired loop
+    this rides the existing worker for free); the gate itself is then a
+    row-local predicate, zero shuffle."""
+    import pandas as pd
+
+    from crawlspark.html_parse import extract_links_with_rel
+
+    d = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><a href="https://www.cna.example/news/'),
+        _ids(), F.lit('-n">Story</a>'),
+        F.lit('<a rel="nofollow" href="https://ads.example/click/'),
+        _ids(), F.lit('">ad</a>'),
+        F.lit('<a rel="sponsored NOOPENER" href="https://partner.example/sp/'),
+        _ids(), F.lit('">promo</a>'),
+        F.lit('<a rel="UGC" href="https://forum.example/c/'),
+        _ids(), F.lit('">comment</a>'),
+        F.lit('<a rel="noopener" href="https://www.cna.example/next/'),
+        _ids(), F.lit('">next</a>'),
+        F.lit('<a name="no-href" rel="nofollow">skipped</a></body></html>'),
+    )
+    src = d.select("doc_id", html.alias("html"))
+    blocked = {"nofollow", "sponsored", "ugc"}
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for i, (link, rel) in enumerate(
+                    extract_links_with_rel(r.html), start=1
+                ):
+                    rows.append({
+                        "doc_id": r.doc_id, "pos": i, "link": link,
+                        "rel": rel,
+                        "follow": 0 if blocked & set(rel.split()) else 1,
+                    })
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "pos", "link", "rel", "follow"]
+                )
+
+    return src.mapInPandas(
+        run, schema="doc_id long, pos int, link string, rel string, follow long"
+    )
+
+
+# ============ X-Robots-Tag header parsing (header-level REP) ================
+
+
+@q(
+    "x_robots_tag_parse",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN ''
+               WHEN 1 THEN 'noindex'
+               WHEN 2 THEN 'noindex, nofollow'
+               WHEN 3 THEN 'none'
+               WHEN 4 THEN 'crawlspark: nofollow'
+               ELSE 'googlebot: noindex'
+             END AS header
+      FROM documents),
+    p AS (
+      SELECT doc_id, header,
+             coalesce(regexp_extract(header, '^([a-z*-]+)\\s*:', 1), '')
+               AS scope
+      FROM h),
+    b AS (
+      SELECT doc_id, header, scope,
+             ',' || regexp_replace(
+               lower(CASE WHEN scope != ''
+                     THEN substr(header, length(scope) + 2) ELSE header END),
+               '\\s', '', 'g') || ',' AS toks,
+             CASE WHEN scope IN ('', 'crawlspark', '*') THEN 1 ELSE 0 END
+               AS applies
+      FROM p)
+    SELECT doc_id, header, scope, CAST(applies AS BIGINT) AS applies,
+           CAST(CASE WHEN applies = 1 AND (toks LIKE '%,noindex,%'
+                     OR toks LIKE '%,none,%') THEN 1 ELSE 0 END AS BIGINT)
+             AS noindex,
+           CAST(CASE WHEN applies = 1 AND (toks LIKE '%,nofollow,%'
+                     OR toks LIKE '%,none,%') THEN 1 ELSE 0 END AS BIGINT)
+             AS nofollow
+    FROM b
+    """,
+)
+def x_robots_tag_parse(spark, sf_dir):
+    """``X-Robots-Tag`` response-header parsing — the header-level REP
+    channel for NON-HTML payloads (PDFs, images, feeds) that can't carry
+    a ``<meta robots>`` tag, and the only REP signal available before
+    parsing.  Grammar: an optional user-agent scope token ending in
+    ``:`` (a scoped header binds only the named bot; unscoped binds
+    everyone), then comma-separated directives; ``none`` means
+    noindex + nofollow.  Six synthesized header shapes per the corpus:
+    absent, noindex, the pair, none, a header scoped to THIS bot
+    (applies) and one scoped to another bot (ignored) — the two scoped
+    rows are the cases naive substring checks get wrong.
+
+    Pure Column logic fused into the scan (zero Python, zero shuffle,
+    plan-asserted): scope via one anchored regexp, token membership via
+    comma-delimited LIKE on the whitespace-stripped directive list —
+    integer flags so the cross-engine compare is dtype-exact."""
+    d = T(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit(""))
+        .when(F.col("doc_id") % 6 == 1, F.lit("noindex"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("noindex, nofollow"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("none"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("crawlspark: nofollow"))
+        .otherwise(F.lit("googlebot: noindex"))
+    )
+    p = d.select("doc_id", header.alias("header")).select(
+        "doc_id", "header",
+        F.coalesce(
+            F.regexp_extract("header", r"^([a-z*-]+)\s*:", 1), F.lit("")
+        ).alias("scope"),
+    )
+    b = p.select(
+        "doc_id", "header", "scope",
+        F.concat(
+            F.lit(","),
+            F.regexp_replace(
+                F.lower(
+                    F.when(
+                        F.col("scope") != "",
+                        F.expr("substr(header, length(scope) + 2)"),
+                    ).otherwise(F.col("header"))
+                ),
+                r"\s", "",
+            ),
+            F.lit(","),
+        ).alias("toks"),
+        F.when(F.col("scope").isin("", "crawlspark", "*"), F.lit(1))
+        .otherwise(F.lit(0)).alias("applies"),
+    )
+    flag = lambda name: (  # noqa: E731
+        F.when(
+            (F.col("applies") == 1)
+            & (F.col("toks").like(f"%,{name},%") | F.col("toks").like("%,none,%")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long")
+    )
+    return b.select(
+        "doc_id", "header", "scope",
+        F.col("applies").cast("long").alias("applies"),
+        flag("noindex").alias("noindex"),
+        flag("nofollow").alias("nofollow"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -9339,6 +9528,8 @@ _DEMOTED = [
     # round 6 (oracle-green via check_oracles + plan-asserted this round)
     "opic_cash_step",
     "frontier_size_estimate",
+    "anchor_rel_gate",
+    "x_robots_tag_parse",
 ]
 
 

@@ -270,3 +270,28 @@ def test_domain_rewrite_map():
     assert domain_for_country_py("www.cambodiadaily.com", "cambodia") == "english.cambodiadaily.com"
     assert domain_for_country_py("www.kompas.com", "malaysia") == "kompas.com"
     assert domain_for_country_py("www.bernama.com", "singapore") == "bernama.com"
+
+
+def test_extract_links_with_rel_tokens_and_order():
+    from crawlspark.html_parse import extract_links, extract_links_with_rel
+
+    html = (
+        '<a href="/a">plain</a>'
+        '<a rel="NOFOLLOW" href="/b">ad</a>'
+        '<a rel="sponsored noopener" href="/c">sp</a>'
+        '<a rel="noopener  sponsored" href="/d">sp2</a>'
+        '<a name="x" rel="nofollow">no href</a>'
+        "<a onclick=\"window.open('/pop')\">popup</a>"
+    )
+    got = extract_links_with_rel(html)
+    assert got == [
+        ("/a", ""),
+        ("/b", "nofollow"),
+        ("/c", "noopener sponsored"),
+        ("/d", "noopener sponsored"),  # token set is order-independent
+    ]
+    # rel never changes WHICH hrefs are seen vs the plain walk (onclick
+    # URLs are script-carried, not <a> grammar — excluded here by design)
+    assert [h for h, _ in got] == [
+        x for x in extract_links(html) if x != "/pop"
+    ]

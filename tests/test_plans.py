@@ -551,3 +551,10 @@ def test_frontier_estimate_single_scan(spark, qs):
     p = _plan(spark, qs["frontier_size_estimate"](spark, SF))
     assert p.count("orders.parquet") <= 2  # plan tree + detail section
     assert "partial_count" in p
+
+
+def test_x_robots_parse_is_rowlocal_scan(spark, qs):
+    """Header-channel REP parsing is one anchored regexp + LIKEs per row —
+    fused into the scan, zero exchanges."""
+    p = _plan(spark, qs["x_robots_tag_parse"](spark, SF))
+    assert "Exchange" not in p
