@@ -150,6 +150,13 @@ class CrawlConfig:
     # Scrapy stack doesn't honor robots META, and the oracle-equality
     # contract is defined without it.
     obey_meta_robots: bool = False
+    # honor per-ANCHOR rel=nofollow/sponsored/ugc on the generic link
+    # walk (html_parse.rel_blocked_hrefs): hrefs carried only by
+    # rel-blocked anchors never reach the frontier.  Listing cards (the
+    # site's curated article surface) are exempt.  Default off: the
+    # reference follows every anchor, and the oracle-equality contract
+    # pins that.
+    obey_link_rel: bool = False
     # key each document by its <link rel="canonical"> href (after the
     # same canonicalize chain links get) instead of the fetch URL, so URL
     # aliases of one article collapse to a single doc_id via the existing
@@ -849,6 +856,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         obey_meta_robots=cfg.obey_meta_robots,
         use_canonical_link=cfg.use_canonical_link,
         use_feeds=cfg.use_feeds,
+        obey_link_rel=cfg.obey_link_rel,
     ).persist()
     _t = _time.time()
     if n_sched > 1000:

@@ -149,6 +149,26 @@ def extract_links_with_rel(html: str) -> list[tuple[str, str]]:
     return out
 
 
+REL_BLOCKED = frozenset({"nofollow", "sponsored", "ugc"})
+
+
+def rel_blocked_hrefs(html: str) -> set[str]:
+    """hrefs that appear ONLY on rel-blocked anchors (nofollow / sponsored
+    / ugc) — the set cfg.obey_link_rel subtracts from the frontier walk.
+    Per-ANCHOR semantics, like the spec: a URL also carried by any plain
+    anchor stays followable; onclick-carried URLs never block (no rel
+    grammar on script strings).  Shared by the engine's fused parse stage
+    and the crawl oracle so the gate can never drift between them."""
+    blocked: set[str] = set()
+    allowed: set[str] = set()
+    for href, rel in extract_links_with_rel(html):
+        if REL_BLOCKED & set(rel.split()):
+            blocked.add(href)
+        else:
+            allowed.add(href)
+    return blocked - allowed
+
+
 def extract_targeted_links(html: str, host: str, path: str = "") -> list[str]:
     """Targeted-pagination link extraction (reference
     SEARCH_ENTIRE_WEBSITE=0, :751-829): domains with a

@@ -23,7 +23,8 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
                entire_site: bool = True, strip_tracking: bool = False,
                obey_meta_robots: bool = False,
                use_canonical_link: bool = False,
-               use_feeds: bool = False):
+               use_feeds: bool = False,
+               obey_link_rel: bool = False):
     out = []
 
     def _canon(href: str) -> str:
@@ -70,6 +71,15 @@ def _parse_row(url: str, host: str, depth: int, page_kind: str, status: int, bod
             )
         more = (html_parse.extract_links(body) if entire_site
                 else html_parse.extract_targeted_links(body, host, path))
+        if obey_link_rel:
+            # per-anchor REP gate (cfg.obey_link_rel, default off): hrefs
+            # carried ONLY by rel=nofollow/sponsored/ugc anchors leave the
+            # frontier walk; listing CARDS are the site's curated article
+            # surface and stay (the gate targets the generic anchor walk,
+            # where ad/UGC/cross-promo links live).  Raw-href match, same
+            # as the anchors the walk itself returned.
+            rb = html_parse.rel_blocked_hrefs(body)
+            more = [u for u in more if u not in rb]
         for href in more:
             canon = _canon(href)
             if canon in card_links:
@@ -151,7 +161,8 @@ def parse_stage(fetched: DataFrame, entire_site: bool = True,
                 strip_tracking: bool = False,
                 obey_meta_robots: bool = False,
                 use_canonical_link: bool = False,
-                use_feeds: bool = False) -> DataFrame:
+                use_feeds: bool = False,
+                obey_link_rel: bool = False) -> DataFrame:
     """FETCHED (status==200 rows) → PARSED union rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -165,7 +176,8 @@ def parse_stage(fetched: DataFrame, entire_site: bool = True,
                                entire_site=entire_site, strip_tracking=strip_tracking,
                                obey_meta_robots=obey_meta_robots,
                                use_canonical_link=use_canonical_link,
-                               use_feeds=use_feeds)
+                               use_feeds=use_feeds,
+                               obey_link_rel=obey_link_rel)
                 )
             if rows:
                 yield pd.DataFrame(rows, columns=cols)

@@ -64,7 +64,7 @@ def fetch_parse_stage(
     scheduled: DataFrame, spec: synthetic.WebSpec, num_partitions: int | None = None,
     fetch_fn=None, entire_site: bool = True, strip_tracking: bool = False,
     obey_meta_robots: bool = False, use_canonical_link: bool = False,
-    use_feeds: bool = False,
+    use_feeds: bool = False, obey_link_rel: bool = False,
 ) -> DataFrame:
     """scheduled(FRONTIER rows) → PIPE union rows (fetch/link/doc).
 
@@ -127,7 +127,8 @@ def fetch_parse_stage(
                                     strip_tracking=strip_tracking,
                                     obey_meta_robots=obey_meta_robots,
                                     use_canonical_link=use_canonical_link,
-                                    use_feeds=use_feeds):
+                                    use_feeds=use_feeds,
+                                    obey_link_rel=obey_link_rel):
                     # parse rows are keyed by the PARSED url (= final_url
                     # under a redirect), matching the unfused parse_stage —
                     # link src_url / min_by winners agree fused vs unfused

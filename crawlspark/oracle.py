@@ -47,6 +47,7 @@ def crawl_oracle(
     use_feeds: bool = False,
     strip_tracking: bool = False,
     obey_meta_robots: bool = False,
+    obey_link_rel: bool = False,
     use_canonical_link: bool = False,
     autothrottle: bool = False,
     failure_trip_threshold: int | None = None,
@@ -211,6 +212,12 @@ def crawl_oracle(
                                    {"title": c["title"], "date": c["date"], "article_url": canon})
                 more = (html_parse.extract_links(body) if entire_site
                         else html_parse.extract_targeted_links(body, r["host"], path))
+                if obey_link_rel:
+                    # per-anchor REP gate (engine twin: parse._parse_row;
+                    # the blocked-set derivation is the SHARED
+                    # html_parse.rel_blocked_hrefs)
+                    rb = html_parse.rel_blocked_hrefs(body)
+                    more = [u for u in more if u not in rb]
                 for href in more:
                     canon = _canon(href, page_url)
                     if canon in card_links:

@@ -66,6 +66,13 @@ class WebSpec:
     # cfg.use_feeds has a real discovery surface; default off — the
     # baseline web (and every pinned equality test) is feed-free
     feeds: bool = False
+    # nav anchors grow rel attributes: each listing's nav carries one
+    # rel-blocked "promoted" article anchor (nofollow or sponsored by
+    # hash parity) and ~half its cross-section links become
+    # rel="nofollow" — so cfg.obey_link_rel has real anchors to gate;
+    # default off — the baseline web (and every pinned equality test) is
+    # rel-free
+    rel_nofollow: bool = False
     # content epoch: 0 (default) serves every page's ORIGINAL body —
     # byte-identical to the pre-epoch web, so every pinned equality test
     # is untouched.  epoch N>0 appends a deterministic "Update N" trailing
@@ -394,9 +401,24 @@ def listing_html(spec: WebSpec, host: str, section: int, page: int) -> str:
             parts.append(f"<p class='page-Navigation'><a href=\"{nxt}\">Next Page</a></p>")
         else:
             parts.append(f"<a href=\"{nxt}\">Next Page</a>")
+    if spec.rel_nofollow:
+        # a rel-blocked "promoted" article anchor: followable only when
+        # cfg.obey_link_rel is off (the control run proves rel'd anchors
+        # are plain links to the default walk)
+        aid2 = _h("relnf-a", host, section, page) % cfg["n_articles"]
+        rel = ("nofollow" if _h("relnf-k", host, section, page) % 2 == 0
+               else "sponsored noopener")
+        parts.append(
+            f"<a rel=\"{rel}\" href=\"{article_url(host, aid2)}\">promoted</a>"
+        )
     for s2 in range(spec.sections):
         if s2 != section and rng.random() < 0.5:
-            parts.append(f"<a href=\"{listing_url(host, s2, 0)}\">Sec {s2}</a>")
+            if spec.rel_nofollow and _h("relnf-s", host, section, s2) % 2 == 0:
+                parts.append(
+                    f"<a rel=\"nofollow\" href=\"{listing_url(host, s2, 0)}\">Sec {s2}</a>"
+                )
+            else:
+                parts.append(f"<a href=\"{listing_url(host, s2, 0)}\">Sec {s2}</a>")
     parts.append("</nav></body></html>")
     return "".join(parts)
 

@@ -72,6 +72,9 @@ def main():
     ap.add_argument("--obey-meta-robots", action="store_true",
                     help="honor <meta name=robots>: noindex drops the doc, "
                          "nofollow drops the page's links")
+    ap.add_argument("--obey-link-rel", action="store_true",
+                    help="honor per-anchor rel=nofollow/sponsored/ugc on "
+                         "the generic link walk (listing cards exempt)")
     ap.add_argument("--use-canonical-link", action="store_true",
                     help="key documents by <link rel=canonical> instead of "
                          "the fetch URL (URL aliases collapse)")
@@ -127,6 +130,7 @@ def main():
         use_feeds=args.use_feeds,
         strip_tracking=args.strip_tracking,
         obey_meta_robots=args.obey_meta_robots,
+        obey_link_rel=args.obey_link_rel,
         use_canonical_link=args.use_canonical_link,
         autothrottle=args.autothrottle,
         failure_trip_threshold=args.failure_trip_threshold,

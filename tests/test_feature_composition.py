@@ -1,6 +1,7 @@
 """All opt-in crawl features composed on one web: sitemap intake + feed
-intake + tracking-param stripping + robots META honoring + rel=canonical
-keying, against a synthetic web planting all the substrates at once.
+intake + tracking-param stripping + robots META honoring + per-anchor
+rel=nofollow gating + rel=canonical keying, against a synthetic web
+planting all the substrates at once.
 Each feature is e2e-tested alone in its own module; this proves they
 COMPOSE (one engine run == one oracle run with everything enabled)."""
 
@@ -18,13 +19,14 @@ MAX_BATCHES = 20
 def test_all_optin_features_compose(spark, tmp_path):
     spec = synthetic.WebSpec(scale=SCALE, tracking_params=True,
                              meta_robots=True, canonical_links=True,
-                             feeds=True)
+                             feeds=True, rel_nofollow=True)
     wh = str(tmp_path / "wh_all")
     run_crawl(spark, CrawlConfig(
         warehouse=wh, spec=spec, max_batches=MAX_BATCHES,
         budget_override=BUDGET, compact_every=4,
         use_sitemaps=True, use_feeds=True, strip_tracking=True,
         obey_meta_robots=True, use_canonical_link=True,
+        obey_link_rel=True,
         # cache + revalidation are recrawl-mode features; on a FIRST
         # crawl each url is scheduled once, so both must be inert —
         # composing them here proves exactly that (oracle equality below)
@@ -35,7 +37,8 @@ def test_all_optin_features_compose(spark, tmp_path):
                        budget_override=BUDGET,
                        use_sitemaps=True, use_feeds=True,
                        strip_tracking=True,
-                       obey_meta_robots=True, use_canonical_link=True)
+                       obey_meta_robots=True, obey_link_rel=True,
+                       use_canonical_link=True)
 
     cat = SnapshotCatalog(spark, wh)
     m = cat.latest()
