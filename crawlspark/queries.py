@@ -9288,6 +9288,138 @@ def x_robots_tag_parse(spark, sf_dir):
     )
 
 
+# ============ Retry-After header parsing (RFC 7231 §7.1.3) ==================
+
+_RA_DATE_RX = (
+    r"^[A-Za-z]{3}, ([0-9]{2}) ([A-Za-z]{3}) 2026 "
+    r"([0-9]{2}):([0-9]{2}):([0-9]{2}) GMT$"
+)
+# cumulative days before each month, non-leap year (the synthesis pins the
+# year so the cross-engine math needs no leap-year branch; a production
+# parser adds the one CASE)
+_RA_CUM = {
+    "Jan": 0, "Feb": 31, "Mar": 59, "Apr": 90, "May": 120, "Jun": 151,
+    "Jul": 181, "Aug": 212, "Sep": 243, "Oct": 273, "Nov": 304, "Dec": 334,
+}
+_RA_NOW = (212 + 17) * 86400 + 12 * 3600  # Aug 18 2026 12:00:00, in-year secs
+_RA_MONTHS = list(_RA_CUM)
+_RA_CUM_SQL = "CASE mon " + " ".join(
+    f"WHEN '{m}' THEN {d}" for m, d in _RA_CUM.items()
+) + " ELSE 0 END"
+
+
+@q(
+    "retry_after_parse",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN ''
+          WHEN 1 THEN '120'
+          WHEN 2 THEN '3600'
+          WHEN 3 THEN 'Tue, ' || lpad((18 + doc_id % 3)::VARCHAR, 2, '0')
+            || ' ' || {_RA_MONTHS!r}[(doc_id % 12)::INT + 1]
+            || ' 2026 ' || lpad((doc_id % 24)::VARCHAR, 2, '0')
+            || ':' || lpad((doc_id % 60)::VARCHAR, 2, '0')
+            || ':' || lpad(((doc_id * 7) % 60)::VARCHAR, 2, '0') || ' GMT'
+          ELSE 'soon'
+        END AS header
+      FROM documents),
+    p AS (
+      SELECT doc_id, header,
+        regexp_extract(header, '^([0-9]+)$', 1) AS delta,
+        regexp_extract(header, '{_RA_DATE_RX}', 1) AS dd,
+        regexp_extract(header, '{_RA_DATE_RX}', 2) AS mon,
+        regexp_extract(header, '{_RA_DATE_RX}', 3) AS hh,
+        regexp_extract(header, '{_RA_DATE_RX}', 4) AS mi,
+        regexp_extract(header, '{_RA_DATE_RX}', 5) AS ss
+      FROM h)
+    SELECT doc_id, header,
+      CASE WHEN header = '' THEN 'none'
+           WHEN delta != '' THEN 'delta'
+           WHEN dd != '' THEN 'http-date'
+           ELSE 'invalid' END AS kind,
+      CAST(CASE WHEN delta != '' THEN delta::BIGINT
+           WHEN dd != '' THEN greatest(0,
+             ({_RA_CUM_SQL} + dd::BIGINT - 1) * 86400
+             + hh::BIGINT * 3600 + mi::BIGINT * 60 + ss::BIGINT
+             - {_RA_NOW})
+           ELSE -1 END AS BIGINT) AS delay_s
+    FROM p
+    """,
+)
+def retry_after_parse(spark, sf_dir):
+    """``Retry-After`` header parsing (RFC 7231 §7.1.3) — the server-
+    mandated politeness floor a 429/503 carries: either delta-seconds or
+    an IMF-fixdate HTTP-date.  A polite fleet treats the parsed delay as
+    a floor on the host's ``next_allowed_at`` (the same slot the robots
+    Crawl-delay and AutoThrottle folds feed), so honoring it is a
+    scheduler input, not a per-request retry detail.  Grammar per doc:
+    absent, two delta forms, a full HTTP-date (day/month/time all vary;
+    the weekday token is decorative — parsers must not validate it), and
+    an invalid token.
+
+    Cross-engine integer-exact with NO timestamp functions (locale- and
+    zone-proof): the HTTP-date decomposes by one anchored regexp, the
+    month NAME maps to cumulative days via a CASE, and the delay is
+    integer seconds-within-year minus a pinned "now", clamped at 0 (a
+    past date means retry immediately).  -1 is the no-delay sentinel
+    (absent/invalid), keeping the column a non-null BIGINT.  Row-local,
+    zero shuffle, fused into the scan."""
+    d = T(spark, sf_dir, "documents")
+    months = F.array([F.lit(m) for m in _RA_MONTHS])
+    header = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(F.col("doc_id") % 5 == 1, F.lit("120"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("3600"))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(
+                F.lit("Tue, "),
+                F.lpad((F.lit(18) + F.col("doc_id") % 3).cast("string"), 2, "0"),
+                F.lit(" "),
+                F.element_at(months, (F.col("doc_id") % 12).cast("int") + 1),
+                F.lit(" 2026 "),
+                F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+                F.lit(":"),
+                F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+                F.lit(":"),
+                F.lpad(((F.col("doc_id") * 7) % 60).cast("string"), 2, "0"),
+                F.lit(" GMT"),
+            ),
+        )
+        .otherwise(F.lit("soon"))
+    )
+    p = d.select("doc_id", header.alias("header")).select(
+        "doc_id", "header",
+        F.regexp_extract("header", r"^([0-9]+)$", 1).alias("delta"),
+        *[
+            F.regexp_extract("header", _RA_DATE_RX, g).alias(n)
+            for g, n in [(1, "dd"), (2, "mon"), (3, "hh"), (4, "mi"), (5, "ss")]
+        ],
+    )
+    cum = F.lit(0)
+    for m, days in _RA_CUM.items():
+        cum = F.when(F.col("mon") == m, F.lit(days)).otherwise(cum)
+    date_secs = (
+        (cum.cast("long") + F.col("dd").cast("long") - 1) * 86400
+        + F.col("hh").cast("long") * 3600
+        + F.col("mi").cast("long") * 60
+        + F.col("ss").cast("long")
+    )
+    return p.select(
+        "doc_id", "header",
+        F.when(F.col("header") == "", F.lit("none"))
+        .when(F.col("delta") != "", F.lit("delta"))
+        .when(F.col("dd") != "", F.lit("http-date"))
+        .otherwise(F.lit("invalid")).alias("kind"),
+        F.when(F.col("delta") != "", F.col("delta").cast("long"))
+        .when(F.col("dd") != "",
+              F.greatest(F.lit(0).cast("long"), date_secs - F.lit(_RA_NOW)))
+        .otherwise(F.lit(-1)).cast("long").alias("delay_s"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -9530,6 +9662,7 @@ _DEMOTED = [
     "frontier_size_estimate",
     "anchor_rel_gate",
     "x_robots_tag_parse",
+    "retry_after_parse",
 ]
 
 

@@ -558,3 +558,10 @@ def test_x_robots_parse_is_rowlocal_scan(spark, qs):
     fused into the scan, zero exchanges."""
     p = _plan(spark, qs["x_robots_tag_parse"](spark, SF))
     assert "Exchange" not in p
+
+
+def test_retry_after_parse_is_rowlocal_scan(spark, qs):
+    """Retry-After parsing is regexp decomposition + CASE month math per
+    row — zero exchanges, no timestamp functions in the plan."""
+    p = _plan(spark, qs["retry_after_parse"](spark, SF))
+    assert "Exchange" not in p
