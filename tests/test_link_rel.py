@@ -35,6 +35,31 @@ def _seen(spark, wh):
     return {r["url"] for r in cat.read("urlseen", cat.latest()).collect()}
 
 
+def test_link_rel_gate_resume_equals_uninterrupted(spark, tmp_path):
+    """The gate is stateless (a per-page set subtraction inside the fused
+    stage), so an interrupted gated crawl must resume to EXACTLY the
+    uninterrupted gated run — the north rule's checkpoint contract holds
+    for the newest wired flag too."""
+    spec = synthetic.WebSpec(scale=SCALE, rel_nofollow=True)
+
+    wh_full = str(tmp_path / "wh_full")
+    run_crawl(spark, CrawlConfig(
+        warehouse=wh_full, spec=spec, max_batches=MAX_BATCHES,
+        budget_override=BUDGET, compact_every=4, obey_link_rel=True,
+    ))
+
+    wh_res = str(tmp_path / "wh_res")
+    run_crawl(spark, CrawlConfig(
+        warehouse=wh_res, spec=spec, max_batches=2,
+        budget_override=BUDGET, compact_every=4, obey_link_rel=True,
+    ))
+    run_crawl(spark, CrawlConfig(
+        warehouse=wh_res, spec=spec, max_batches=MAX_BATCHES,
+        budget_override=BUDGET, compact_every=4, obey_link_rel=True,
+    ), resume=True)
+    assert _seen(spark, wh_full) == _seen(spark, wh_res)
+
+
 def test_link_rel_gate_equals_oracle_and_binds(spark, tmp_path):
     spec = synthetic.WebSpec(scale=SCALE, rel_nofollow=True)
 
