@@ -9512,6 +9512,139 @@ def idn_host_encode(spark, sf_dir):
     )
 
 
+# ============ robots.txt fetch-outcome policy (RFC 9309 §2.3.1) =============
+
+
+@q(
+    "robots_cache_policy",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             [200, 301, 403, 404, 500, 503][(doc_id % 6)::INT + 1] AS status,
+             CAST(doc_id % 48 AS BIGINT) AS age_hours
+      FROM documents)
+    SELECT doc_id, CAST(status AS BIGINT) AS status, age_hours,
+           CASE WHEN status >= 500 THEN 'disallow-all'
+                WHEN status >= 400 THEN 'allow-all'
+                ELSE 'per-rules' END AS effective,
+           CASE WHEN age_hours < 24 THEN 'use-cached'
+                ELSE 'refetch-due' END AS cache_action
+    FROM f
+    """,
+)
+def robots_cache_policy(spark, sf_dir):
+    """robots.txt fetch-outcome + cache policy (RFC 9309 §2.3.1 / §2.4)
+    — what the host bootstrap does when the robots fetch itself fails,
+    and when a cached copy expires.  "Unavailable" (4xx) means the site
+    declined to express rules: crawlers MAY access everything
+    (allow-all).  "Unreachable" (5xx) means the rules exist but couldn't
+    be read: crawlers MUST assume complete disallow.  2xx/3xx parse
+    per-rules as usual.  Cached copies serve for up to 24 hours, then a
+    refetch is due — the per-host TTL the fleet's robots table enforces
+    so 10^6 hosts don't refetch robots.txt per batch.
+
+    Pure CASE logic over (status, age) — row-local, codegen'd, zero
+    shuffle; the policy table the scheduler's budget derivation joins
+    (a disallow-all host gets budget 0 exactly like a tripped breaker)."""
+    d = T(spark, sf_dir, "documents")
+    statuses = F.array([F.lit(s) for s in [200, 301, 403, 404, 500, 503]])
+    f = d.select(
+        "doc_id",
+        F.element_at(statuses, (F.col("doc_id") % 6).cast("int") + 1)
+        .alias("status"),
+        (F.col("doc_id") % 48).cast("long").alias("age_hours"),
+    )
+    return f.select(
+        "doc_id",
+        F.col("status").cast("long").alias("status"),
+        "age_hours",
+        F.when(F.col("status") >= 500, F.lit("disallow-all"))
+        .when(F.col("status") >= 400, F.lit("allow-all"))
+        .otherwise(F.lit("per-rules")).alias("effective"),
+        F.when(F.col("age_hours") < 24, F.lit("use-cached"))
+        .otherwise(F.lit("refetch-due")).alias("cache_action"),
+    )
+
+
+# ======== sitemap changefreq/priority fields (sitemaps.org protocol) ========
+
+_CF_TOKENS = ["always", "hourly", "daily", "weekly", "monthly", "yearly", "never"]
+# advisory refetch interval per token, seconds ("always" = every visit →
+# 0; "never" = archive URL → -1 sentinel, recrawl only on external signal)
+_CF_SECS = {"always": 0, "hourly": 3600, "daily": 86400, "weekly": 604800,
+            "monthly": 2592000, "yearly": 31536000, "never": -1}
+_CF_SECS_SQL = "CASE cf " + " ".join(
+    f"WHEN '{t}' THEN {s}" for t, s in _CF_SECS.items()
+) + " ELSE -1 END"
+
+
+@q(
+    "sitemap_changefreq_policy",
+    f"""
+    WITH x AS (
+      SELECT doc_id,
+        '<url><loc>https://www.h' || (doc_id % 50) || '.example/a/' || doc_id
+        || '</loc><changefreq>' || {_CF_TOKENS!r}[(doc_id % 7)::INT + 1]
+        || '</changefreq><priority>0.' || (doc_id % 10)
+        || '</priority></url>' AS xml
+      FROM documents),
+    p AS (
+      SELECT doc_id, xml,
+        regexp_extract(xml, '<loc>(.*?)</loc>', 1) AS url,
+        regexp_extract(xml, '<changefreq>([a-z]+)</changefreq>', 1) AS cf,
+        regexp_extract(xml, '<priority>0\\.([0-9])</priority>', 1) AS pd
+      FROM x)
+    SELECT doc_id, url, cf,
+           CAST({_CF_SECS_SQL} AS BIGINT) AS refetch_interval_s,
+           CAST(pd::BIGINT * 100 AS BIGINT) AS priority_permille
+    FROM p
+    """,
+)
+def sitemap_changefreq_policy(spark, sf_dir):
+    """sitemaps.org ``<changefreq>``/``<priority>`` fields → recrawl
+    policy: the protocol's two advisory fields the existing urlset parse
+    (loc, lastmod) doesn't carry.  changefreq maps to an advisory
+    refetch interval ("always" = every visit → 0, "never" = archive URL
+    → -1 sentinel); priority parses TEXTUALLY into integer permille (no
+    float parse — '0.8' → 800 exactly, so the cross-engine compare and
+    the scheduler's integer priority column both stay exact).  A fleet
+    treats these as PRIORS the observation-driven adaptive policy
+    (adaptive_recrawl_policy) then corrects — sites routinely overstate
+    their freshness.
+
+    Row-local regexp decomposition + CASE, zero shuffle — the same scan
+    shape the sitemap intake path already pays."""
+    d = T(spark, sf_dir, "documents")
+    cfs = F.array([F.lit(t) for t in _CF_TOKENS])
+    xml = F.concat(
+        F.lit("<url><loc>https://www.h"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example/a/"), F.col("doc_id").cast("string"),
+        F.lit("</loc><changefreq>"),
+        F.element_at(cfs, (F.col("doc_id") % 7).cast("int") + 1),
+        F.lit("</changefreq><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    p = d.select("doc_id", xml.alias("xml")).select(
+        "doc_id",
+        F.regexp_extract("xml", r"<loc>(.*?)</loc>", 1).alias("url"),
+        F.regexp_extract("xml", r"<changefreq>([a-z]+)</changefreq>", 1)
+        .alias("cf"),
+        F.regexp_extract("xml", r"<priority>0\.([0-9])</priority>", 1)
+        .alias("pd"),
+    )
+    secs = F.lit(-1)
+    for t, s in _CF_SECS.items():
+        secs = F.when(F.col("cf") == t, F.lit(s)).otherwise(secs)
+    return p.select(
+        "doc_id", "url", "cf",
+        secs.cast("long").alias("refetch_interval_s"),
+        (F.col("pd").cast("long") * 100).cast("long")
+        .alias("priority_permille"),
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -9756,6 +9889,8 @@ _DEMOTED = [
     "x_robots_tag_parse",
     "retry_after_parse",
     "idn_host_encode",
+    "robots_cache_policy",
+    "sitemap_changefreq_policy",
 ]
 
 

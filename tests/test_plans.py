@@ -565,3 +565,10 @@ def test_retry_after_parse_is_rowlocal_scan(spark, qs):
     row — zero exchanges, no timestamp functions in the plan."""
     p = _plan(spark, qs["retry_after_parse"](spark, SF))
     assert "Exchange" not in p
+
+
+def test_robots_policy_and_changefreq_rowlocal(spark, qs):
+    """Both policy maps are CASE/regexp per row — zero exchanges."""
+    for name in ("robots_cache_policy", "sitemap_changefreq_policy"):
+        p = _plan(spark, qs[name](spark, SF))
+        assert "Exchange" not in p, name
