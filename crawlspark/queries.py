@@ -9645,6 +9645,113 @@ def sitemap_changefreq_policy(spark, sf_dir):
     )
 
 
+# ============ WAT sidecar round-trip =======================================
+
+
+@q(
+    "wat_record_fields",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example/news/' || doc_id AS uri,
+             '{"url":"https://www.' || source || '.example/news/' || doc_id
+             || '","title":"Story ' || doc_id
+             || '","n_spans":3,"n_media_spans":1,"text_digest":"'
+             || md5('Alpha ' || doc_id || ' beta.') || '"}' AS env
+      FROM documents)
+    SELECT doc_id, uri, 'metadata' AS warc_type,
+           'application/json' AS content_type,
+           '<urn:uuid:' || substr(md5(uri), 1, 8) || '-'
+             || substr(md5(uri), 9, 4) || '-' || substr(md5(uri), 13, 4)
+             || '-' || substr(md5(uri), 17, 4) || '-'
+             || substr(md5(uri), 21, 12) || '>' AS refers_to,
+           CAST(strlen(env) AS BIGINT) AS content_length,
+           CAST(3 AS BIGINT) AS n_spans,
+           md5('Alpha ' || doc_id || ' beta.') AS text_digest,
+           md5(env) AS payload_md5
+    FROM d
+    """,
+)
+def wat_record_fields(spark, sf_dir):
+    """WAT sidecar round-trip proof — the metadata companion to
+    ``wet_record_fields``: documents (spans shape constructed per doc)
+    run through the REAL publication path (``documents_to_wat_rows``'s
+    fixed-field-order ``to_json`` envelope → WARC ``metadata`` record
+    bytes → the shared parser), and every output field comes from the
+    PARSED record including values re-extracted from the JSON payload.
+    The oracle rebuilds the envelope by string concatenation (byte-exact
+    against Spark's compact ``to_json``) and the refers-to UUID in SQL —
+    a hash match proves parse∘serialize = id AND the envelope's
+    byte-stable field order (re-publishing the corpus yields identical
+    sidecars).  Row-local, zero shuffle."""
+    import json as _json
+
+    from crawlspark.sources.warc import (conversion_headers, parse_records,
+                                         record_bytes)
+    from crawlspark.sources.warc import documents_to_wat_rows
+
+    d = T(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("https://www."), F.col("source"),
+                   F.lit(".example/news/"), F.col("doc_id").cast("string"))
+    spans = F.array(
+        F.struct(F.lit("text").alias("kind"),
+                 F.concat(F.lit("Alpha "), F.col("doc_id").cast("string"))
+                 .alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(0).alias("offset")),
+        F.struct(F.lit("media").alias("kind"),
+                 F.lit(None).cast("string").alias("text"),
+                 F.lit("https://img.example/5.jpg").alias("media_ref"),
+                 F.lit(1).alias("offset")),
+        F.struct(F.lit("text").alias("kind"), F.lit("beta.").alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(2).alias("offset")),
+    )
+    src = d.select(
+        "doc_id", uri.alias("url"),
+        F.concat(F.lit("Story "), F.col("doc_id").cast("string"))
+        .alias("title"),
+        F.lit("2021-05-04").cast("date").alias("published_date"),
+        spans.alias("spans"),
+    )
+    wat = documents_to_wat_rows(src)
+    j = wat.join(src.select(F.col("url").alias("uri"), "doc_id"), "uri")
+
+    def _roundtrip(batches):
+        import hashlib as _h
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rec = next(parse_records(record_bytes(
+                    r.uri, bytes(r.payload), warc_type="metadata",
+                    extra_headers=conversion_headers(r.uri),
+                    content_type="application/json",
+                )))
+                env = _json.loads(rec["payload"])
+                rows.append({
+                    "doc_id": r.doc_id,
+                    "uri": rec["target_uri"],
+                    "warc_type": rec["warc_type"],
+                    "content_type": rec["content_type"],
+                    "refers_to": rec["refers_to"],
+                    "content_length": rec["content_length"],
+                    "n_spans": env["n_spans"],
+                    "text_digest": env["text_digest"],
+                    "payload_md5": _h.md5(rec["payload"]).hexdigest(),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return j.mapInPandas(
+        _roundtrip,
+        schema="doc_id long, uri string, warc_type string, "
+               "content_type string, refers_to string, "
+               "content_length long, n_spans long, text_digest string, "
+               "payload_md5 string",
+    )
+
+
 _DEMOTED = [
     # already driver-green in r01/r02/r03 (multiple rounds of green rows);
     # least crawl-core of the pack, safe to rotate out of the window
@@ -9891,6 +9998,7 @@ _DEMOTED = [
     "idn_host_encode",
     "robots_cache_policy",
     "sitemap_changefreq_policy",
+    "wat_record_fields",
 ]
 
 
