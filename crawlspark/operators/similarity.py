@@ -68,14 +68,22 @@ def lsh_signatures(emb: DataFrame, dim: int = 64, n_planes: int = 12,
     return emb.withColumn("bucket", bucket_of(F.col("embedding")))
 
 
+def _to_d(c):
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot_expr(a, b):
+    """Ordered sequential fold — the cross-engine float contract."""
+    return F.aggregate(F.zip_with(_to_d(a), _to_d(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm_expr(c):
+    return F.sqrt(F.aggregate(_to_d(c), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def _cosine_expr(a, b):
-    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    dot = F.aggregate(F.zip_with(to_d(a), to_d(b), lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(to_d(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return dot / (norm(a) * norm(b))
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
 
 
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -99,14 +107,27 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                  planes: np.ndarray | None = None, round_to: int = 6) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine re-rank.  One shuffle (the bucket equi-join)."""
-    sig = lsh_signatures(emb, dim, n_planes, planes)
+    from crawlspark.plans import spread_input
+
+    # Corpus is the STREAMED side: spread its scan so the per-pair cosine
+    # project parallelizes (a 1-row-group input otherwise runs 1 task);
+    # queries are the small side — broadcast them (guide §3.1).  Norms are
+    # per-vector, so compute each ONCE before the join instead of per
+    # candidate pair (guide §2.3 "don't compute things you throw away") —
+    # same expression on the same input, so values are bit-identical.
+    sig = lsh_signatures(spread_input(emb), dim, n_planes, planes).withColumn(
+        "ns", _norm_expr(F.col("embedding"))
+    )
     qsig = lsh_signatures(queries, dim, n_planes, planes).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _norm_expr(F.col("embedding")).alias("nq"),
         "bucket",
     )
-    cand = sig.join(qsig, on="bucket").filter(F.col("vec_id") != F.col("query_id"))
-    cos = _cosine_expr(F.col("q_emb"), F.col("embedding"))
+    cand = sig.join(F.broadcast(qsig), on="bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot_expr(F.col("q_emb"), F.col("embedding")) / (F.col("nq") * F.col("ns"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         cand.select("query_id", "vec_id", F.round(cos, round_to).alias("cosine"), "bucket")
@@ -153,7 +174,8 @@ def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 3,
     return [list(map(float, c)) for c in centroids]
 
 
-def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def ivf_assign(emb: DataFrame, centroids: list[list[float]],
+               single_eval: bool = False) -> DataFrame:
     cen = np.asarray(centroids, dtype=np.float64)
 
     @F.pandas_udf("int")
@@ -164,6 +186,13 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
         d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
+    if single_eval:
+        # guide §4.4: a filter on the UDF-derived column (the join's
+        # implicit isnotnull(cell)) gets pushed below the projection and
+        # the optimizer duplicates the ArrowEvalPython node — two full
+        # corpus passes through Arrow.  Non-deterministic marking forbids
+        # the duplication; the assignment itself is a pure function.
+        assign = assign.asNondeterministic()
     return emb.withColumn("cell", assign("embedding"))
 
 
@@ -186,14 +215,26 @@ def ann_ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list[list[float]
         order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype("int32")
         return pd.Series([list(r) for r in order])
 
-    corpus = ivf_assign(emb, centroids)
+    from crawlspark.plans import spread_input
+
+    # Same shape discipline as ann_lsh_topk: stream the (spread) corpus,
+    # broadcast the small query side, and compute each per-vector norm
+    # exactly once before the join instead of once per candidate pair —
+    # identical expressions on identical inputs, so the rounded cosines
+    # (and the oracle hash) are unchanged.
+    corpus = ivf_assign(spread_input(emb), centroids, single_eval=True).withColumn(
+        "ns", _norm_expr(F.col("embedding"))
+    )
     qdf = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _norm_expr(F.col("embedding")).alias("nq"),
         F.explode(probe_cells("embedding")).alias("cell"),
     )
-    cand = corpus.join(qdf, on="cell").filter(F.col("vec_id") != F.col("query_id"))
-    cos = _cosine_expr(F.col("q_emb"), F.col("embedding"))
+    cand = corpus.join(F.broadcast(qdf), on="cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot_expr(F.col("q_emb"), F.col("embedding")) / (F.col("nq") * F.col("ns"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         cand.select("query_id", "vec_id", F.round(cos, round_to).alias("cosine"), "cell")

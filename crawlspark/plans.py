@@ -36,6 +36,29 @@ from pyspark.sql import functions as F
 _MAT = "__materialized"
 
 
+def spread_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin-spread a narrow scan across the cluster's cores — ONLY
+    when the scan itself cannot provide the parallelism.
+
+    Guide §2.5 ("input skew: one huge unsplittable file … otherwise
+    repartition immediately after the read"): a small parquet input written
+    as a single row group scans as ONE task no matter how many cores exist,
+    which serializes every fused row-local stage above it (md5/shingle/
+    cosine work observed running 1-of-32 cores).  The repartition is
+    scale-adaptive, not a local-mode constant: the target is the session's
+    default parallelism (driven by ``SPARK_GRAFT_CPUS`` / cluster conf) and
+    it is skipped entirely when the scan already has at least that many
+    splits — at production scale (many files / row groups) this is a no-op
+    and no shuffle is added.  Column pruning and predicate pushdown pass
+    through the exchange, so the scan is unaffected.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def materialize_once(df: DataFrame, **cols: Column) -> DataFrame:
     """Append ``cols`` to ``df``, each evaluated exactly once per row.
 

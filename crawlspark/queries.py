@@ -144,7 +144,7 @@ END
     """,
 )
 def url_skip_filter(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = plans.spread_input(T(spark, sf_dir, "documents"))
     did = F.col("doc_id").cast("string")
     url = (
         F.when(F.col("doc_id") % 8 == 0, F.concat(F.lit("https://www.cna.example/news/"), did, F.lit("-s1")))
@@ -554,7 +554,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     the split per array element (higher-order lambdas are interpreted, not
     codegen'd), which was ~5x the cost of the whole rest of the query.
     """
-    d = T(spark, sf_dir, "documents")
+    d = plans.spread_input(T(spark, sf_dir, "documents"))
     w = F.col("w")
     base = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 3)
     sh = F.transform(
@@ -694,7 +694,7 @@ def embed_cosine_topk(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qv = e.filter(F.col("vec_id") == 0).select(emb_d.alias("q"))
-    s = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    s = plans.spread_input(e.filter(F.col("vec_id") != 0)).crossJoin(F.broadcast(qv))
     dot = F.aggregate(
         F.zip_with(F.col("q"), emb_d, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -3098,7 +3098,7 @@ def paragraph_boilerplate(spark, sf_dir):
     natural chunk is unique).  At 100 TB this is two hash-keyed shuffles —
     chunk-hash -> partial-agg'd distinct-doc count, then the df join back
     — with nothing driver-resident; the 10-word chunking is row-local."""
-    d = T(spark, sf_dir, "documents")
+    d = plans.spread_input(T(spark, sf_dir, "documents"))
     text2 = F.when(
         F.col("doc_id") % 5 == 0,
         F.concat(F.lit(_B1 + " " + _B2 + " "), F.col("text")),
