@@ -980,27 +980,70 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # ---- state updates (tiny driver-side collects: host names + either
     # bucket summaries (partitioned) or delta blobs (broadcast), all
     # piggybacked on one job — blob BYTES never reach the driver in
-    # partitioned mode) --
-    _t = _time.time()
-    if store is not None:
-        store, new_hosts = update_buckets_partitioned(
-            spark, new_frontier, store, catalog.bloom_bucket_dir(batch_id),
-            collect_hosts=True,
-        )
-        lineage = {"bloom_keys": store.bloom_keys(),
-                   "bloom_fpr_estimate": round(store.fpr_estimate(), 8)}
-    else:
-        # politeness-sized batches skip the shuffle job: accepted rows are
-        # bounded by n_sched × links-per-page (~64 is generous for news
-        # listings; overshooting only costs the driver a few MB, never
-        # correctness — same hashes, same numpy kernel either way)
-        delta, new_hosts = bloom_delta(
-            spark, new_frontier, bloom, collect_hosts=True,
-            small_batch_rows=n_sched * 64,
-        )
-        bloom.merge(delta)
-        lineage = _bloom_lineage(bloom)
-    _tick("state_update", _t)
+    # partitioned mode).  Wrapped as a closure so the steady-state path
+    # can run it CONCURRENTLY with the commit's delta writes (guide §2.6:
+    # independent jobs submitted together back-fill idle cores — the
+    # state job and the table writes share only the persisted new_frontier
+    # cache, and the sole state→commit dependency is the rare new-hosts
+    # append, which commit() writes after the closure returns and before
+    # the manifest swap).  Compaction batches — whose capacity auto-guard
+    # reads the UPDATED store — call it inline, preserving the old order.
+    state_res: dict = {}
+
+    def _run_state() -> dict:
+        nonlocal store
+        t0 = _time.time()
+        if store is not None:
+            store, new_hosts = update_buckets_partitioned(
+                spark, new_frontier, store, catalog.bloom_bucket_dir(batch_id),
+                collect_hosts=True,
+            )
+            lineage = {"bloom_keys": store.bloom_keys(),
+                       "bloom_fpr_estimate": round(store.fpr_estimate(), 8)}
+        else:
+            # politeness-sized batches skip the shuffle job: accepted rows
+            # are bounded by n_sched × links-per-page (~64 is generous for
+            # news listings; overshooting only costs the driver a few MB,
+            # never correctness — same hashes, same numpy kernel either way)
+            delta, new_hosts = bloom_delta(
+                spark, new_frontier, bloom, collect_hosts=True,
+                small_batch_rows=n_sched * 64,
+            )
+            bloom.merge(delta)
+            lineage = _bloom_lineage(bloom)
+        # robots fetch only for genuinely-new hosts (tiny per-batch set);
+        # the known-hosts cache skips the membership JOB outright when
+        # every accepted host was already verified present earlier
+        unknown_hosts: list[str] = []
+        if new_hosts:
+            cand = set(new_hosts) if known_hosts is None else set(new_hosts) - known_hosts
+            if cand:
+                cand_hosts = spark.createDataFrame(
+                    [(h,) for h in sorted(cand)], "host string"
+                )
+                unknown_hosts = [
+                    r["host"]
+                    for r in cand_hosts.join(
+                        hosts_tbl.select("host"), on="host", how="left_anti"
+                    ).collect()
+                ]
+        extra: dict = {}
+        if unknown_hosts:
+            # only spend a write job on the hosts table when the batch
+            # actually discovered new hosts (each per-table write is a full
+            # Spark job — empty writes were ~1 wasted job per batch); only
+            # the tiny name list touches the driver (it already did, via
+            # the state piggyback) — the robots fetch+parse runs distributed
+            extra["hosts"] = _hosts_frame(
+                spark.createDataFrame(
+                    [(h,) for h in sorted(unknown_hosts)], "host string"
+                )
+            ).coalesce(1)
+        state_res.update(new_hosts=new_hosts, lineage=lineage)
+        _tick("state_update", t0)
+        return {"bloom": bloom, "bloom_store": store, "state": lineage,
+                "appends": extra}
+
     if plan_thread is not None:
         plan_thread.join()
     if commit_errs:
@@ -1022,22 +1065,6 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             ).alias("n"),
             F.count(F.lit(1)).alias("n_all"),
         )
-    # robots fetch only for genuinely-new hosts (tiny per-batch set); the
-    # known-hosts cache skips the membership JOB outright when every
-    # accepted host was already verified present in an earlier batch
-    _t = _time.time()
-    unknown_hosts: list[str] = []
-    if new_hosts:
-        cand = set(new_hosts) if known_hosts is None else set(new_hosts) - known_hosts
-        if cand:
-            cand_hosts = spark.createDataFrame(
-                [(h,) for h in sorted(cand)], "host string"
-            )
-            unknown_hosts = [
-                r["host"]
-                for r in cand_hosts.join(hosts_tbl.select("host"), on="host", how="left_anti").collect()
-            ]
-    _tick("unknown_hosts", _t)
     _t = _time.time()
 
     # batch-sized appends: coalesce to a file count proportional to the
@@ -1064,18 +1091,14 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         "metrics": metrics.coalesce(1),
         "fetched": fetch_log.coalesce(k_files),
     }
-    if unknown_hosts:
-        # only spend a write job on the hosts table when the batch actually
-        # discovered new hosts (each per-table write is a full Spark job —
-        # empty writes were ~1 wasted job per batch); only the tiny name
-        # list touches the driver (it already did, via the state piggyback)
-        # — the robots fetch+parse itself runs distributed
-        appends["hosts"] = _hosts_frame(
-            spark.createDataFrame([(h,) for h in sorted(unknown_hosts)], "host string")
-        ).coalesce(1)
     _tick("dag_appends", _t)
     _t = _time.time()
     if cfg.compact_every and batch_id % cfg.compact_every == 0:
+        # sequential state update: the auto-guard below reads the UPDATED
+        # store, and the merged hosts append must join this commit
+        sres = _run_state()
+        lineage = sres["state"]
+        appends.update(sres["appends"])
         # ---- Bloom capacity auto-guard (partitioned layout) ----
         # Lineage records bloom_keys/FPR every commit; here we ACT on it:
         # past 10x the target FPR, rebuild at double the bucket count from
@@ -1152,9 +1175,10 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
             catalog.expire_snapshots(keep_last=cfg.keep_snapshots)
         _tick("commit_compact", _t)
     else:
+        # steady-state commit: the engine-state job runs on this thread
+        # INSIDE commit, overlapped with the pooled table-delta writes
         new_manifest = catalog.commit(
-            batch_id, appends=appends, bloom=bloom, bloom_store=store,
-            state=lineage,
+            batch_id, appends=appends, state_fn=_run_state,
         )
         _tick("commit", _t)
     n_all = None
@@ -1180,6 +1204,7 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
     # cache update only AFTER the commit succeeded: if commit raises and a
     # custom driver loop retries run_batch, the cache must not claim hosts
     # whose robots rows were never written
+    new_hosts = state_res.get("new_hosts")
     if new_hosts and known_hosts is not None and len(known_hosts) < 2_000_000:
         # names only (~60 B/host): 10^6 hosts ≈ 60 MB of driver memory,
         # capped — past the cap we just fall back to the per-batch join

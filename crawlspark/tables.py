@@ -104,6 +104,7 @@ class SnapshotCatalog:
         replace: dict[str, DataFrame] | None = None,
         bloom_store: BloomBucketStore | None = None,
         rewrite: dict[str, tuple[list[str], DataFrame]] | None = None,
+        state_fn=None,
     ) -> dict:
         """Atomic multi-table commit: write deltas, then one manifest swap.
 
@@ -152,13 +153,32 @@ class SnapshotCatalog:
             jobs.append(("rewrite", table, (drop, df)))
         for table, df in appends.items():
             jobs.append(("append", table, df))
+        late_appends: dict[str, DataFrame] = {}
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(jobs)))) as ex:
             futs = [
                 (kind, table, extra,
                  ex.submit(write, table, extra[1] if kind == "rewrite" else extra))
                 for kind, table, extra in jobs
             ]
+            if state_fn is not None:
+                # engine-state job (Bloom delta + host discovery) runs on
+                # the CALLER thread while the pool writes the table deltas
+                # — independent Spark jobs overlapped per guide §2.6.  Its
+                # results land in the same manifest (state + any late
+                # appends written below, before the pointer swap), so the
+                # atomic multi-table commit property is unchanged.
+                sres = state_fn() or {}
+                bloom = sres.get("bloom", bloom)
+                bloom_store = sres.get("bloom_store", bloom_store)
+                if sres.get("state"):
+                    state = {**(state or {}), **sres["state"]}
+                late_appends = sres.get("appends") or {}
             results = [(k, t, e, f.result()) for k, t, e, f in futs]
+        for table, df in late_appends.items():
+            p = write(table, df)
+            if p:
+                tables.setdefault(table, []).append(p)
+            lineage[table] = {"mode": "append", "path": p}
         for kind, table, extra, p in results:
             if kind == "replace":
                 tables[table] = [p] if p else []
