@@ -26,6 +26,7 @@ fingerprint set; at 10^10 URLs that set does not fit one machine, so here:
 from __future__ import annotations
 
 import itertools
+from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd
@@ -80,7 +81,26 @@ def _split_and_verify(spark: SparkSession, probed: DataFrame, urlseen: DataFrame
     roundtrips instead of ~15 per politeness batch.  The join semantics
     are identical to _exact_unseen: urlseen is only ever broadcast-SCANNED
     against the batch-bounded positive sliver, never shuffled.
+
+    One probe pass, not three: the fresh branch, the positive branch, and
+    the positive-id broadcast each re-reference the probed subtree, and
+    Catalyst inlines it per reference — the mapInArrow probe (candidate
+    generation + double xxhash + a full Arrow round-trip) was executing
+    2-3x per call.  Keying the branches behind one url-hash exchange lets
+    ReuseExchange dedup the subtree to a single execution (guide §2.4:
+    operations keyed the same way share one exchange); the shuffle moves
+    each candidate row once, which is strictly cheaper than recomputing
+    the probe on every branch.  The maybe_seen flag is re-projected behind
+    a materialize_once Generate barrier so the per-branch filters cannot
+    be pushed below the exchange (pushed-down filters make the branch
+    subtrees differ, and ReuseExchange only dedups identical subtrees).
     """
+    from crawlspark.plans import materialize_once
+
+    probed = materialize_once(
+        probed.repartition(F.col("url")).withColumnRenamed("maybe_seen", "_ms_raw"),
+        maybe_seen=F.col("_ms_raw"),
+    ).drop("_ms_raw")
     if not small_positives:
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", *drop)
         positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", *drop)
@@ -141,32 +161,23 @@ def probe_unseen(spark: SparkSession, candidates: DataFrame, urlseen: DataFrame,
     # bloom.release() after each batch's commit
     b = bloom.broadcast(spark)
 
-    def probe(batches):
-        import pyarrow as pa
-
+    # vectorized pandas_udf over JUST the two 8-byte hash columns (guide
+    # §4.1: pass only what the function needs) — the previous mapInArrow
+    # form shipped every candidate column (url string + frontier metadata)
+    # through the Python worker and back, ~5x the Arrow bytes for the same
+    # numpy bit math.  Iterator form: the Bloom view over the broadcast
+    # blobs is built once per task, not per batch (guide §4.5).
+    @F.pandas_udf("boolean")
+    def probe(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
         nb, m, k, blobs = b.value
         st = BloomState(nb, m, k)
         st.blobs = blobs
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            h1 = batch.column("_h1").to_numpy(zero_copy_only=False).view(np.uint64)
-            h2 = batch.column("_h2").to_numpy(zero_copy_only=False).view(np.uint64)
-            maybe = st.probe_hashes(h1, h2)
-            yield pa.RecordBatch.from_arrays(
-                list(batch.columns) + [pa.array(maybe)],
-                names=batch.schema.names + ["maybe_seen"],
-            )
+        for h1, h2 in it:
+            yield pd.Series(st.probe_hashes(_u64(h1), _u64(h2)))
 
-    withh = _with_hashes(candidates)
-    out_schema = T.StructType(
-        list(withh.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    probed = _with_hashes(candidates).withColumn(
+        "maybe_seen", probe(F.col("_h1"), F.col("_h2"))
     )
-    # mapInArrow (not pandas): the probe is pure numpy bit math over the
-    # raw Arrow buffers — no per-batch pandas construction.  No cache: the
-    # two branches below recompute the cheap probe rather than
-    # materializing 10^6+ rows.
-    probed = withh.mapInArrow(probe, schema=out_schema)
     return _split_and_verify(spark, probed, urlseen, small_positives,
                              drop=("_h1", "_h2"))
 
@@ -188,29 +199,20 @@ def probe_unseen_cuckoo(spark: SparkSession, candidates: DataFrame,
 
     b = cuckoo.broadcast(spark)
 
-    def probe(batches):
-        import pyarrow as pa
-
+    # same column-pruned vectorized probe shape as probe_unseen (guide
+    # §4.1/§4.5): only the two hash columns cross the Python boundary
+    @F.pandas_udf("boolean")
+    def probe(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
         nb, ns, mk, table, n_items = b.value
         st = CuckooState(nb, ns, mk)
         st.table = table
         st.n_items = n_items
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            h1 = batch.column("_h1").to_numpy(zero_copy_only=False).view(np.uint64)
-            h2 = batch.column("_h2").to_numpy(zero_copy_only=False).view(np.uint64)
-            maybe = st.probe_hashes(h1, h2)
-            yield pa.RecordBatch.from_arrays(
-                list(batch.columns) + [pa.array(maybe)],
-                names=batch.schema.names + ["maybe_seen"],
-            )
+        for h1, h2 in it:
+            yield pd.Series(st.probe_hashes(_u64(h1), _u64(h2)))
 
-    withh = _with_hashes(candidates)
-    out_schema = T.StructType(
-        list(withh.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    probed = _with_hashes(candidates).withColumn(
+        "maybe_seen", probe(F.col("_h1"), F.col("_h2"))
     )
-    probed = withh.mapInArrow(probe, schema=out_schema)
     return _split_and_verify(spark, probed, urlseen, small_positives,
                              drop=("_h1", "_h2"))
 
