@@ -25,10 +25,51 @@ from crawlspark import rules
 
 _CREDIT_RX = [re.compile(p) for p in rules.MEDIA_CREDIT_PATTERNS]
 # quick-reject: every credit pattern requires one of these substrings; one
-# cheap scan skips the 11-regex chain for the vast majority of spans
+# cheap scan skips the whole regex chain for the vast majority of spans
 _CREDIT_QUICK = re.compile(
     r"(?i)photo|image|reuters|pic|parts|file|screenshot|inquirer|livestream|speech"
 )
+# Per-pattern literal gates: each regex can only match a string containing
+# its anchor literal (case-folded for (?i) patterns), so a span that passes
+# the global quick-reject — common through benign words like "topic" or
+# "epidemic" hitting the "pic" alternative — runs ONLY the patterns whose
+# anchor occurs instead of the full chain (profiled: the chain's re.sub
+# calls were ~65% of clean_spans).  Keyed by the exact pattern source: a
+# rules-list edit that adds a pattern without a gate fails at import, and
+# the gate-soundness property (match ⇒ anchor present) is pinned in
+# tests/test_textclean.py.
+_CREDIT_GATES: dict[str, tuple[str, bool]] = {  # pattern -> (literal, ci?)
+    r"(?is)\([^()]*first of two parts[^()]*\)": ("first of two parts", True),
+    r"(?is)\([^()]*second of two parts[^()]*\)": ("second of two parts", True),
+    r"(?is)\([^()]*pic[^()]*\)": ("pic", True),
+    r"(?s)\(Image: .+?\)": ("(Image: ", False),
+    r"(?s)\(Photo.+?\)": ("(Photo", False),
+    r"(?s).+?Photo from.+?(\n|$)": ("Photo from", False),
+    r"(?s).+?Screenshot from.+?(\n|$)": ("Screenshot from", False),
+    r"(?s).+?FIle photo.+?(\n|$)": ("FIle photo", False),
+    r"(?s)\(AP Photo.+?\)": ("(AP Photo", False),
+    r"(?s)\(File photo: .+?\)": ("(File photo: ", False),
+    r"(?s)File photo of .+?(\n|$)": ("File photo of ", False),
+    r"(?s)FILE-.+?(\n|$)": ("FILE-", False),
+    r"(?s).*?file photo.*?(\n|$)": ("file photo", False),
+    r"(?s).*?File photo.*?(\n|$)": ("File photo", False),
+    r"(?s).*?FILE PHOTO.*?(\n|$)": ("FILE PHOTO", False),
+    r"(?s).*?PHOTO:.*?(\n|$)": ("PHOTO:", False),
+    r"(?s).*?PVL PHOTO.*?(\n|$)": ("PVL PHOTO", False),
+    r"(?s).*?UAAP PHOTO.*?(\n|$)": ("UAAP PHOTO", False),
+    r"(?s).*?INQUIRER PHOTO.*?(\n|$)": ("INQUIRER PHOTO", False),
+    r"(?s).*?/INQUIRER\.net.*?(\n|$)": ("/INQUIRER.net", False),
+    r"(?s).*?PHOTO FROM.*?(\n|$)": ("PHOTO FROM", False),
+    r"(?s).*?REUTERS/.*?(\n|$)": ("REUTERS/", False),
+    r"(?s).*?CONTRIBUTED PHOTO.*?(\n|$)": ("CONTRIBUTED PHOTO", False),
+    r"(?s)FILE PHOTO-.+?": ("FILE PHOTO-", False),
+    r"(?s)FILE PHOTO: .+?File Photo": ("FILE PHOTO: ", False),
+    r"(?s)WATCH THE LIVESTREAM HERE:": ("WATCH THE LIVESTREAM HERE:", False),
+    r"(?s)Watch the full speech:": ("Watch the full speech:", False),
+}
+_CREDIT_RX_GATED = [
+    (re.compile(p), *_CREDIT_GATES[p]) for p in rules.MEDIA_CREDIT_PATTERNS
+]
 _PHRASES = [p.lower() for p in rules.FOOTNOTE_PHRASES]
 
 
@@ -40,7 +81,13 @@ def clean_ws(text: str) -> str:
 def remove_media_credit(text: str) -> str:
     if not _CREDIT_QUICK.search(text):
         return text
-    for rx in _CREDIT_RX:
+    for rx, lit, ci in _CREDIT_RX_GATED:
+        # the gate haystack is re-derived from the CURRENT text (an earlier
+        # deletion can both remove and create anchor occurrences), so the
+        # gated chain is exactly equivalent to running every rx.sub
+        hay = text.lower() if ci else text
+        if lit not in hay:
+            continue
         text = rx.sub("", text)
     return text
 

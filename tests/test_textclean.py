@@ -108,3 +108,43 @@ def test_mojibake_table_is_exact_inverse_of_damage():
     # still-unrepaired 3-char punctuation sequence
     lens = [len(m) for m, _ in _MOJIBAKE_TABLE]
     assert lens == sorted(lens, reverse=True)
+
+
+def _ungated_chain(text: str) -> str:
+    """The pre-gate reference semantics: every credit regex, in order."""
+    for rx in tc._CREDIT_RX:
+        text = rx.sub("", text)
+    return text
+
+
+def test_credit_gate_table_is_complete():
+    assert set(tc._CREDIT_GATES) == set(rules.MEDIA_CREDIT_PATTERNS)
+
+
+def test_credit_gates_are_sound():
+    """A pattern can only match text containing its gate literal: strip
+    the literal (case-folded for ci gates) out of any string and the
+    regex must not match what remains."""
+    import re
+
+    for p, (lit, ci) in tc._CREDIT_GATES.items():
+        rx = re.compile(p)
+        probe = f"before {lit} middle {lit.upper()} after\nnext line"
+        without = re.sub(re.escape(lit), "", probe, flags=re.I if ci else 0)
+        if ci:
+            assert lit.lower() not in without.lower()
+        else:
+            assert lit not in without
+        assert rx.search(without) is None, p
+
+
+@given(st.lists(st.sampled_from(
+    ["Cases rose. ", "(Photo: AFP)", "p(first of two parts)ic",
+     "FILE PHOTO: x File Photo", "epidemic topic ", "REUTERS/Manila\n",
+     "x /INQUIRER.net y\n", "(Image: z)", "plain text line\n",
+     "File photo of a site ", "WATCH THE LIVESTREAM HERE:",
+     "(pIc inside)", "a FILE- b\n"]), min_size=0, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_gated_chain_equals_ungated(parts):
+    text = "".join(parts)
+    assert tc.remove_media_credit(text) == _ungated_chain(text)
