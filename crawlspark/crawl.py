@@ -859,12 +859,14 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         obey_link_rel=cfg.obey_link_rel,
     ).persist()
     _t = _time.time()
-    if n_sched > 1000:
-        # eager: downstream jobs (probe branches, writes) must all read the
-        # cache — recomputing the fused stage is a wide batch's main cost;
-        # for tiny politeness batches the extra job isn't worth it
-        pipe.count()
-        _tick("pipe_count", _t)
+    # eager, ALWAYS: the commit's table writes and the engine-state job run
+    # concurrently below and both read this cache — materializing the fused
+    # stage exactly once before the fan-out is the single-fetch guarantee
+    # (two jobs racing an unmaterialized persist() would each execute the
+    # fetch; harmless for the deterministic synthetic web, wrong for a real
+    # fetch_fn), and for wide batches recomputation was the main cost anyway
+    pipe.count()
+    _tick("pipe_count", _t)
     cols = _invariant_cols(spark)
     # all projections below select CACHED batch-invariant Column lists —
     # only the F.lit(batch_id) terms are built per batch (see the
