@@ -859,13 +859,23 @@ def run_batch(spark: SparkSession, catalog: SnapshotCatalog, cfg: CrawlConfig, m
         obey_link_rel=cfg.obey_link_rel,
     ).persist()
     _t = _time.time()
-    # eager, ALWAYS: the commit's table writes and the engine-state job run
-    # concurrently below and both read this cache — materializing the fused
-    # stage exactly once before the fan-out is the single-fetch guarantee
-    # (two jobs racing an unmaterialized persist() would each execute the
-    # fetch; harmless for the deterministic synthetic web, wrong for a real
-    # fetch_fn), and for wide batches recomputation was the main cost anyway
-    pipe.count()
+    if n_sched > 1000:
+        # eager: downstream jobs (probe branches, writes) must all read the
+        # cache — recomputing the fused stage is a wide batch's main cost;
+        # for tiny politeness batches the extra job isn't worth it (measured
+        # ~0.3-1.0 s/batch for the count PLUS ~0.7-1.0 s/batch of slower
+        # plan construction once the cache is materialized).
+        #
+        # Concurrency note: the commit below overlaps the engine-state job
+        # with the table writes, so for small (lazy) batches two jobs can
+        # race the first materialization of this persist() and compute a
+        # partition twice.  That is correctness-neutral HERE because
+        # run_batch's fetcher is always the deterministic synthetic
+        # transfer (fetch_parse_stage is called without fetch_fn); if a
+        # real side-effecting fetch_fn is ever wired into this loop, this
+        # materialization must become unconditional to keep the
+        # single-fetch guarantee.
+        pipe.count()
     _tick("pipe_count", _t)
     cols = _invariant_cols(spark)
     # all projections below select CACHED batch-invariant Column lists —
