@@ -32,7 +32,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from crawlspark.operators.bloom import BloomState
 
@@ -314,24 +313,45 @@ def probe_unseen_partitioned(
     # cached per store version; the crawl loop release()s it post-commit
     b_paths = store.broadcast(spark)
 
-    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        path = b_paths.value.get(int(key[0]))
-        if path is None:  # bucket never written: nothing seen
-            return pdf.assign(maybe_seen=False)
-        blob = np.load(path)
-        h1 = _u64(pdf["_h1"])
-        h2 = _u64(pdf["_h2"]) | np.uint64(1)
+    # Column-pruned vectorized probe (guide §4.1): only the two 8-byte hash
+    # columns + the bucket id cross the Python boundary — the previous
+    # groupBy().applyInPandas shipped EVERY candidate column (url string +
+    # frontier metadata) into pandas and back.  The bucket co-partitioning
+    # (candidates shuffle ONCE on bucket) and the per-task working-set
+    # contract are preserved: rows are additionally SORTED by bucket within
+    # each partition, so blobs stream through one at a time and the single
+    # cached blob is the task's working set regardless of total state size.
+    @F.pandas_udf("boolean")
+    def probe(it: Iterator[Tuple[pd.Series, pd.Series, pd.Series]]
+              ) -> Iterator[pd.Series]:
         i = np.arange(k, dtype=np.uint64)[None, :]
-        pos = ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
-        byte_idx, bit = pos >> 3, (pos & 7).astype(np.uint8)
-        bits = (blob[byte_idx] >> bit) & 1
-        return pdf.assign(maybe_seen=bits.all(axis=1))
+        cur_b: int | None = None
+        cur_blob: np.ndarray | None = None
+        for h1s, h2s, bks in it:
+            h1 = _u64(h1s)
+            h2 = _u64(h2s) | np.uint64(1)
+            bk = bks.to_numpy(dtype=np.int64)
+            pos = ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+            byte_idx, bit = pos >> 3, (pos & 7).astype(np.uint8)
+            out = np.zeros(len(bk), dtype=bool)
+            for b in np.unique(bk):  # bucket-sorted input: 1-2 per batch
+                if int(b) != cur_b:
+                    cur_b = int(b)
+                    path = b_paths.value.get(cur_b)
+                    cur_blob = np.load(path) if path is not None else None
+                if cur_blob is None:
+                    continue  # bucket never written: nothing seen
+                sel = bk == b
+                bits = (cur_blob[byte_idx[sel]] >> bit[sel]) & 1
+                out[sel] = bits.all(axis=1)
+            yield pd.Series(out)
 
     withh = candidates.select("*", *_hash_cols(spark, nb))
-    out_schema = T.StructType(
-        list(withh.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    probed = (
+        withh.repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket")
+        .withColumn("maybe_seen", probe(F.col("_h1"), F.col("_h2"), F.col("bucket")))
     )
-    probed = withh.groupBy("bucket").applyInPandas(per_bucket, schema=out_schema)
     return _split_and_verify(spark, probed, urlseen, small_positives,
                              drop=("_h1", "_h2", "bucket"))
 
