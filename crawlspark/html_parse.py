@@ -169,6 +169,39 @@ def rel_blocked_hrefs(html: str) -> set[str]:
     return blocked - allowed
 
 
+def extract_links_and_rel_blocked(html: str) -> tuple[list[str], set[str]]:
+    """ONE parse producing both ``extract_links(html)`` and
+    ``rel_blocked_hrefs(html)`` — the engine's obey_link_rel listing path
+    previously parsed every listing body twice for the two views (ADVICE
+    r5).  Same anchor traversal, so the pair is definitionally equal to
+    calling the two functions separately (pinned in test_link_rel); the
+    single-threaded crawl oracle deliberately KEEPS the two independent
+    calls, so the equality e2e still cross-checks two derivations."""
+    import re
+
+    global _ONCLICK_RX
+    if _ONCLICK_RX is None:
+        _ONCLICK_RX = re.compile(r"window\.open\('(.*?)'")
+    root = parse_html(html)
+    links: list[str] = []
+    blocked: set[str] = set()
+    allowed: set[str] = set()
+    for a in root.find_all("a"):
+        href = a.attrs.get("href")
+        if href:
+            links.append(href)
+            rel = (a.attrs.get("rel") or "").lower()
+            if REL_BLOCKED & set(rel.split()):
+                blocked.add(href)
+            else:
+                allowed.add(href)
+        elif a.attrs.get("onclick"):
+            m = _ONCLICK_RX.search(a.attrs["onclick"])
+            if m:
+                links.append(m.group(1))
+    return links, blocked - allowed
+
+
 def extract_targeted_links(html: str, host: str, path: str = "") -> list[str]:
     """Targeted-pagination link extraction (reference
     SEARCH_ENTIRE_WEBSITE=0, :751-829): domains with a

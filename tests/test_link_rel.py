@@ -87,3 +87,30 @@ def test_link_rel_gate_equals_oracle_and_binds(spark, tmp_path):
                            budget_override=BUDGET, obey_link_rel=False)
     assert seen_off == ora_off.seen
     assert seen_on < seen_off, "gate should close some discovery paths"
+
+
+def test_fused_links_and_blocked_equals_two_calls():
+    """extract_links_and_rel_blocked must be definitionally equal to the
+    (extract_links, rel_blocked_hrefs) pair on every anchor shape: plain,
+    rel-blocked, mixed-carrier, onclick-only, and the onclick URL that
+    also appears on a blocked anchor."""
+    from crawlspark import html_parse as hp
+
+    html = (
+        '<a href="/plain">x</a>'
+        '<a rel="nofollow" href="/blocked">y</a>'
+        '<a rel="sponsored UGC" href="/blocked2">y2</a>'
+        '<a rel="nofollow" href="/both">z</a><a href="/both">z2</a>'
+        '<a onclick="window.open(\'/clicky\')">c</a>'
+        '<a rel="nofollow" href="/clicky">c2</a>'
+        '<a rel="me noopener" href="/odd-rel">w</a>'
+        '<a>no-attrs</a>'
+    )
+    links, blocked = hp.extract_links_and_rel_blocked(html)
+    assert links == hp.extract_links(html)
+    assert blocked == hp.rel_blocked_hrefs(html)
+    # explicit expectations, not just pairwise equality ("/clicky" is
+    # href-carried on a nofollow anchor; its onclick carrier does not
+    # whitelist it under the established href-level subtraction semantics)
+    assert blocked == {"/blocked", "/blocked2", "/clicky"}
+    assert "/both" not in blocked and "/odd-rel" not in blocked
